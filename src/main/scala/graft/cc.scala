@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative DataFrame connected components (SURVEY.md §2.8 O5):
+  * alternating large-star / small-star of Kiveris et al., "Connected
+  * Components in MapReduce and Beyond" (SoCC 2014). Converges in
+  * O(log² n) rounds (O(log n) in practice); each round is two
+  * groupBy+join DataFrame passes. `localCheckpoint` every round truncates
+  * the otherwise exponentially-growing Catalyst lineage — the classic
+  * iterative-Spark requirement (SURVEY.md §4.2.3).
+  *
+  * Edge invariant maintained: edges always point "larger id → smaller id"
+  * (parent pointers); fixpoint = every node points directly at its
+  * component minimum.
+  */
+object ConnectedComponents {
+
+  /** large-star: for each node u over its bidirectional neighborhood N(u),
+    * connect every strictly-larger neighbor to m = min(N(u) ∪ {u}).
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+    nbrs
+      .join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** small-star: orient edges large→small, then connect all smaller
+    * neighbors (and u itself) to the minimum.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val grouped = oriented.groupBy("u").agg(collect_set(col("v")).as("ns"))
+    val withMin = grouped.withColumn("m", array_min(col("ns")))
+    withMin
+      .select(col("u"), col("m"), explode(concat(col("ns"), array(col("u")))).as("n"))
+      .where(col("n") =!= col("m"))
+      .select(col("n").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Convergence probe: cheap order-independent signature of the edge set
+    * (count + XOR of pair hashes) — one lightweight action per round
+    * instead of an `except` anti-join. XOR aggregate is overflow-free
+    * under ANSI mode (Spark 4 default).
+    */
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val r = edges
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))"))
+      .collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Run to fixpoint; returns assignment (image_id → cluster_id=component
+    * min). `nodes` supplies singletons (every corpus id appears in the
+    * output — A5 stability rule: cluster_id = min member id).
+    */
+  def cluster(dupEdges: DataFrame, nodes: DataFrame, maxIter: Int = 20): DataFrame = {
+    var edges = dupEdges
+      .select(col("a").as("u"), col("b").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var prev = signature(edges)
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val sig = signature(edges)
+      converged = sig == prev
+      prev = sig
+      it += 1
+    }
+    // at fixpoint every u points at its component min; u may appear with
+    // several parents mid-way — min() collapses defensively.
+    val reps = edges.groupBy("u").agg(min(col("v")).as("cluster_id"))
+      .select(col("u").as("image_id"), col("cluster_id"))
+    nodes
+      .select(col("image_id"))
+      .join(reps, Seq("image_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("image_id")))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.functions
+
+import graft.Hashing
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the signature hot path (SURVEY.md §2.10).
+  *
+  * These beat Scala UDFs because they (a) read/write Catalyst's internal
+  * representations (`UTF8String`, `ArrayData`) with no encoder round-trip,
+  * and (b) implement `doGenCode` as a static call into [[graft.Hashing]],
+  * so they stay inside whole-stage codegen instead of breaking the
+  * generated pipeline at a UDF boundary.
+  */
+
+/** normalized caption string → distinct hashed char k-gram set
+  * (array<long>). BASELINE.json:L6 "caption shingling into k-gram sets".
+  */
+case class ShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Hashing.shingles(input.asInstanceOf[UTF8String].toString, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.Hashing.shingles($c.toString(), $k));")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+/** shingle set (array<long>) → batched MinHash signature (array<int>,
+  * numPerms lanes, one pass). BASELINE.json:L6 "batched MinHash signatures
+  * (128 perms)".
+  */
+case class MinHashExpr(child: Expression, numPerms: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Hashing.minHash(input.asInstanceOf[ArrayData].toLongArray(), numPerms))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.Hashing.minHash($c.toLongArray(), $numPerms));")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
+    copy(child = newChild)
+}
+
+/** (normalized caption, phash) → 64-bit SimHash over whitespace-token
+  * hashes + folded pHash bytes. BASELINE.json:L6 "64-bit SimHash over
+  * pHash+caption tokens".
+  */
+case class SimHashExpr(left: Expression, right: Expression, phashWeight: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(cap: Any, ph: Any): Any = {
+    val tokens = SimHashExpr.tokenHashes(cap.asInstanceOf[UTF8String].toString)
+    Hashing.simHash(tokens, ph.asInstanceOf[Long], phashWeight)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, p) =>
+      s"${ev.value} = graft.Hashing.simHash(" +
+        s"graft.functions.SimHashExpr.tokenHashes($c.toString()), $p, $phashWeight);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SimHashExpr =
+    copy(left = l, right = r)
+}
+
+object SimHashExpr {
+  /** whitespace-token 64-bit hashes of a normalized caption. */
+  def tokenHashes(s: String): Array[Long] = {
+    if (s == null || s.isEmpty) return Array.emptyLongArray
+    val out = new scala.collection.mutable.ArrayBuffer[Long](16)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < n && s.charAt(i) != ' ') i += 1
+      if (i > start) out += Hashing.hashWindow(s, start, i - start)
+    }
+    out.toArray
+  }
+}
+
+/** Registration + typed Column helpers. Uses the function registry +
+  * `call_function` (Spark 4 removed the public Column-from-Expression
+  * constructor).
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_shingles",
+      es => ShinglesExpr(es.head, litInt(es(1))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash",
+      es => MinHashExpr(es.head, litInt(es(1))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash",
+      es => SimHashExpr(es.head, es(1), litInt(es(2))),
+      "built-in")
+  }
+
+  private def litInt(e: Expression): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+  }
+
+  def shinglesCol(normCaption: Column, k: Int): Column =
+    call_function("graft_shingles", normCaption, lit(k))
+  def minhashCol(shingles: Column, numPerms: Int): Column =
+    call_function("graft_minhash", shingles, lit(numPerms))
+  def simhashCol(normCaption: Column, phash: Column, phashWeight: Int = 2): Column =
+    call_function("graft_simhash", normCaption, phash, lit(phashWeight))
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Candidate generation (SURVEY.md §2.3 J1–J3, §2.5 W2).
+  *
+  * Replaces the reference's external Solr top-k retrieval with in-plan LSH:
+  * MinHash band hashing (Leskovec/Rajaraman/Ullman MMDS ch.3) and a
+  * SimHash multi-block Hamming prefilter (Manku et al., WWW 2007 style
+  * block-permutation pigeonhole).
+  *
+  * Skew design (BASELINE.json:L6 "salted repartitioning on band-hash
+  * keys"): duplicate-heavy corpora put thousands of images in one LSH
+  * bucket. Pair emission is bucket-local (`groupBy` + explode of in-bucket
+  * combinations — J2 form, one shuffle) and is protected by a TWO-PHASE
+  * salted cap: rows first shuffle on (key, salt) where salt =
+  * hash(image_id) % s, each salt shard keeps ≤cap ids, then the merged
+  * bucket keeps ≤cap — so no single task ever materializes an unbounded
+  * bucket, and worst-case pair fan-out is cap²/2 per bucket. Dropped
+  * overflow is counted, not silent (W2).
+  */
+object Lsh {
+
+  /** Stage 2: explode each signature into b (band, band_hash) rows.
+    * band_hash = xxhash64(band, minhash[band*r .. band*r+r)). Pure
+    * built-ins — whole-stage codegen, no shuffle.
+    */
+  def bands(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val bandHashes = transform(
+      sequence(lit(0), lit(cfg.bands - 1)),
+      i => xxhash64(i, slice(col("minhash"), i * lit(cfg.rowsPerBand) + lit(1), lit(cfg.rowsPerBand))))
+    sigs
+      .select(col("image_id"), posexplode(bandHashes))
+      .toDF("image_id", "band", "band_hash")
+  }
+
+  /** Two-phase salted bucket cap (see class doc). Keeps the
+    * lexicographically-smallest `cap` ids per bucket — deterministic. The
+    * second window reuses the first shuffle's hash partitioning on a
+    * prefix of the same keys, so Catalyst inserts only one extra exchange.
+    */
+  private def cappedBuckets(df: DataFrame, keys: Seq[String], cfg: DedupConfig): DataFrame = {
+    val keyCols = keys.map(col)
+    val salted = df.withColumn(
+      "salt",
+      pmod(xxhash64(col("image_id")), lit(cfg.saltBuckets)).cast("int"))
+    val wSalt = Window.partitionBy((keyCols :+ col("salt")): _*).orderBy(col("image_id"))
+    val local = salted
+      .withColumn("rn", row_number().over(wSalt))
+      .where(col("rn") <= cfg.bucketCap)
+      .drop("rn", "salt")
+    val wFull = Window.partitionBy(keyCols: _*).orderBy(col("image_id"))
+    local
+      .withColumn("rn", row_number().over(wFull))
+      .where(col("rn") <= cfg.bucketCap)
+      .drop("rn")
+  }
+
+  /** In-bucket pair expansion: sorted distinct ids → canonical (a<b)
+    * combinations (J2). Bucket size is already ≤cap.
+    */
+  private val pairsOf = udf { ids: Seq[String] =>
+    val s = ids.distinct.sorted
+    val out = Vector.newBuilder[(String, String)]
+    var i = 0
+    while (i < s.length) {
+      var j = i + 1
+      while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+      i += 1
+    }
+    out.result()
+  }
+
+  private def emitPairs(df: DataFrame, keys: Seq[String], src: String, cfg: DedupConfig): DataFrame = {
+    val capped = cappedBuckets(df, keys, cfg)
+    capped
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(col("image_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p._1").as("a"), col("p._2").as("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("src", lit(src))
+  }
+
+  /** Stage 3a: LSH band-bucket candidate pairs. */
+  def lshCandidates(bandsDf: DataFrame, cfg: DedupConfig): DataFrame =
+    emitPairs(bandsDf, Seq("band", "band_hash"), "lsh", cfg)
+
+  /** Stage 3b: SimHash Hamming-≤h prefilter via block pigeonhole: split the
+    * 64-bit signature into q blocks; if hamming(x,y) ≤ h then x and y agree
+    * on SOME (q-h)-subset of blocks, so equi-joining on every C(q,h)
+    * subset key finds all such pairs. Exact Hamming is re-checked in
+    * scoring (P6).
+    */
+  def simhashCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val q = cfg.simhashBlocks
+    val keep = q - cfg.simhashMaxHamming
+    val bounds = (0 to q).map(i => i * 64 / q)
+    def block(i: Int) = {
+      val lo = bounds(i); val hi = bounds(i + 1)
+      val width = hi - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask))
+    }
+    val combos = (0 until q).combinations(keep).toSeq.zipWithIndex
+    val keyCols = combos.map { case (idxs, cid) =>
+      xxhash64((lit(cid) +: idxs.map(block)): _*)
+    }
+    val exploded = sigs
+      .select(col("image_id"), posexplode(array(keyCols: _*)))
+      .toDF("image_id", "cid", "key")
+    emitPairs(exploded, Seq("cid", "key"), "simhash", cfg)
+  }
+
+  /** Skew census (A3): bucket-size distribution + overflow count for the
+    * metrics table — how many buckets exceeded the cap (their tail pairs
+    * were dropped; recall impact bounded by fixture tests).
+    */
+  def bucketStats(bandsDf: DataFrame, cfg: DedupConfig): DataFrame = {
+    bandsDf
+      .groupBy("band", "band_hash")
+      .count()
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("count")).as("max_bucket"),
+        expr("approx_percentile(count, 0.99)").as("p99_bucket"),
+        sum(when(col("count") > cfg.bucketCap, 1).otherwise(0)).as("overflow_buckets"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+/** Core schema catalog (SURVEY.md §1.3). All intermediate state is typed
+  * `Dataset[T]` / DataFrame with fixed case-class schemas — the
+  * idiomatic-Spark replacement for the reference's pandas-dynamic frames
+  * (SURVEY.md §1.1; reference mount empty, spec reconstructed from
+  * BASELINE.json:L6/L14/L15).
+  */
+
+/** The binding input shape — BASELINE.json:L15 `input_hint`. */
+final case class ImageRow(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String, // "png" | "jpeg"
+    caption: String,
+    phash: Long
+)
+
+/** Per-image signature row (stage 1 output). */
+final case class SignatureRow(
+    image_id: String,
+    minhash: Array[Int], // cfg.numPerms lanes
+    simhash: Long
+)
+
+/** Canonical candidate pair, a < b (SURVEY.md §2.2 P8). */
+final case class CandPair(a: String, b: String, src: String)
+
+final case class ScoredPair(
+    a: String,
+    b: String,
+    jaccard_sig: Double,
+    hamming: Int,
+    span_len: Int
+)
+
+final case class VerifiedPair(
+    a: String,
+    b: String,
+    psnr: Double,
+    caption_eq: Boolean,
+    is_dup: Boolean
+)
+
+final case class ClusterRow(image_id: String, cluster_id: String)
+
+/** Per-partition lineage + metrics row (BASELINE.json:L6/L14). */
+final case class MetricRow(
+    run_id: String,
+    stage: String,
+    snapshot: Int,
+    partition_id: Int,
+    rows: Long,
+    wall_ms: Long
+)
+
+/** Labeled fixture pair (reconstructed reference labels — SURVEY.md §5.1). */
+final case class PairLabel(a: String, b: String, label: Boolean, kind: String)
+
+/** Pinned signature/shingle config (BASELINE.json:L6 "same shingle/signature
+  * config"). Hashed into the run manifest for resume idempotence.
+  *
+  * LSH s-curve: with b bands of r rows, P[candidate] = 1-(1-s^r)^b; at
+  * b=32, r=4 the threshold (1/b)^(1/r) ≈ 0.42 Jaccard (MMDS ch.3).
+  */
+final case class DedupConfig(
+    shingleK: Int = 5, // char k-gram length on normalized caption
+    numPerms: Int = 128, // MinHash permutations (BASELINE.json:L6)
+    bands: Int = 64, // LSH bands b — threshold (1/b)^(1/r) ≈ 0.125:
+    rowsPerBand: Int = 2, //   recall lives in retrieval; precision is the
+    //   scoring gate (minJaccardSig) + pixel verify. Catch-rate at the
+    //   paraphrase hard case (J≈0.45) is 1-(1-J^2)^b ≈ 1.0 vs 0.87 for
+    //   the classic 32×4 curve (MMDS ch.3 s-curve).
+    simhashBlocks: Int = 6, // pigeonhole blocks q for Hamming prefilter
+    simhashMaxHamming: Int = 3, // max Hamming distance h (needs q > h)
+    minJaccardSig: Double = 0.20, // signature Jaccard gate — bounds the PSNR
+    //   stage volume only; final precision comes from pixel verification
+    psnrThresholdDb: Double = 40.0, // BASELINE.json:L15 invariant
+    saMinSpan: Int = 24, // min exact shared caption span (chars)
+    saGramK: Int = 8, // winnowing k-gram length for span routing
+    bucketCap: Int = 256, // max ids kept per LSH/simhash bucket (W2)
+    topKPerImage: Int = 50, // top-k candidate pairs kept per image (W1)
+    saltBuckets: Int = 16, // salt fan-out for hot band-hash keys
+    seed: Long = 42L
+) {
+  require(bands * rowsPerBand == numPerms, "b*r must equal numPerms")
+  require(simhashBlocks > simhashMaxHamming, "pigeonhole needs q > h")
+
+  /** Stable hash of the config — stored in the run manifest; resume refuses
+    * on mismatch (SURVEY.md §3.3 idempotence guard).
+    */
+  def configHash: String = {
+    val s = productIterator.mkString("|")
+    java.lang.Long.toHexString(Hashing.hashString(s))
+  }
+}

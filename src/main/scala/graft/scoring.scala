@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stages 4–5: signature-space scoring and pixel verification
+  * (SURVEY.md §3.1). Replaces the reference's XGBoost feature scorer with
+  * the spec's deterministic rule (BASELINE.json:L6): Jaccard-from-signature
+  * + SimHash Hamming + span length, then PSNR pixel verification.
+  */
+object Scoring {
+
+  /** Attach both endpoints' signatures and compute signature-space scores.
+    * `jaccard_sig` = fraction of equal MinHash lanes (unbiased Jaccard
+    * estimator, Broder 1997) via `zip_with`+`aggregate` HOFs — codegen'd,
+    * no UDF. `hamming` = popcount of SimHash XOR (built-in `bit_count`).
+    *
+    * Join discipline: signatures are (id, 128×i32, i64) ≈ 530 B/row —
+    * these shuffle; pixel payloads do NOT (they join later, J5).
+    */
+  def score(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val sa = sigs.select(
+      col("image_id").as("a"), col("minhash").as("mh_a"), col("simhash").as("sh_a"))
+    val sb = sigs.select(
+      col("image_id").as("b"), col("minhash").as("mh_b"), col("simhash").as("sh_b"))
+    val withSpan =
+      if (pairs.columns.contains("span_len")) pairs
+      else pairs.withColumn("span_len", lit(0))
+    withSpan
+      .join(sa, "a")
+      .join(sb, "b")
+      .withColumn(
+        "jaccard_sig",
+        aggregate(
+          zip_with(col("mh_a"), col("mh_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, x) => acc + x
+        ).cast("double") / cfg.numPerms)
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .select("a", "b", "src", "span_len", "jaccard_sig", "hamming")
+  }
+
+  /** Keep rule: any retrieval criterion passing keeps the pair for pixel
+    * verification. Then W1: top-k surviving candidates per left endpoint
+    * (bounds the expensive PSNR stage exactly like the reference's Solr
+    * `rows=N` bounded its scorer).
+    */
+  def filterAndTopK(scored: DataFrame, cfg: DedupConfig): DataFrame = {
+    val kept = scored.where(
+      col("jaccard_sig") >= cfg.minJaccardSig ||
+        col("hamming") <= cfg.simhashMaxHamming ||
+        col("span_len") >= cfg.saMinSpan)
+    val w = Window.partitionBy(col("a")).orderBy(col("jaccard_sig").desc, col("b"))
+    kept
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= cfg.topKPerImage)
+      .drop("rk")
+  }
+
+  private val psnrUdf = udf { (a: Array[Byte], b: Array[Byte]) => Imaging.psnr(a, b) }
+
+  /** Stage 5 (J5 + P7): re-join the two payloads and verify pixels.
+    * Projection discipline: only (image_id, bytes, fmt, caption) of the
+    * corpus is read here, and only rows that appear in surviving pairs
+    * cross the wire (the join keys prune). `is_dup` per
+    * BASELINE.json:L15: decoded-pixel allclose — exact for lossless,
+    * PSNR ≥ 40 dB for lossy.
+    */
+  def verify(survivors: DataFrame, corpus: DataFrame, cfg: DedupConfig): DataFrame = {
+    val payload = corpus.select(
+      col("image_id"), col("bytes"), col("fmt"), col("caption"))
+    val pa = payload.select(
+      col("image_id").as("a"), col("bytes").as("bytes_a"),
+      col("fmt").as("fmt_a"), col("caption").as("cap_a"))
+    val pb = payload.select(
+      col("image_id").as("b"), col("bytes").as("bytes_b"),
+      col("fmt").as("fmt_b"), col("caption").as("cap_b"))
+    survivors
+      .join(pa, "a")
+      .join(pb, "b")
+      .withColumn(
+        "psnr",
+        when(col("fmt_a") === "png" && col("fmt_b") === "png" && col("bytes_a") === col("bytes_b"),
+          lit(Imaging.PsnrExact)) // lossless byte-equal short-circuit: no decode
+          .otherwise(psnrUdf(col("bytes_a"), col("bytes_b"))))
+      .withColumn("caption_eq", col("cap_a") === col("cap_b"))
+      .withColumn("is_dup", col("psnr") >= cfg.psnrThresholdDb)
+      .select("a", "b", "src", "span_len", "jaccard_sig", "hamming", "psnr", "caption_eq", "is_dup")
+  }
+}

@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Suffix-array substring pass (SURVEY.md §2.7 X1): find caption pairs
+  * sharing an exact common substring of length ≥ `saMinSpan`
+  * (BASELINE.json:L6 "suffix-array substring pass for exact near-dup
+  * caption spans").
+  *
+  * Two levels, both distributed-friendly:
+  *
+  *  1. ROUTING — robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+  *     per caption, hash all k-grams and keep the minimum hash of every
+  *     window of w = L-k+1 consecutive k-grams. Guarantee: two strings
+  *     sharing a substring of length ≥ L share at least one selected
+  *     fingerprint, independent of alignment. Fingerprints are exploded
+  *     and equi-grouped — the same shuffle shape as LSH bands, so the
+  *     salted cap applies.
+  *  2. KERNEL — per fingerprint group (≤cap docs), a generalized suffix
+  *     array (prefix-doubling, O(n log² n)) + Kasai LCP over the
+  *     sentinel-joined concatenation; maximal runs of adjacent suffixes
+  *     with LCP ≥ L spanning ≥2 docs emit canonical pairs with the run's
+  *     min-LCP as `span_len`. Runs inside `flatMapGroups` on a typed
+  *     `KeyValueGroupedDataset` — the one imperative kernel in the engine
+  *     (allowed: Dataset API, no RDD).
+  */
+object SuffixPass {
+
+  // ---- winnowing ----
+
+  def winnowFingerprints(s: String, k: Int, minSpan: Int): Array[Long] = {
+    if (s == null || s.length < minSpan) return Array.emptyLongArray
+    val n = s.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = Hashing.hashWindow(s, i, k); i += 1 }
+    val w = math.max(1, minSpan - k + 1)
+    if (n <= w) return Array(hs.min)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    // simple O(n·w) min-of-window (captions are short; fine)
+    var start = 0
+    while (start + w <= n) {
+      var m = hs(start); var j = start + 1
+      while (j < start + w) { if (hs(j) < m) m = hs(j); j += 1 }
+      set.add(m)
+      start += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var j2 = 0
+    while (it.hasNext) { out(j2) = it.next(); j2 += 1 }
+    out
+  }
+
+  // ---- generalized suffix array kernel ----
+
+  /** Suffix array by prefix doubling (Manber–Myers 1990, O(n log² n)). */
+  private[graft] def suffixArray(s: Array[Int]): Array[Int] = {
+    val n = s.length
+    val sa = Array.tabulate(n)(identity)
+    var rank = s.clone()
+    var tmp = new Array[Int](n)
+    var kk = 1
+    val ord = new java.util.Comparator[Integer] {
+      var k = 1
+      def compare(ai: Integer, bi: Integer): Int = {
+        val a = ai.intValue(); val b = bi.intValue()
+        if (rank(a) != rank(b)) Integer.compare(rank(a), rank(b))
+        else {
+          val ra = if (a + k < n) rank(a + k) else -1
+          val rb = if (b + k < n) rank(b + k) else -1
+          Integer.compare(ra, rb)
+        }
+      }
+    }
+    val boxed = sa.map(Integer.valueOf)
+    while (kk < n) {
+      ord.k = kk
+      java.util.Arrays.sort(boxed, ord)
+      tmp(boxed(0)) = 0
+      var i = 1
+      while (i < n) {
+        tmp(boxed(i)) = tmp(boxed(i - 1)) + (if (ord.compare(boxed(i - 1), boxed(i)) < 0) 1 else 0)
+        i += 1
+      }
+      val sw = rank; rank = tmp.clone(); tmp = sw
+      if (rank(boxed(n - 1)) == n - 1) kk = n // all distinct — done
+      kk = if (kk >= n) n else kk << 1
+    }
+    var i = 0
+    while (i < n) { sa(i) = boxed(i).intValue(); i += 1 }
+    sa
+  }
+
+  /** Kasai et al. 2001 LCP array: lcp(i) = LCP(sa(i-1), sa(i)). */
+  private[graft] def lcpArray(s: Array[Int], sa: Array[Int]): Array[Int] = {
+    val n = s.length
+    val rank = new Array[Int](n)
+    var i = 0
+    while (i < n) { rank(sa(i)) = i; i += 1 }
+    val lcp = new Array[Int](n)
+    var h = 0
+    i = 0
+    while (i < n) {
+      if (rank(i) > 0) {
+        val j = sa(rank(i) - 1)
+        while (i + h < n && j + h < n && s(i + h) == s(j + h)) h += 1
+        lcp(rank(i)) = h
+        if (h > 0) h -= 1
+      } else h = 0
+      i += 1
+    }
+    lcp
+  }
+
+  /** Pairs of docs in `docs` sharing an exact substring ≥ minSpan.
+    * Returns canonical (a, b, span_len) with max observed span per pair.
+    */
+  private[graft] def spanPairs(docs: Seq[(String, String)], minSpan: Int): Iterator[(String, String, Int)] = {
+    if (docs.size < 2) return Iterator.empty
+    // sentinel-joined int text: chars as positive ints, unique negative
+    // sentinels between docs (kept distinct so no cross-doc false LCP)
+    val totalLen = docs.map(_._2.length).sum + docs.size
+    val text = new Array[Int](totalLen)
+    val docOf = new Array[Int](totalLen)
+    var pos = 0
+    var d = 0
+    docs.foreach { case (_, t) =>
+      var i = 0
+      while (i < t.length) {
+        text(pos) = t.charAt(i).toInt + docs.size + 1
+        docOf(pos) = d
+        pos += 1; i += 1
+      }
+      text(pos) = d + 1 // unique sentinel per doc, < any char code
+      docOf(pos) = d
+      pos += 1
+      d += 1
+    }
+    val sa = suffixArray(text)
+    val lcp = lcpArray(text, sa)
+    val best = scala.collection.mutable.HashMap.empty[(String, String), Int]
+    // scan maximal runs with lcp >= minSpan; all suffixes in a run share a
+    // prefix of length >= the run's min LCP, so every cross-doc pair in the
+    // run shares a span of at least that length. Reducing to distinct docs
+    // per run keeps this linear in run length + quadratic only in #docs
+    // (<= bucket cap), not in suffix positions.
+    var i = 1
+    while (i < text.length) {
+      if (lcp(i) >= minSpan) {
+        var runEnd = i
+        var runMin = lcp(i)
+        val runDocs = scala.collection.mutable.LinkedHashSet(docOf(sa(i - 1)), docOf(sa(i)))
+        while (runEnd + 1 < text.length && lcp(runEnd + 1) >= minSpan) {
+          runEnd += 1
+          runMin = math.min(runMin, lcp(runEnd))
+          runDocs += docOf(sa(runEnd))
+        }
+        val ds = runDocs.toArray
+        var x = 0
+        while (x < ds.length) {
+          var y = x + 1
+          while (y < ds.length) {
+            val (ia, ib) = (docs(ds(x))._1, docs(ds(y))._1)
+            val key = if (ia < ib) (ia, ib) else (ib, ia)
+            if (runMin > best.getOrElse(key, 0)) best(key) = runMin
+            y += 1
+          }
+          x += 1
+        }
+        i = runEnd + 1
+      }
+      i += 1
+    }
+    best.iterator.map { case ((a, b), l) => (a, b, l) }
+  }
+
+  // ---- distributed assembly ----
+
+  private val fpUdf = udf { (s: String, k: Int, minSpan: Int) =>
+    winnowFingerprints(s, k, minSpan)
+  }
+
+  /** (image_id, norm) → candidate pairs (a, b, src="span", span_len). */
+  def spanCandidates(normed: DataFrame, cfg: DedupConfig): DataFrame = {
+    val spark = normed.sparkSession
+    import spark.implicits._
+    val fps = normed
+      .where(length(col("norm")) >= cfg.saMinSpan)
+      .select(
+        col("image_id"),
+        col("norm"),
+        explode(fpUdf(col("norm"), lit(cfg.saGramK), lit(cfg.saMinSpan))).as("fp"))
+    // salted two-phase cap, same discipline as Lsh.cappedBuckets
+    val wSalt = Window
+      .partitionBy(col("fp"), pmod(xxhash64(col("image_id")), lit(cfg.saltBuckets)))
+      .orderBy(col("image_id"))
+    val wFull = Window.partitionBy(col("fp")).orderBy(col("image_id"))
+    val capped = fps
+      .withColumn("rn", row_number().over(wSalt)).where(col("rn") <= cfg.bucketCap).drop("rn")
+      .withColumn("rn", row_number().over(wFull)).where(col("rn") <= cfg.bucketCap).drop("rn")
+    val minSpan = cfg.saMinSpan
+    capped
+      .select(col("fp"), col("image_id"), col("norm"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val docs = rows.map(r => (r._2, r._3)).toVector.distinct.sortBy(_._1)
+        spanPairs(docs, minSpan)
+      }
+      .toDF("a", "b", "span_len")
+      .groupBy("a", "b")
+      .agg(max("span_len").as("span_len"))
+      .withColumn("src", lit("span"))
+  }
+}

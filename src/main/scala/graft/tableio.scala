@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpointed stage commits with atomic manifests, per-partition lineage
+  * + metrics, and idempotent resume (SURVEY.md §7.4; BASELINE.json:L6/L14
+  * "checkpoints every stage … with per-partition lineage and metrics
+  * tables, and resumes idempotently from the last committed snapshot").
+  *
+  * The sandbox has no Iceberg runtime jar (SURVEY.md §0.1), so this is the
+  * Iceberg-*semantics* implementation over Parquet: data lands in a
+  * snapshot directory, then a single-file atomic manifest rename is the
+  * commit point — a crashed stage leaves only an unreferenced snapshot dir
+  * that the rerun overwrites. In production the same trait maps 1:1 onto
+  * `df.writeTo(table).overwritePartitions()` + Iceberg snapshot ids.
+  */
+trait TableIO {
+  def commit(stage: String, df: DataFrame): DataFrame
+  def load(stage: String): Option[DataFrame]
+  def runId: String
+}
+
+final class ParquetTableIO(
+    spark: SparkSession,
+    root: String,
+    val runId: String,
+    configHash: String
+) extends TableIO {
+
+  private val rootPath: Path = Paths.get(root)
+  Files.createDirectories(rootPath.resolve("_manifest"))
+  Files.createDirectories(rootPath.resolve("_metrics"))
+
+  // idempotence guard: refuse to resume under a different config
+  private val cfgFile = rootPath.resolve("_manifest/config.hash")
+  if (Files.exists(cfgFile)) {
+    val prior = Files.readString(cfgFile).trim
+    require(
+      prior == configHash,
+      s"checkpoint dir $root was written with config $prior; current config " +
+        s"$configHash — refusing to resume (SURVEY.md §3.3 idempotence guard)")
+  } else Files.writeString(cfgFile, configHash)
+
+  private def manifestPath(stage: String): Path =
+    rootPath.resolve(s"_manifest/$stage.json")
+
+  override def load(stage: String): Option[DataFrame] = {
+    val m = manifestPath(stage)
+    if (!Files.exists(m)) None
+    else {
+      val snapshotDir = Files.readString(m).trim.split('\n').head
+      Some(spark.read.parquet(snapshotDir))
+    }
+  }
+
+  override def commit(stage: String, df: DataFrame): DataFrame = {
+    load(stage) match {
+      case Some(cached) => cached // resume: stage already committed
+      case None =>
+        val t0 = System.currentTimeMillis()
+        val snapshot = s"$root/$stage/snapshot-${System.nanoTime()}"
+        df.write.mode("overwrite").parquet(snapshot)
+        val committed = spark.read.parquet(snapshot)
+        // per-partition lineage + metrics (BASELINE.json:L14): which files
+        // back each partition, and its row count
+        val metrics = committed
+          .select(spark_partition_id().as("partition_id"),
+            input_file_name().as("file"))
+          .groupBy("partition_id", "file")
+          .agg(count(lit(1)).as("rows"))
+          .withColumn("run_id", lit(runId))
+          .withColumn("stage", lit(stage))
+          .withColumn("wall_ms", lit(System.currentTimeMillis() - t0))
+        metrics.write.mode("append").parquet(s"$root/_metrics/rows")
+        // atomic commit point: write manifest to tmp, single-file rename
+        val tmp = rootPath.resolve(s"_manifest/.$stage.json.tmp")
+        Files.write(tmp, snapshot.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, manifestPath(stage),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        committed
+    }
+  }
+
+  def metrics(): Option[DataFrame] = {
+    val p = s"$root/_metrics/rows"
+    if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
+  }
+}

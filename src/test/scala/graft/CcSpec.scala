@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CcSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** driver-side union-find oracle */
+  private def unionFind(n: Int, edges: Seq[(Int, Int)]): Map[Int, Int] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to min rep
+    (0 until n).map(i => i -> find(i)).toMap
+  }
+
+  private def check(n: Int, edges: Seq[(Int, Int)]): Unit = {
+    def id(i: Int) = f"n$i%06d"
+    val edgeDf = edges.map { case (a, b) => (id(a), id(b)) }.toDF("a", "b")
+    val nodes = (0 until n).map(id).toDF("image_id")
+    val got = ConnectedComponents
+      .cluster(edgeDf, nodes)
+      .as[(String, String)]
+      .collect()
+      .toMap
+    val expected = unionFind(n, edges).map { case (k, v) => id(k) -> id(v) }
+    assert(got == expected)
+  }
+
+  test("cc on random graphs equals union-find oracle") {
+    val rng = new java.util.SplittableRandom(5)
+    (0 until 3).foreach { _ =>
+      val n = 200
+      val edges = (0 until 150).map(_ => (rng.nextInt(n), rng.nextInt(n)))
+      check(n, edges)
+    }
+  }
+
+  test("cc on a path graph (worst case for star algorithms)") {
+    val n = 2000
+    check(n, (0 until n - 1).map(i => (i, i + 1)))
+  }
+
+  test("cc with no edges → all singletons") {
+    check(50, Seq.empty)
+  }
+
+  test("cc on one big clique-ish star") {
+    val n = 100
+    check(n, (1 until n).map(i => (0, i)))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end golden test (SURVEY.md §5.2): run the full pipeline on the
+  * deterministic fixture corpus and assert
+  *   - dup-pair recall ≥ 0.99 against planted pair labels (BASELINE.json:L2)
+  *   - decoy (negative) pairs are NOT clustered together
+  *   - cluster assignments equal the planted golden clusters
+  *   - PSNR invariant holds on every verified dup row (BASELINE.json:L15)
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = DedupConfig()
+  private lazy val nClusters = 120
+  private lazy val corpus = Fixtures.corpus(spark, nClusters).cache()
+  private lazy val result = {
+    val r = Pipeline.run(corpus.toDF(), cfg)
+    Pipeline.Result(r.clusters.cache(), r.verified.cache())
+  }
+
+  test("pipeline emits every corpus row exactly once") {
+    assert(result.clusters.count() == corpus.count())
+    assert(result.clusters.select("image_id").distinct().count() == corpus.count())
+  }
+
+  test("dup-pair recall >= 0.99 against planted labels") {
+    val labels = Fixtures.pairLabels(spark, nClusters).toDF()
+    val assign = result.clusters
+    val joined = labels
+      .join(assign.select($"image_id".as("a"), $"cluster_id".as("ca")), "a")
+      .join(assign.select($"image_id".as("b"), $"cluster_id".as("cb")), "b")
+      .withColumn("predicted", $"ca" === $"cb")
+      .cache()
+    val pos = joined.filter($"label").count()
+    val recovered = joined.filter($"label" && $"predicted").count()
+    val recall = recovered.toDouble / pos
+    val missedByKind = joined.filter($"label" && !$"predicted")
+      .groupBy("kind").count().collect().map(r => s"${r.get(0)}=${r.get(1)}").mkString(",")
+    assert(recall >= 0.99, s"recall=$recall ($recovered/$pos) missed: $missedByKind")
+  }
+
+  test("decoy negatives are never merged") {
+    val labels = Fixtures.pairLabels(spark, nClusters).toDF()
+    val assign = result.clusters
+    val falseMerges = labels.filter(!$"label")
+      .join(assign.select($"image_id".as("a"), $"cluster_id".as("ca")), "a")
+      .join(assign.select($"image_id".as("b"), $"cluster_id".as("cb")), "b")
+      .filter($"ca" === $"cb")
+      .count()
+    assert(falseMerges == 0)
+  }
+
+  test("cluster assignments equal planted golden clusters") {
+    val golden = Fixtures.goldenClusters(spark, nClusters).toDF()
+    val diff = result.clusters
+      .join(golden.withColumnRenamed("cluster_id", "expected"), "image_id")
+      .filter($"cluster_id" =!= $"expected")
+    val n = diff.count()
+    val sample = diff.limit(5).collect().mkString("; ")
+    assert(n == 0, s"$n mismatches, e.g. $sample")
+  }
+
+  test("PSNR invariant: every dup edge decodes allclose (>=40dB)") {
+    val bad = result.verified.filter($"is_dup" && $"psnr" < cfg.psnrThresholdDb).count()
+    assert(bad == 0)
+  }
+
+  test("determinism: second run yields identical cluster assignment") {
+    val again = Pipeline.run(corpus.toDF(), cfg).clusters
+    assert(result.clusters.exceptAll(again).isEmpty && again.exceptAll(result.clusters).isEmpty)
+  }
+}

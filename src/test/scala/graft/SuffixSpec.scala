@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SuffixSpec extends AnyFunSuite {
+
+  private def naiveSa(s: Array[Int]): Array[Int] =
+    s.indices.toArray.sortWith { (a, b) =>
+      val cmp = java.util.Arrays.compare(s.drop(a), s.drop(b))
+      cmp < 0
+    }
+
+  test("suffix array matches naive sort on random strings (seeded property)") {
+    val rng = new java.util.SplittableRandom(3)
+    (0 until 40).foreach { _ =>
+      val n = 1 + rng.nextInt(200)
+      val arr = Array.fill(n)(1 + rng.nextInt(4))
+      assert(SuffixPass.suffixArray(arr).sameElements(naiveSa(arr)),
+        s"mismatch on ${arr.mkString(",")}")
+    }
+  }
+
+  test("lcp array matches naive pairwise LCP") {
+    val s = "banana".map(_.toInt).toArray
+    val sa = SuffixPass.suffixArray(s)
+    val lcp = SuffixPass.lcpArray(s, sa)
+    def naiveLcp(a: Int, b: Int): Int = {
+      var l = 0
+      while (a + l < s.length && b + l < s.length && s(a + l) == s(b + l)) l += 1
+      l
+    }
+    (1 until s.length).foreach { i =>
+      assert(lcp(i) == naiveLcp(sa(i - 1), sa(i)))
+    }
+  }
+
+  test("spanPairs finds pairs sharing a long substring and skips unrelated docs") {
+    val shared = "the quick brown fox jumped over the lazy dog near the river"
+    val docs = Seq(
+      "d1" -> s"aaa bbb $shared ccc",
+      "d2" -> s"xxx $shared yyy zzz",
+      "d3" -> "completely unrelated caption about mountains and sunsets")
+    val pairs = SuffixPass.spanPairs(docs, 24).toVector
+    assert(pairs.map(p => (p._1, p._2)) == Vector(("d1", "d2")))
+    assert(pairs.head._3 >= shared.length)
+  }
+
+  test("spanPairs: no false positives below minSpan") {
+    val docs = Seq("a" -> "short shared bit here", "b" -> "short shared bit there")
+    // common prefix "short shared bit " = 17 chars < 24
+    assert(SuffixPass.spanPairs(docs, 24).isEmpty)
+    assert(SuffixPass.spanPairs(docs, 10).nonEmpty)
+  }
+
+  test("winnowing guarantee: strings sharing a span >= L share a fingerprint") {
+    val rng = new java.util.SplittableRandom(11)
+    def randStr(n: Int) = {
+      val sb = new StringBuilder
+      (0 until n).foreach(_ => sb.append(('a' + rng.nextInt(26)).toChar))
+      sb.toString
+    }
+    (0 until 50).foreach { _ =>
+      val span = randStr(30)
+      val s1 = randStr(rng.nextInt(40)) + span + randStr(rng.nextInt(40))
+      val s2 = randStr(rng.nextInt(40)) + span + randStr(rng.nextInt(40))
+      val f1 = SuffixPass.winnowFingerprints(s1, 8, 24).toSet
+      val f2 = SuffixPass.winnowFingerprints(s2, 8, 24).toSet
+      assert(f1.intersect(f2).nonEmpty, s"no shared fingerprint for span=$span")
+    }
+  }
+}

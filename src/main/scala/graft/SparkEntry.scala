@@ -1,13 +1,630 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §3.2): one `queries` entry per implemented
+  * operator family from SURVEY.md §2, each with an equivalent DuckDB SQL
+  * oracle where SQL-expressible. Column names are aligned between the
+  * Spark plan and the oracle (the driver sorts columns by name and hashes
+  * values). Doubles are rounded / decimal-cast on BOTH sides so the two
+  * engines' float summation orders can't flip a hash bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the full near-dup pipeline on a deterministic fixture
+    * corpus (driver smoke-checks rows > 0 on sf0.001).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val corpus = Fixtures.corpus(spark, 40).toDF()
+    Pipeline.run(corpus, DedupConfig()).clusters
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ extraQueries
+
+  def oracleSql: Map[String, String] = coreOracles ++ extraOracles
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S1/P4: scan + filter pushdown + projection ----
+    "q_scan_filter" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- A: TPC-H Q1-style aggregation (decimal-exact) ----
+    "q_agg_pricing" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"),
+          col("l_discount").cast("decimal(18,2)").as("disc"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("qty")).as("sum_qty"),
+          sum(col("price")).as("sum_base"),
+          sum(col("price") * (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - col("disc"))).as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- J4/A: multi-way join with broadcast dims ----
+    "q_join_revenue_by_nation" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)")))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // ---- J6: anti/semi joins ----
+    "q_orders_without_lineitems" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy("o_orderkey")
+    }),
+    "q_parts_with_lineitems" -> ((s, d) => {
+      t(s, d, "part")
+        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")
+    }),
+
+    // ---- W1: top-k per group window ----
+    "q_topk_per_supplier" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("l_suppkey"), col("rk"), col("l_orderkey"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+        .orderBy("l_suppkey", "rk")
+    }),
+
+    // ---- W3: analytic window (lag + running sum) ----
+    "q_running_value_per_user" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("running", sum(col("value").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_val", lag(col("value").cast("decimal(18,2)"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("running"), col("prev_val"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- P9: json-ish extraction (regex — dialect-portable) ----
+    "q_props_extract" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // ---- P9: date bucketing ----
+    "q_daily_events" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    // ---- J7: interval self-join on events ----
+    "q_events_within_5min" -> ((s, d) => {
+      val e1 = t(s, d, "events").select(col("event_id").as("id1"),
+        col("ts").as("ts1"), col("user_id").as("u1"))
+      val e2 = t(s, d, "events").select(col("event_id").as("id2"),
+        col("ts").as("ts2"), col("user_id").as("u2"))
+      e1.join(e2,
+        col("u1") === col("u2") && col("id1") < col("id2") &&
+          col("ts2") >= col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("u1").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
+    // ---- O3/O4: set operations ----
+    "q_setops" -> ((s, d) => {
+      val withOrders = t(s, d, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val lowNation = t(s, d, "customer").where(col("c_nationkey") < 10)
+        .select(col("c_custkey").as("custkey")).distinct()
+      withOrders.intersect(lowNation)
+        .union(withOrders.exceptAll(withOrders)) // except yields empty — exercises op
+        .orderBy("custkey")
+    }),
+
+    // ---- A8: rollup ----
+    "q_rollup_flag_status" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- O1/O2: global sort + limit ----
+    "q_top20_orders" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("total"))
+        .orderBy(col("total").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // ---- A7: distinct counting ----
+    "q_distinct_parts" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- P1/P9: string kernels on documents ----
+    "q_doc_strings" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          upper(substring(col("text"), 1, 12)).as("head"),
+          length(col("text")).cast("long").as("text_len"),
+          concat_ws("-", col("lang"), col("source")).as("lang_src"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- training-data op: exact dedup by content hash ----
+    "q_dedup_exact" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .where(col("n_copies") >= 1)
+        .orderBy("text_hash")
+    }),
+
+    // ---- training-data op: token counting ----
+    "q_token_counts" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- training-data op: quality scoring ----
+    "q_doc_quality" -> ((s, d) => {
+      val txt = col("text")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(txt).cast("long").as("len"),
+          (length(txt) - length(regexp_replace(txt, "[^a-z]", ""))).cast("long").as("non_alpha"),
+          (size(split(trim(txt), "\\s+")) -
+            size(array_remove(split(trim(txt), "\\s+"), "the"))).cast("long").as("n_the"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- training-data op: n-gram Jaccard near-dup (bounded slice) ----
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+          i => col("text").substr(i, lit(5))))).as("shingle"))
+      val na = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("x").join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(na.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+        .join(na.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+        .where(col("jaccard") >= 0.2)
+        .select(col("a"), col("b"), col("inter"), col("jaccard"))
+        .orderBy("a", "b")
+    }),
+
+    // ---- similarity search: brute-force cosine top-k ----
+    "q_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dot = (x: Column, y: Column) =>
+        aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos",
+          round(dot(col("embedding"), col("qv")) /
+            (sqrt(dot(col("embedding"), col("embedding"))) *
+              sqrt(dot(col("qv"), col("qv")))), 4))
+        .select(col("vec_id"), col("label"), col("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(25)
+    })
+  )
+
+  private def coreOracles: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT l_returnflag, count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.05
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_join_revenue_by_nation" ->
+      """SELECT n_name,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+         count(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q_orders_without_lineitems" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+         ORDER BY o_orderkey""",
+    "q_parts_with_lineitems" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+         WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q_topk_per_supplier" ->
+      """SELECT l_suppkey, rk, l_orderkey, price FROM (
+           SELECT l_suppkey, l_orderkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+           FROM lineitem) WHERE rk <= 3
+         ORDER BY l_suppkey, rk""",
+    "q_running_value_per_user" ->
+      """SELECT event_id, user_id,
+         sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+         lag(CAST(value AS DECIMAL(18,2)), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val
+         FROM events ORDER BY user_id, event_id""",
+    "q_props_extract" ->
+      """SELECT event_type,
+         CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+         count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_daily_events" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "q_events_within_5min" ->
+      """SELECT e1.user_id AS user_id, count(*) AS n_pairs
+         FROM events e1 JOIN events e2
+           ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+          AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+         GROUP BY 1 ORDER BY user_id""",
+    "q_setops" ->
+      """(SELECT DISTINCT o_custkey AS custkey FROM orders
+         INTERSECT
+         SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_nationkey < 10)
+         ORDER BY custkey""",
+    "q_rollup_flag_status" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_top20_orders" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+         FROM orders ORDER BY total DESC, o_orderkey LIMIT 20""",
+    "q_distinct_parts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_doc_strings" ->
+      """SELECT doc_id, upper(substr(text, 1, 12)) AS head,
+         CAST(length(text) AS BIGINT) AS text_len,
+         concat_ws('-', lang, source) AS lang_src
+         FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+         count(*) AS n_copies
+         FROM documents GROUP BY 1 HAVING count(*) >= 1 ORDER BY text_hash""",
+    "q_token_counts" ->
+      """SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         n_chars
+         FROM documents ORDER BY doc_id""",
+    "q_doc_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+         CAST(length(text) - length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS non_alpha,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x = 'the')) AS BIGINT) AS n_the
+         FROM documents ORDER BY doc_id""",
+    "q_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+         sh AS (
+           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           FROM docs, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b, inter,
+           round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+         FROM pairs
+         JOIN counts ca ON pairs.a = ca.doc_id
+         JOIN counts cb ON pairs.b = cb.doc_id
+         WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) >= 0.2
+         ORDER BY a, b""",
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, label,
+           round(list_dot_product(embedding, qv) /
+             (sqrt(list_dot_product(embedding, embedding)) * sqrt(list_dot_product(qv, qv))), 4) AS cos
+         FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY cos DESC, vec_id LIMIT 25"""
+  )
+
+  // ---- extra breadth: text analysis, dedup family, ANN, multimodal ----
+
+  private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P9: edit distance
+    "q_levenshtein" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          levenshtein(substring(col("text"), 1, 10), lit("spark data")).as("dist"))
+        .orderBy("doc_id")
+    }),
+
+    // P9: math scalar surface
+    "q_math_funcs" -> ((s, d) => {
+      t(s, d, "orders").where(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
+          round(log(col("o_totalprice")), 4).as("log_price"),
+          abs(col("o_custkey") - lit(100)).as("abs_diff"),
+          pmod(col("o_orderkey"), lit(7)).as("key_mod"))
+        .orderBy("o_orderkey")
+    }),
+
+    // P9: time extraction + CASE bucketing
+    "q_hourly_buckets" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(hour(col("ts")).as("hr"),
+          when(col("value") < 50, "low")
+            .when(col("value") < 150, "mid")
+            .otherwise("high").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hr", "bucket")
+    }),
+
+    // ST2 analog in batch: tumbling window aggregation
+    "q_tumbling_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("win.start").as("ws"), col("event_type"), col("n"))
+        .orderBy("ws", "event_type")
+    }),
+
+    // A: array/embedding stats per label
+    "q_embedding_stats" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(size(col("embedding"))).as("dim"),
+          round(avg(element_at(col("embedding"), 1).cast("double")), 4).as("avg_e1"))
+        .orderBy("label")
+    }),
+
+    // O5 + dedup family: exact connected components over an n-gram
+    // jaccard edge set (DuckDB oracle = recursive-CTE transitive closure)
+    "q_doc_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+          i => col("text").substr(i, lit(5))))).as("shingle"))
+      val na = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("x").join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(na.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+        .join(na.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+        .where(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.5)
+        .select(col("a").cast("string").as("a"), col("b").cast("string").as("b"))
+      val nodes = docs.select(col("doc_id").cast("string").as("image_id"))
+      ConnectedComponents.cluster(pairs, nodes)
+        .select(col("image_id").cast("long").as("doc_id"),
+          col("cluster_id").cast("long").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // training-data dedup: MinHash signatures over documents (rows-only)
+    "q_doc_minhash" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val cfg = DedupConfig()
+      t(s, d, "documents")
+        .withColumn("norm", Text.normalizeCol(col("text")))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.minhashCol(
+            graft.functions.GraftFunctions.shinglesCol(col("norm"), cfg.shingleK),
+            cfg.numPerms).as("minhash"))
+        .select(col("doc_id"), slice(col("minhash"), 1, 8).as("minhash_head"))
+        .orderBy("doc_id")
+    }),
+
+    // training-data dedup: SimHash fingerprints over documents (rows-only)
+    "q_doc_simhash" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "documents")
+        .withColumn("norm", Text.normalizeCol(col("text")))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.simhashCol(col("norm"), lit(0L)).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // training-data dedup: full MinHash+LSH near-dup pairs on documents
+    // with signature-Jaccard scores (rows-only; exact-Jaccard twin is
+    // oracled by q_ngram_jaccard)
+    "q_doc_near_dup_lsh" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val cfg = DedupConfig()
+      val sigs = t(s, d, "documents")
+        .withColumn("norm", Text.normalizeCol(col("text")))
+        .select(col("doc_id").cast("string").as("image_id"),
+          graft.functions.GraftFunctions.minhashCol(
+            graft.functions.GraftFunctions.shinglesCol(col("norm"), cfg.shingleK),
+            cfg.numPerms).as("minhash"))
+      val cands = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg)
+      val sa = sigs.select(col("image_id").as("a"), col("minhash").as("mh_a"))
+      val sb = sigs.select(col("image_id").as("b"), col("minhash").as("mh_b"))
+      cands.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard_sig",
+          aggregate(zip_with(col("mh_a"), col("mh_b"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+            .cast("double") / cfg.numPerms)
+        .where(col("jaccard_sig") >= 0.5)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+          round(col("jaccard_sig"), 4).as("jaccard_sig"))
+        .orderBy("a", "b")
+    }),
+
+    // text analysis: winnowed document fingerprints (rows-only)
+    "q_doc_fingerprints" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextOps.fingerprintsUdf(col("text"), lit(8), lit(24))).as("n_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // text analysis: n-gram language-ID heuristic (rows-only)
+    "q_lang_id" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.langIdUdf(col("text")).as("lang_detected"))
+        .groupBy("lang_detected").agg(count(lit(1)).as("n"))
+        .orderBy("lang_detected")
+    }),
+
+    // text analysis: quality scoring columns (oracled subset exists as
+    // q_doc_quality; this is the full heuristic set — rows-only)
+    "q_doc_quality_full" -> ((s, d) => {
+      t(s, d, "documents")
+        .select((col("doc_id") +: TextOps.qualityColumns(col("text"))): _*)
+        .orderBy("doc_id")
+    }),
+
+    // similarity search: LSH-bucketed ANN over embeddings (rows-only;
+    // brute-force twin q_cosine_topk is oracled)
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.annTopK(corpus, queries, k = 5).orderBy("qid", "rk")
+    }),
+
+    // multimodal: image decode + resize + phash features (rows-only;
+    // deterministic fixture corpus — testdata has no image table)
+    "q_image_features" -> ((s, d) => {
+      val corpus = Fixtures.corpus(s, 30).toDF()
+      Multimodal.imageFeatures(corpus)
+        .select(col("image_id"), col("dec_w"), col("dec_h"), col("decode_ok"),
+          xxhash64(col("gray")).as("gray_hash"), col("phash_computed"))
+        .orderBy("image_id")
+    }),
+
+    // multimodal: video frame sampling plumbing (stubbed decode)
+    "q_video_frames" -> ((s, d) => {
+      val corpus = Fixtures.corpus(s, 10).toDF()
+      corpus
+        .select(col("image_id"),
+          explode(Multimodal.sampleFramesUdf(col("bytes"), lit(2), lit(5))).as("f"))
+        .select(col("image_id"), col("f._1").as("frame_idx"), col("f._2").as("frame_hash"))
+        .orderBy("image_id", "frame_idx")
+    }),
+
+    // multimodal: audio feature plumbing (stubbed decode)
+    "q_audio_features" -> ((s, d) => {
+      val corpus = Fixtures.corpus(s, 10).toDF()
+      corpus
+        .select(col("image_id"),
+          Multimodal.audioFeaturesUdf(col("bytes"), lit(13)).as("mfcc"))
+        .select(col("image_id"), size(col("mfcc")).as("n_coeffs"),
+          round(element_at(col("mfcc"), 1).cast("double"), 4).as("c0"))
+        .orderBy("image_id")
+    })
+  )
+
+  private def extraOracles: Map[String, String] = Map(
+    "q_levenshtein" ->
+      """SELECT doc_id, levenshtein(substr(text, 1, 10), 'spark data') AS dist
+         FROM documents ORDER BY doc_id""",
+    "q_math_funcs" ->
+      """SELECT o_orderkey, round(sqrt(o_totalprice), 4) AS sqrt_price,
+         round(ln(o_totalprice), 4) AS log_price,
+         abs(o_custkey - 100) AS abs_diff,
+         o_orderkey % 7 AS key_mod
+         FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
+    "q_hourly_buckets" ->
+      """SELECT CAST(extract(hour FROM ts) AS INT) AS hr,
+         CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
+              ELSE 'high' END AS bucket,
+         count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY hr, bucket""",
+    "q_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws, event_type,
+         count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "q_embedding_stats" ->
+      """SELECT label, count(*) AS n, min(len(embedding)) AS dim,
+         round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_e1
+         FROM embeddings GROUP BY label ORDER BY label""",
+    "q_doc_clusters" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+         sh AS (
+           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           FROM docs, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         edges0 AS (
+           SELECT a, b FROM pairs
+           JOIN counts ca ON pairs.a = ca.doc_id
+           JOIN counts cb ON pairs.b = cb.doc_id
+           WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+         edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+         walk(node, rep) AS (
+           SELECT doc_id, doc_id FROM docs
+           UNION
+           SELECT e.b, w.rep FROM walk w JOIN edges e ON e.a = w.node)
+         SELECT node AS doc_id, min(rep) AS cluster_id
+         FROM walk GROUP BY node ORDER BY doc_id"""
+  )
 }

@@ -68,11 +68,13 @@ final case class PairLabel(a: String, b: String, label: Boolean, kind: String)
 final case class DedupConfig(
     shingleK: Int = 5, // char k-gram length on normalized caption
     numPerms: Int = 128, // MinHash permutations (BASELINE.json:L6)
-    bands: Int = 64, // LSH bands b — threshold (1/b)^(1/r) ≈ 0.125:
-    rowsPerBand: Int = 2, //   recall lives in retrieval; precision is the
-    //   scoring gate (minJaccardSig) + pixel verify. Catch-rate at the
-    //   paraphrase hard case (J≈0.45) is 1-(1-J^2)^b ≈ 1.0 vs 0.87 for
-    //   the classic 32×4 curve (MMDS ch.3 s-curve).
+    bands: Int = 42, // LSH bands b — 42×3 uses 126 of 128 lanes;
+    rowsPerBand: Int = 3, //   threshold (1/b)^(1/r) ≈ 0.287 (MMDS ch.3).
+    //   Chosen against BOTH tails: the paraphrase hard case (J≈0.5) is
+    //   caught at 1-(1-J^3)^42 ≈ 0.996, while background noise (J≈0.1,
+    //   dup-heavy corpora share vocabulary) collides at only ~0.04 —
+    //   r=2 at the same perms admits ~47%% of noise pairs and explodes
+    //   candidate volume ~25×; r=4 misses 13%% of J=0.5 true pairs.
     simhashBlocks: Int = 6, // pigeonhole blocks q for Hamming prefilter
     simhashMaxHamming: Int = 3, // max Hamming distance h (needs q > h)
     minJaccardSig: Double = 0.20, // signature Jaccard gate — bounds the PSNR
@@ -85,7 +87,7 @@ final case class DedupConfig(
     saltBuckets: Int = 16, // salt fan-out for hot band-hash keys
     seed: Long = 42L
 ) {
-  require(bands * rowsPerBand == numPerms, "b*r must equal numPerms")
+  require(bands * rowsPerBand <= numPerms, "b*r must fit in numPerms")
   require(simhashBlocks > simhashMaxHamming, "pigeonhole needs q > h")
 
   /** Stable hash of the config — stored in the run manifest; resume refuses

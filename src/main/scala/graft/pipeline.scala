@@ -27,9 +27,14 @@ object Pipeline {
     runStaged(corpus, cfg, Some(io))
 
   private def runStaged(corpus: DataFrame, cfg: DedupConfig, io: Option[TableIO]): Result = {
+    // Without table checkpoints each stage would lazily re-derive its whole
+    // upstream DAG — signatures would be recomputed once per candidate path
+    // plus twice in scoring. Persist re-used stages in memory (spilling to
+    // disk) when no TableIO materializes them.
     def ckpt(stage: String)(df: => DataFrame): DataFrame = io match {
       case Some(t) => t.commit(stage, df)
-      case None => df
+      case None =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
     // stage 0–1: filters + signatures (row-local, one codegen stage)

@@ -496,21 +496,20 @@ object SparkEntry {
       val cfg = DedupConfig()
       val sigs = t(s, d, "documents")
         .withColumn("norm", Text.normalizeCol(col("text")))
-        .select(col("doc_id").cast("string").as("image_id"),
+        .select(col("doc_id").as("id"), // docs already have i64 ids
           graft.functions.GraftFunctions.minhashCol(
             graft.functions.GraftFunctions.shinglesCol(col("norm"), cfg.shingleK),
             cfg.numPerms).as("minhash"))
       val cands = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg)
-      val sa = sigs.select(col("image_id").as("a"), col("minhash").as("mh_a"))
-      val sb = sigs.select(col("image_id").as("b"), col("minhash").as("mh_b"))
+      val sa = sigs.select(col("id").as("a"), col("minhash").as("mh_a"))
+      val sb = sigs.select(col("id").as("b"), col("minhash").as("mh_b"))
       cands.join(sa, "a").join(sb, "b")
         .withColumn("jaccard_sig",
           aggregate(zip_with(col("mh_a"), col("mh_b"),
             (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
             .cast("double") / cfg.numPerms)
         .where(col("jaccard_sig") >= 0.5)
-        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
-          round(col("jaccard_sig"), 4).as("jaccard_sig"))
+        .select(col("a"), col("b"), round(col("jaccard_sig"), 4).as("jaccard_sig"))
         .orderBy("a", "b")
     }),
 

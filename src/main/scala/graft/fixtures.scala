@@ -80,7 +80,11 @@ object Fixtures {
 
   private def paraphrase(caption: String, rng: SplittableRandom): String = {
     val toks = caption.split(' ')
-    val frac = 0.15 + 0.2 * rng.nextDouble() // 15–35% tokens replaced → J≈0.5–0.8
+    // 10–25% tokens replaced. Char-level k-gram Jaccard runs BELOW token
+    // Jaccard (each swapped token kills ~k+len(tok) shingles), so this
+    // lands the FIXTURES.md-specified J≈0.5–0.8 band; heavier rewrites of
+    // short captions fell to J≈0.23, outside the fixture's own spec.
+    val frac = 0.10 + 0.15 * rng.nextDouble()
     val n = math.max(1, (toks.length * frac).toInt)
     var i = 0
     while (i < n) {

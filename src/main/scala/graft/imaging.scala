@@ -120,10 +120,42 @@ object Imaging {
     */
   val PsnrExact: Double = 99.0
 
+  /** Per-executor decode LRU: in a dup-heavy corpus each image appears in
+    * many verified pairs (cluster of size m → m-1..m² pairs), so decoding
+    * per PAIR wastes ~2× to ~m× the work. Keyed by a 64-bit content hash;
+    * bounded (512 entries ≈ ~15 MB of pixels); pure memoization —
+    * results identical with or without the cache.
+    */
+  private val decodeCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Long, (Array[Int], Int, Int)](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Long, (Array[Int], Int, Int)]): Boolean =
+          size() > 512
+      })
+
+  private def contentKey(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L ^ bytes.length.toLong
+    var i = 0
+    while (i < bytes.length) { h = (h ^ bytes(i)) * 0x100000001b3L; i += 1 }
+    Hashing.mix64(h)
+  }
+
+  def decodeRgbCached(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+    val k = contentKey(bytes)
+    val hit = decodeCache.get(k)
+    if (hit != null) hit
+    else {
+      val v = decodeRgb(bytes)
+      decodeCache.put(k, v)
+      v
+    }
+  }
+
   def psnr(aBytes: Array[Byte], bBytes: Array[Byte]): Double = {
     try {
-      val (pa, wa, ha) = decodeRgb(aBytes)
-      val (pb, wb, hb) = decodeRgb(bBytes)
+      val (pa, wa, ha) = decodeRgbCached(aBytes)
+      val (pb, wb, hb) = decodeRgbCached(bBytes)
       if (wa != wb || ha != hb) return -1.0
       var se = 0.0; var i = 0
       while (i < pa.length) {

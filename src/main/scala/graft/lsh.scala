@@ -32,8 +32,8 @@ object Lsh {
       sequence(lit(0), lit(cfg.bands - 1)),
       i => xxhash64(i, slice(col("minhash"), i * lit(cfg.rowsPerBand) + lit(1), lit(cfg.rowsPerBand))))
     sigs
-      .select(col("image_id"), posexplode(bandHashes))
-      .toDF("image_id", "band", "band_hash")
+      .select(col("id"), posexplode(bandHashes))
+      .toDF("id", "band", "band_hash")
   }
 
   /** Two-phase salted bucket cap (see class doc). Keeps the
@@ -45,42 +45,35 @@ object Lsh {
     val keyCols = keys.map(col)
     val salted = df.withColumn(
       "salt",
-      pmod(xxhash64(col("image_id")), lit(cfg.saltBuckets)).cast("int"))
-    val wSalt = Window.partitionBy((keyCols :+ col("salt")): _*).orderBy(col("image_id"))
+      pmod(xxhash64(col("id")), lit(cfg.saltBuckets)).cast("int"))
+    val wSalt = Window.partitionBy((keyCols :+ col("salt")): _*).orderBy(col("id"))
     val local = salted
       .withColumn("rn", row_number().over(wSalt))
       .where(col("rn") <= cfg.bucketCap)
       .drop("rn", "salt")
-    val wFull = Window.partitionBy(keyCols: _*).orderBy(col("image_id"))
+    val wFull = Window.partitionBy(keyCols: _*).orderBy(col("id"))
     local
       .withColumn("rn", row_number().over(wFull))
       .where(col("rn") <= cfg.bucketCap)
       .drop("rn")
   }
 
-  /** In-bucket pair expansion: sorted distinct ids → canonical (a<b)
-    * combinations (J2). Bucket size is already ≤cap.
+  /** In-bucket pair expansion (J2): sorted distinct ids → canonical (a<b)
+    * combinations, written with nested `transform`+`flatten` HOFs so the
+    * expansion stays inside whole-stage codegen (no UDF encoder
+    * round-trip on the highest-volume path in the engine). Bucket size is
+    * already ≤cap, so fan-out per bucket is ≤cap²/2.
     */
-  private val pairsOf = udf { ids: Seq[String] =>
-    val s = ids.distinct.sorted
-    val out = Vector.newBuilder[(String, String)]
-    var i = 0
-    while (i < s.length) {
-      var j = i + 1
-      while (j < s.length) { out += ((s(i), s(j))); j += 1 }
-      i += 1
-    }
-    out.result()
-  }
-
   private def emitPairs(df: DataFrame, keys: Seq[String], src: String, cfg: DedupConfig): DataFrame = {
     val capped = cappedBuckets(df, keys, cfg)
     capped
       .groupBy(keys.map(col): _*)
-      .agg(collect_list(col("image_id")).as("ids"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p._1").as("a"), col("p._2").as("b"))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
       .dropDuplicates("a", "b")
       .withColumn("src", lit(src))
   }
@@ -110,8 +103,8 @@ object Lsh {
       xxhash64((lit(cid) +: idxs.map(block)): _*)
     }
     val exploded = sigs
-      .select(col("image_id"), posexplode(array(keyCols: _*)))
-      .toDF("image_id", "cid", "key")
+      .select(col("id"), posexplode(array(keyCols: _*)))
+      .toDF("id", "cid", "key")
     emitPairs(exploded, Seq("cid", "key"), "simhash", cfg)
   }
 

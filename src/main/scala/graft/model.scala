@@ -85,6 +85,7 @@ final case class DedupConfig(
     bucketCap: Int = 256, // max ids kept per LSH/simhash bucket (W2)
     topKPerImage: Int = 50, // top-k candidate pairs kept per image (W1)
     saltBuckets: Int = 16, // salt fan-out for hot band-hash keys
+    broadcastSigRows: Long = 4000000L, // sigs ≤ this → broadcast scoring join
     seed: Long = 42L
 ) {
   require(bands * rowsPerBand <= numPerms, "b*r must fit in numPerms")

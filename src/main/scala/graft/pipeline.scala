@@ -44,13 +44,19 @@ object Pipeline {
         .where(col("w") > 0 && col("h") > 0)
       Signatures.signatures(clean, cfg)
     }
+    // i64-id collision guard (see Signatures scaladoc): a collision would
+    // silently merge two unrelated images, so fail loudly instead.
+    val idStats = sigs.agg(count(lit(1)), countDistinct(col("id"))).collect()(0)
+    require(idStats.getLong(0) == idStats.getLong(1),
+      s"xxhash64(image_id) collision detected (${idStats.getLong(0)} rows, " +
+        s"${idStats.getLong(1)} distinct ids) — use a wider internal id")
 
     // stage 2–3: candidate generation (three retrieval paths, unioned)
     val candidates = ckpt("candidates") {
       val bandsDf = Lsh.bands(sigs, cfg)
       val lshPairs = Lsh.lshCandidates(bandsDf, cfg)
       val shPairs = Lsh.simhashCandidates(sigs, cfg)
-      val spanPairs = SuffixPass.spanCandidates(sigs.select(col("image_id"), col("norm")), cfg)
+      val spanPairs = SuffixPass.spanCandidates(sigs.select(col("id"), col("norm")), cfg)
       lshPairs.withColumn("span_len", lit(0))
         .unionByName(shPairs.withColumn("span_len", lit(0)))
         .unionByName(spanPairs.select(col("a"), col("b"), col("src"), col("span_len")))
@@ -59,9 +65,11 @@ object Pipeline {
           max(col("span_len")).as("span_len"))
     }
 
-    // stage 4: signature-space scoring + keep-rule + top-k
+    // stage 4: signature-space scoring + keep-rule + top-k. The signature
+    // count (already materialized by the stage-1 checkpoint/persist)
+    // drives the adaptive broadcast-vs-shuffle-hash join choice.
     val survivors = ckpt("scored") {
-      Scoring.filterAndTopK(Scoring.score(candidates, sigs, cfg), cfg)
+      Scoring.filterAndTopK(Scoring.score(candidates, sigs, cfg, sigs.count()), cfg)
     }
 
     // stage 5: pixel verification (the only stage that touches bytes again)

@@ -19,11 +19,23 @@ object Scoring {
     * Join discipline: signatures are (id, 128×i32, i64) ≈ 530 B/row —
     * these shuffle; pixel payloads do NOT (they join later, J5).
     */
-  def score(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val sa = sigs.select(
-      col("image_id").as("a"), col("minhash").as("mh_a"), col("simhash").as("sh_a"))
-    val sb = sigs.select(
-      col("image_id").as("b"), col("minhash").as("mh_b"), col("simhash").as("sh_b"))
+  def score(
+      pairs: DataFrame,
+      sigs: DataFrame,
+      cfg: DedupConfig,
+      sigRows: Long = -1L): DataFrame = {
+    // Join-strategy choice: candidate volume is O(100×) the signature
+    // count, so shuffling the pair side twice through sort-merge joins is
+    // the bottleneck. When the signature table fits an executor
+    // (id+128×i32+i64 ≈ 560 B/row → ~4M rows ≈ 2 GB), broadcast it and
+    // scoring becomes map-side — no pair shuffle at all. Beyond that,
+    // SHUFFLE_HASH beats SMJ (no sort of the huge pair side).
+    val small = sigRows >= 0 && sigRows <= cfg.broadcastSigRows
+    def side(s: DataFrame) = if (small) broadcast(s) else s.hint("SHUFFLE_HASH")
+    val sa = side(sigs.select(
+      col("id").as("a"), col("minhash").as("mh_a"), col("simhash").as("sh_a")))
+    val sb = side(sigs.select(
+      col("id").as("b"), col("minhash").as("mh_b"), col("simhash").as("sh_b")))
     val withSpan =
       if (pairs.columns.contains("span_len")) pairs
       else pairs.withColumn("span_len", lit(0))
@@ -68,13 +80,17 @@ object Scoring {
     * PSNR ≥ 40 dB for lossy.
     */
   def verify(survivors: DataFrame, corpus: DataFrame, cfg: DedupConfig): DataFrame = {
+    // survivors carry i64 ids; the payload join translates them back to
+    // public image_ids (the payload side derives the same xxhash64 id, so
+    // no extra mapping table is needed).
     val payload = corpus.select(
-      col("image_id"), col("bytes"), col("fmt"), col("caption"))
+      xxhash64(col("image_id")).as("id"), col("image_id"),
+      col("bytes"), col("fmt"), col("caption"))
     val pa = payload.select(
-      col("image_id").as("a"), col("bytes").as("bytes_a"),
+      col("id").as("a"), col("image_id").as("a_img"), col("bytes").as("bytes_a"),
       col("fmt").as("fmt_a"), col("caption").as("cap_a"))
     val pb = payload.select(
-      col("image_id").as("b"), col("bytes").as("bytes_b"),
+      col("id").as("b"), col("image_id").as("b_img"), col("bytes").as("bytes_b"),
       col("fmt").as("fmt_b"), col("caption").as("cap_b"))
     survivors
       .join(pa, "a")
@@ -86,6 +102,8 @@ object Scoring {
           .otherwise(psnrUdf(col("bytes_a"), col("bytes_b"))))
       .withColumn("caption_eq", col("cap_a") === col("cap_b"))
       .withColumn("is_dup", col("psnr") >= cfg.psnrThresholdDb)
-      .select("a", "b", "src", "span_len", "jaccard_sig", "hamming", "psnr", "caption_eq", "is_dup")
+      .select(col("a_img").as("a"), col("b_img").as("b"), col("src"),
+        col("span_len"), col("jaccard_sig"), col("hamming"), col("psnr"),
+        col("caption_eq"), col("is_dup"))
   }
 }

@@ -22,6 +22,12 @@ object Signatures {
       .withColumn("norm", Text.normalizeCol(col("caption")))
       .select(
         col("image_id"),
+        // 64-bit internal id: every candidate/scoring shuffle moves i64
+        // keys instead of string ids (2–3× narrower rows, radix-sortable
+        // join keys). Collision probability at 10^12 rows is ~2.7e-8 per
+        // pair (birthday over 2^64) and is asserted against in
+        // Pipeline.runStaged before use.
+        xxhash64(col("image_id")).as("id"),
         col("norm"),
         GraftFunctions
           .minhashCol(

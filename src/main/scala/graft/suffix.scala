@@ -117,7 +117,7 @@ object SuffixPass {
   /** Pairs of docs in `docs` sharing an exact substring ≥ minSpan.
     * Returns canonical (a, b, span_len) with max observed span per pair.
     */
-  private[graft] def spanPairs(docs: Seq[(String, String)], minSpan: Int): Iterator[(String, String, Int)] = {
+  private[graft] def spanPairs(docs: Seq[(Long, String)], minSpan: Int): Iterator[(Long, Long, Int)] = {
     if (docs.size < 2) return Iterator.empty
     // sentinel-joined int text: chars as positive ints, unique negative
     // sentinels between docs (kept distinct so no cross-doc false LCP)
@@ -140,7 +140,7 @@ object SuffixPass {
     }
     val sa = suffixArray(text)
     val lcp = lcpArray(text, sa)
-    val best = scala.collection.mutable.HashMap.empty[(String, String), Int]
+    val best = scala.collection.mutable.HashMap.empty[(Long, Long), Int]
     // scan maximal runs with lcp >= minSpan; all suffixes in a run share a
     // prefix of length >= the run's min LCP, so every cross-doc pair in the
     // run shares a span of at least that length. Reducing to distinct docs
@@ -182,28 +182,28 @@ object SuffixPass {
     winnowFingerprints(s, k, minSpan)
   }
 
-  /** (image_id, norm) → candidate pairs (a, b, src="span", span_len). */
+  /** (id, norm) → candidate pairs (a, b, src="span", span_len). */
   def spanCandidates(normed: DataFrame, cfg: DedupConfig): DataFrame = {
     val spark = normed.sparkSession
     import spark.implicits._
     val fps = normed
       .where(length(col("norm")) >= cfg.saMinSpan)
       .select(
-        col("image_id"),
+        col("id"),
         col("norm"),
         explode(fpUdf(col("norm"), lit(cfg.saGramK), lit(cfg.saMinSpan))).as("fp"))
     // salted two-phase cap, same discipline as Lsh.cappedBuckets
     val wSalt = Window
-      .partitionBy(col("fp"), pmod(xxhash64(col("image_id")), lit(cfg.saltBuckets)))
-      .orderBy(col("image_id"))
-    val wFull = Window.partitionBy(col("fp")).orderBy(col("image_id"))
+      .partitionBy(col("fp"), pmod(xxhash64(col("id")), lit(cfg.saltBuckets)))
+      .orderBy(col("id"))
+    val wFull = Window.partitionBy(col("fp")).orderBy(col("id"))
     val capped = fps
       .withColumn("rn", row_number().over(wSalt)).where(col("rn") <= cfg.bucketCap).drop("rn")
       .withColumn("rn", row_number().over(wFull)).where(col("rn") <= cfg.bucketCap).drop("rn")
     val minSpan = cfg.saMinSpan
     capped
-      .select(col("fp"), col("image_id"), col("norm"))
-      .as[(Long, String, String)]
+      .select(col("fp"), col("id"), col("norm"))
+      .as[(Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroups { (_, rows) =>
         val docs = rows.map(r => (r._2, r._3)).toVector.distinct.sortBy(_._1)

@@ -15,13 +15,22 @@ object RecallProbe {
     val labels = Fixtures.pairLabels(spark, n).toDF().filter($"label" && $"kind" =!= "transitive")
 
     val sigs = Signatures.signatures(corpus.toDF(), cfg).cache()
+    val idMap = sigs.select($"id", $"image_id").cache()
+    def toStr(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.join(idMap.select($"id".as("a"), $"image_id".as("a_img")), "a")
+        .join(idMap.select($"id".as("b"), $"image_id".as("b_img")), "b")
+        .drop("a", "b")
+        .withColumn("a", least($"a_img", $"b_img"))
+        .withColumn("b", greatest($"a_img", $"b_img"))
+        .drop("a_img", "b_img")
     val bandsDf = Lsh.bands(sigs, cfg)
     val lshPairs = Lsh.lshCandidates(bandsDf, cfg).cache()
     val shPairs = Lsh.simhashCandidates(sigs, cfg).cache()
-    val spanPairs = SuffixPass.spanCandidates(sigs.select($"image_id", $"norm"), cfg).cache()
+    val spanPairs = SuffixPass.spanCandidates(sigs.select($"id", $"norm"), cfg).cache()
 
-    val cand = lshPairs.select("a", "b").unionByName(shPairs.select("a", "b"))
-      .unionByName(spanPairs.select("a", "b")).distinct()
+    val cand = toStr(lshPairs.select("a", "b").unionByName(shPairs.select("a", "b"))
+      .unionByName(spanPairs.select("a", "b")).distinct())
+      .select("a", "b").distinct()
       .withColumn("is_cand", lit(true))
 
     val allCand = lshPairs.withColumn("span_len", lit(0))
@@ -35,8 +44,8 @@ object RecallProbe {
 
     val diag = labels
       .join(cand, Seq("a", "b"), "left")
-      .join(scored.select($"a", $"b", $"jaccard_sig", $"hamming", $"span_len"), Seq("a", "b"), "left")
-      .join(kept.select($"a", $"b", $"is_kept"), Seq("a", "b"), "left")
+      .join(toStr(scored).select($"a", $"b", $"jaccard_sig", $"hamming", $"span_len"), Seq("a", "b"), "left")
+      .join(toStr(kept).select($"a", $"b", $"is_kept"), Seq("a", "b"), "left")
       .join(verified.select($"a", $"b", $"psnr", $"is_dup"), Seq("a", "b"), "left")
       .filter($"is_dup".isNull || !$"is_dup")
     println("=== missed direct pairs ===")

@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
 object StageProbe {
   def main(args: Array[String]): Unit = {
     val nClusters = args.headOption.map(_.toInt).getOrElse(3000)
+    val cpus = if (args.length > 1) args(1).toInt else 32
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .appName("graft-stage-probe")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", math.max(8, 32).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -48,7 +49,7 @@ object StageProbe {
       val d = Lsh.simhashCandidates(sigs, cfg).persist(); d.count(); d
     }
     val spanPairs = time("span_candidates") {
-      val d = SuffixPass.spanCandidates(sigs.select(col("image_id"), col("norm")), cfg).persist(); d.count(); d
+      val d = SuffixPass.spanCandidates(sigs.select(col("id"), col("norm")), cfg).persist(); d.count(); d
     }
     val candidates = time("union_dedup") {
       val d = lshPairs.withColumn("span_len", lit(0))
@@ -61,7 +62,7 @@ object StageProbe {
       d
     }
     val survivors = time("score_topk") {
-      val d = Scoring.filterAndTopK(Scoring.score(candidates, sigs, cfg), cfg).persist()
+      val d = Scoring.filterAndTopK(Scoring.score(candidates, sigs, cfg, n), cfg).persist()
       println(s"  survivors: ${d.count()}")
       d
     }

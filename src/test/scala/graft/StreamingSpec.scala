@@ -1,0 +1,88 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("ST2: tumbling windowed counts with watermark drop late rows") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = Streaming
+      .windowedIngestMetrics(input.toDF().toDF("ts", "v"), "ts", "1 minute", "5 minutes")
+      .writeStream.format("memory").queryName("win_counts").outputMode("update").start()
+    input.addData((ts(1), 1L), (ts(1), 2L), (ts(2), 3L))
+    q.processAllAvailable()
+    input.addData((ts(30), 4L)) // advances watermark to 10:25
+    q.processAllAvailable()
+    input.addData((ts(2), 5L)) // late beyond watermark → dropped
+    q.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .groupBy("window_start").agg(max("n_rows").as("n"))
+      .as[(Timestamp, Long)].collect().toMap
+    assert(rows(ts(1)) == 2L)
+    assert(rows(ts(2)) == 1L) // late row did NOT bump this window
+    assert(rows(ts(30)) == 1L)
+    q.stop()
+  }
+
+  test("ST3: dropDuplicatesWithinWatermark suppresses repeated image_ids") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val q = Streaming
+      .dedupStream(input.toDF().toDF("image_id", "ts"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    input.addData(("a", ts(1)), ("b", ts(1)), ("a", ts(2)))
+    q.processAllAvailable()
+    input.addData(("a", ts(3)), ("c", ts(4)))
+    q.processAllAvailable()
+    val seen = spark.table("dedup_stream").select("image_id").as[String].collect().sorted
+    assert(seen.toSeq == Seq("a", "b", "c"))
+    q.stop()
+  }
+
+  test("ST1: signature stream equals batch signatures on the same rows") {
+    implicit val sq = spark.sqlContext
+    val cfg = DedupConfig()
+    val rows = Fixtures.corpus(spark, 5).collect().toSeq
+    val input = MemoryStream[ImageRow]
+    val q = Streaming.signatureStream(input.toDF(), cfg)
+      .writeStream.format("memory").queryName("sig_stream").outputMode("append").start()
+    input.addData(rows)
+    q.processAllAvailable()
+    val streamed = spark.table("sig_stream")
+      .select("image_id", "minhash", "simhash")
+      .as[(String, Array[Int], Long)].collect()
+      .map(r => (r._1, r._2.toSeq, r._3)).sortBy(_._1)
+    val batch = Signatures.signatures(spark.createDataset(rows).toDF(), cfg)
+      .select("image_id", "minhash", "simhash")
+      .as[(String, Array[Int], Long)].collect()
+      .map(r => (r._1, r._2.toSeq, r._3)).sortBy(_._1)
+    assert(streamed.sameElements(batch))
+    q.stop()
+  }
+
+  test("ST4: incremental candidates find historical near-dups") {
+    val cfg = DedupConfig()
+    val corpus = Fixtures.corpus(spark, 20).toDF()
+    val sigs = Signatures.signatures(corpus, cfg)
+    val committed = Lsh.bands(sigs, cfg) // "historical" snapshot
+    // new batch: re-use 3 existing rows with new ids (exact caption dups)
+    val newRows = corpus.limit(3)
+      .withColumn("image_id", concat(lit("new_"), col("image_id")))
+    val newSigs = Signatures.signatures(newRows, cfg)
+    val cands = Streaming.incrementalCandidates(newSigs, committed, cfg)
+    // candidates carry i64 ids — translate both sides via the sig mappings
+    val newMap = newSigs.select(col("id").as("a"), col("image_id").as("a_img"))
+    val histMap = sigs.select(col("id").as("b"), col("image_id").as("b_img"))
+    val found = cands.join(newMap, "a").join(histMap, "b")
+      .where(expr("substring(a_img, 5) = b_img"))
+      .count()
+    assert(found == 3, s"expected each new row to hit its historical twin")
+  }
+}

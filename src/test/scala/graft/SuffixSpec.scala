@@ -37,16 +37,16 @@ class SuffixSpec extends AnyFunSuite {
   test("spanPairs finds pairs sharing a long substring and skips unrelated docs") {
     val shared = "the quick brown fox jumped over the lazy dog near the river"
     val docs = Seq(
-      "d1" -> s"aaa bbb $shared ccc",
-      "d2" -> s"xxx $shared yyy zzz",
-      "d3" -> "completely unrelated caption about mountains and sunsets")
+      1L -> s"aaa bbb $shared ccc",
+      2L -> s"xxx $shared yyy zzz",
+      3L -> "completely unrelated caption about mountains and sunsets")
     val pairs = SuffixPass.spanPairs(docs, 24).toVector
-    assert(pairs.map(p => (p._1, p._2)) == Vector(("d1", "d2")))
+    assert(pairs.map(p => (p._1, p._2)) == Vector((1L, 2L)))
     assert(pairs.head._3 >= shared.length)
   }
 
   test("spanPairs: no false positives below minSpan") {
-    val docs = Seq("a" -> "short shared bit here", "b" -> "short shared bit there")
+    val docs = Seq(1L -> "short shared bit here", 2L -> "short shared bit there")
     // common prefix "short shared bit " = 17 chars < 24
     assert(SuffixPass.spanPairs(docs, 24).isEmpty)
     assert(SuffixPass.spanPairs(docs, 10).nonEmpty)

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Resume / idempotence tests (SURVEY.md §5.2, E3 lifecycle). */
+class TableIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-tableio").toString
+
+  test("commit + load round-trip; resume skips recompute") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "run1", "cfgA")
+    var evaluations = 0
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val committed = io.commit("stage1", { evaluations += 1; df })
+    assert(committed.count() == 2)
+    assert(evaluations == 1)
+    // second commit with same stage: must load the snapshot, not recompute
+    val again = io.commit("stage1", { evaluations += 1; df.limit(0) })
+    assert(again.count() == 2) // got the committed data, ignored new df
+    assert(evaluations == 2) // by-name arg evaluated but df never executed
+    assert(io.load("stage1").get.count() == 2)
+    assert(io.load("nope").isEmpty)
+  }
+
+  test("metrics table captures per-partition lineage rows") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "run1", "cfgA")
+    io.commit("s", spark.range(100).toDF("x").repartition(4))
+    val m = io.metrics().get
+    assert(m.columns.toSet ==
+      Set("partition_id", "file", "rows", "run_id", "stage", "wall_ms"))
+    val total = m.agg(sum("rows")).as[Long].collect()(0)
+    assert(total == 100)
+    assert(m.select("file").as[String].collect().forall(_.nonEmpty))
+  }
+
+  test("config hash mismatch refuses resume") {
+    val root = tmpDir()
+    new ParquetTableIO(spark, root, "run1", "cfgA")
+    val e = intercept[IllegalArgumentException] {
+      new ParquetTableIO(spark, root, "run2", "cfgB")
+    }
+    assert(e.getMessage.contains("refusing to resume"))
+  }
+
+  test("checkpointed pipeline resumes to byte-identical clusters") {
+    val root = tmpDir()
+    val cfg = DedupConfig()
+    val corpus = Fixtures.corpus(spark, 30).toDF().cache()
+    val io1 = new ParquetTableIO(spark, root, "runA", cfg.configHash)
+    val r1 = Pipeline.runCheckpointed(corpus, cfg, io1)
+    val c1 = r1.clusters.orderBy("image_id").collect()
+    // fresh TableIO over the same dir = crashed-driver restart
+    val io2 = new ParquetTableIO(spark, root, "runB", cfg.configHash)
+    val r2 = Pipeline.runCheckpointed(corpus, cfg, io2)
+    val c2 = r2.clusters.orderBy("image_id").collect()
+    assert(c1.sameElements(c2))
+  }
+
+  test("partial run (crash after stage 2) resumes and completes") {
+    val root = tmpDir()
+    val cfg = DedupConfig()
+    val corpus = Fixtures.corpus(spark, 25).toDF().cache()
+    // simulate a crash: run only the first two stages
+    val io1 = new ParquetTableIO(spark, root, "runA", cfg.configHash)
+    io1.commit("signatures", Signatures.signatures(corpus, cfg))
+    assert(io1.load("signatures").isDefined && io1.load("candidates").isEmpty)
+    // restart: full pipeline picks up the committed signatures
+    val io2 = new ParquetTableIO(spark, root, "runB", cfg.configHash)
+    val done = Pipeline.runCheckpointed(corpus, cfg, io2)
+    assert(done.clusters.count() == corpus.count())
+    assert(io2.load("clusters").isDefined)
+  }
+}

@@ -64,16 +64,19 @@ object ConnectedComponents {
     * output — A5 stability rule: cluster_id = min member id).
     */
   def cluster(dupEdges: DataFrame, nodes: DataFrame, maxIter: Int = 20): DataFrame = {
+    // lazy localCheckpoint: the convergence-signature action right after it
+    // materializes the checkpoint AND the aggregate in ONE job per
+    // iteration (eager checkpointing would cost a second pass).
     var edges = dupEdges
       .select(col("a").as("u"), col("b").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prev = signature(edges)
-    var converged = edges.isEmpty
+    var converged = prev._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val sig = signature(edges)
       converged = sig == prev
       prev = sig

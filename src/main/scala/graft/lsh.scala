@@ -64,9 +64,14 @@ object Lsh {
     * round-trip on the highest-volume path in the engine). Bucket size is
     * already ≤cap, so fan-out per bucket is ≤cap²/2.
     */
-  private def emitPairs(df: DataFrame, keys: Seq[String], src: String, cfg: DedupConfig): DataFrame = {
+  private def emitPairs(
+      df: DataFrame,
+      keys: Seq[String],
+      src: String,
+      cfg: DedupConfig,
+      dedup: Boolean): DataFrame = {
     val capped = cappedBuckets(df, keys, cfg)
-    capped
+    val pairs = capped
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
@@ -74,13 +79,17 @@ object Lsh {
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a"), col("p.b"))
-      .dropDuplicates("a", "b")
       .withColumn("src", lit(src))
+    // The standalone operators return distinct pairs; the pipeline passes
+    // dedup=false because its union-side groupBy(a,b) dedupes anyway —
+    // a per-source dropDuplicates there would just add an exchange and a
+    // second aggregation pass over the highest-volume relation.
+    if (dedup) pairs.dropDuplicates("a", "b") else pairs
   }
 
   /** Stage 3a: LSH band-bucket candidate pairs. */
-  def lshCandidates(bandsDf: DataFrame, cfg: DedupConfig): DataFrame =
-    emitPairs(bandsDf, Seq("band", "band_hash"), "lsh", cfg)
+  def lshCandidates(bandsDf: DataFrame, cfg: DedupConfig, dedup: Boolean = true): DataFrame =
+    emitPairs(bandsDf, Seq("band", "band_hash"), "lsh", cfg, dedup)
 
   /** Stage 3b: SimHash Hamming-≤h prefilter via block pigeonhole: split the
     * 64-bit signature into q blocks; if hamming(x,y) ≤ h then x and y agree
@@ -88,7 +97,7 @@ object Lsh {
     * subset key finds all such pairs. Exact Hamming is re-checked in
     * scoring (P6).
     */
-  def simhashCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+  def simhashCandidates(sigs: DataFrame, cfg: DedupConfig, dedup: Boolean = true): DataFrame = {
     val q = cfg.simhashBlocks
     val keep = q - cfg.simhashMaxHamming
     val bounds = (0 to q).map(i => i * 64 / q)
@@ -105,7 +114,7 @@ object Lsh {
     val exploded = sigs
       .select(col("id"), posexplode(array(keyCols: _*)))
       .toDF("id", "cid", "key")
-    emitPairs(exploded, Seq("cid", "key"), "simhash", cfg)
+    emitPairs(exploded, Seq("cid", "key"), "simhash", cfg, dedup)
   }
 
   /** Skew census (A3): bucket-size distribution + overflow count for the

@@ -51,11 +51,18 @@ object Pipeline {
       s"xxhash64(image_id) collision detected (${idStats.getLong(0)} rows, " +
         s"${idStats.getLong(1)} distinct ids) — use a wider internal id")
 
+    // skew census (A3): checkpointed runs record the bucket-size
+    // distribution + overflow count alongside the stage tables, so a
+    // capped (recall-affecting) run is visible in the metrics, not silent
+    io.foreach { t =>
+      t.commit("bucket_stats", Lsh.bucketStats(Lsh.bands(sigs, cfg), cfg))
+    }
+
     // stage 2–3: candidate generation (three retrieval paths, unioned)
     val candidates = ckpt("candidates") {
       val bandsDf = Lsh.bands(sigs, cfg)
-      val lshPairs = Lsh.lshCandidates(bandsDf, cfg)
-      val shPairs = Lsh.simhashCandidates(sigs, cfg)
+      val lshPairs = Lsh.lshCandidates(bandsDf, cfg, dedup = false)
+      val shPairs = Lsh.simhashCandidates(sigs, cfg, dedup = false)
       val spanPairs = SuffixPass.spanCandidates(sigs.select(col("id"), col("norm")), cfg)
       lshPairs.withColumn("span_len", lit(0))
         .unionByName(shPairs.withColumn("span_len", lit(0)))

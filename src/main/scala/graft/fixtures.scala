@@ -45,7 +45,31 @@ object Fixtures {
       "under over beside behind near across along within beyond during " +
       "morning evening winter summer spring autumn night noon dawn dusk " +
       "photo picture view scene shot closeup portrait landscape detail frame")
-      .split("\\s+")
+      .split("\\s+") ++ syntheticWords
+
+  /** 12k deterministic random-letter words. The thematic base list alone
+    * (~130 words) gives two *unrelated* captions a background char-5-gram
+    * Jaccard high enough that LSH candidate volume grows ~quadratically
+    * with corpus size (measured: 2× rows → 3.8× candidates) — an artifact
+    * no open-vocabulary web caption corpus has. Words must be random over
+    * the FULL letter alphabet: a syllable-compound vocab (20 syllables)
+    * was tried first and still collided quadratically, because distinct
+    * words share the syllables' 5-grams. Full-alphabet words make the
+    * shingle space ~26^5, background similarity ≈ 0, and candidate volume
+    * linear in corpus size (matching an open-vocab web corpus). A base-26
+    * suffix of the index guarantees pairwise distinctness.
+    */
+  private def syntheticWords: Array[String] = Array.tabulate(12000) { i =>
+    val rng = new SplittableRandom(0x5eedcafeL + i)
+    val len = 4 + rng.nextInt(5)
+    val sb = new StringBuilder
+    var j = 0
+    while (j < len) { sb.append(('a' + rng.nextInt(26)).toChar); j += 1 }
+    var v = i
+    sb.append(('a' + v % 26).toChar); v /= 26
+    while (v > 0) { sb.append(('a' + v % 26).toChar); v /= 26 }
+    sb.toString
+  }
 
   private def word(rng: SplittableRandom): String = vocab(rng.nextInt(vocab.length))
 

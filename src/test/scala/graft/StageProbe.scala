@@ -43,13 +43,16 @@ object StageProbe {
     }
     val bandsDf = Lsh.bands(sigs, cfg)
     val lshPairs = time("lsh_candidates") {
-      val d = Lsh.lshCandidates(bandsDf, cfg).persist(); d.count(); d
+      val d = Lsh.lshCandidates(bandsDf, cfg).persist()
+      println(s"  lsh pairs: ${d.count()}"); d
     }
     val shPairs = time("simhash_candidates") {
-      val d = Lsh.simhashCandidates(sigs, cfg).persist(); d.count(); d
+      val d = Lsh.simhashCandidates(sigs, cfg).persist()
+      println(s"  simhash pairs: ${d.count()}"); d
     }
     val spanPairs = time("span_candidates") {
-      val d = SuffixPass.spanCandidates(sigs.select(col("id"), col("norm")), cfg).persist(); d.count(); d
+      val d = SuffixPass.spanCandidates(sigs.select(col("id"), col("norm")), cfg).persist()
+      println(s"  span pairs: ${d.count()}"); d
     }
     val candidates = time("union_dedup") {
       val d = lshPairs.withColumn("span_len", lit(0))

@@ -120,18 +120,25 @@ object Imaging {
     */
   val PsnrExact: Double = 99.0
 
-  /** Per-executor decode LRU: in a dup-heavy corpus each image appears in
+  /** Per-THREAD decode LRU: in a dup-heavy corpus each image appears in
     * many verified pairs (cluster of size m → m-1..m² pairs), so decoding
     * per PAIR wastes ~2× to ~m× the work. Keyed by a 64-bit content hash;
-    * bounded (512 entries ≈ ~15 MB of pixels); pure memoization —
-    * results identical with or without the cache.
+    * bounded (256 entries ≈ a few MB of pixels per task thread); pure
+    * memoization — results identical with or without the cache.
+    *
+    * Thread-local on purpose: a shared `synchronizedMap` LRU serialized
+    * every lookup (access-order `get` mutates under one lock) and made the
+    * PSNR stage 4× SLOWER at local[32] than local[8] (measured). Executor
+    * task threads are pooled, so each thread's cache lives across tasks;
+    * duplicate decodes across threads are an accepted constant-factor
+    * cost for lock-free scaling.
     */
   private val decodeCache =
-    java.util.Collections.synchronizedMap(
+    ThreadLocal.withInitial[java.util.LinkedHashMap[Long, (Array[Int], Int, Int)]](() =>
       new java.util.LinkedHashMap[Long, (Array[Int], Int, Int)](64, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[Long, (Array[Int], Int, Int)]): Boolean =
-          size() > 512
+          size() > 256
       })
 
   private def contentKey(bytes: Array[Byte]): Long = {
@@ -142,12 +149,13 @@ object Imaging {
   }
 
   def decodeRgbCached(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+    val cache = decodeCache.get()
     val k = contentKey(bytes)
-    val hit = decodeCache.get(k)
+    val hit = cache.get(k)
     if (hit != null) hit
     else {
       val v = decodeRgb(bytes)
-      decodeCache.put(k, v)
+      cache.put(k, v)
       v
     }
   }

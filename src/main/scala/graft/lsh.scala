@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Candidate generation (SURVEY.md §2.3 J1–J3, §2.5 W2).
@@ -14,12 +13,15 @@ import org.apache.spark.sql.functions._
   * Skew design (BASELINE.json:L6 "salted repartitioning on band-hash
   * keys"): duplicate-heavy corpora put thousands of images in one LSH
   * bucket. Pair emission is bucket-local (`groupBy` + explode of in-bucket
-  * combinations — J2 form, one shuffle) and is protected by a TWO-PHASE
-  * salted cap: rows first shuffle on (key, salt) where salt =
-  * hash(image_id) % s, each salt shard keeps ≤cap ids, then the merged
-  * bucket keeps ≤cap — so no single task ever materializes an unbounded
-  * bucket, and worst-case pair fan-out is cap²/2 per bucket. Dropped
-  * overflow is counted, not silent (W2).
+  * combinations — J2 form, ONE shuffle) and the bucket cap is enforced
+  * inside the aggregation itself by a bounded min-set aggregate
+  * ([[graft.functions.BoundedMinIds]]): map-side partial aggregation
+  * reduces a hot key to ≤cap values per map task BEFORE the shuffle — the
+  * same effect salted repartitioning buys (no task sees an unbounded
+  * bucket), with strictly less data movement (salting needs a second
+  * exchange to merge shards; partial aggregation is Spark's built-in
+  * equivalent of that shard phase). Worst-case pair fan-out is cap²/2 per
+  * bucket. Dropped overflow is counted, not silent (W2).
   */
 object Lsh {
 
@@ -36,27 +38,16 @@ object Lsh {
       .toDF("id", "band", "band_hash")
   }
 
-  /** Two-phase salted bucket cap (see class doc). Keeps the
-    * lexicographically-smallest `cap` ids per bucket — deterministic. The
-    * second window reuses the first shuffle's hash partitioning on a
-    * prefix of the same keys, so Catalyst inserts only one extra exchange.
+  /** Bounded bucket cap: ONE hash aggregation keeping the `cap` smallest
+    * ids per bucket via [[graft.functions.BoundedMinIds]] (O(cap) state,
+    * partial/map-side combine — see its scaladoc for the skew argument).
+    * Replaces a two-phase salted window cap that cost three exchanges and
+    * two full sorts of the band table. Deterministic: smallest `cap` ids,
+    * independent of input partitioning.
     */
-  private def cappedBuckets(df: DataFrame, keys: Seq[String], cfg: DedupConfig): DataFrame = {
-    val keyCols = keys.map(col)
-    val salted = df.withColumn(
-      "salt",
-      pmod(xxhash64(col("id")), lit(cfg.saltBuckets)).cast("int"))
-    val wSalt = Window.partitionBy((keyCols :+ col("salt")): _*).orderBy(col("id"))
-    val local = salted
-      .withColumn("rn", row_number().over(wSalt))
-      .where(col("rn") <= cfg.bucketCap)
-      .drop("rn", "salt")
-    val wFull = Window.partitionBy(keyCols: _*).orderBy(col("id"))
-    local
-      .withColumn("rn", row_number().over(wFull))
-      .where(col("rn") <= cfg.bucketCap)
-      .drop("rn")
-  }
+  private def cappedBuckets(df: DataFrame, keys: Seq[String], cfg: DedupConfig): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.GraftAggregates.boundedMinIds(cfg.bucketCap)(col("id")).as("ids"))
 
   /** In-bucket pair expansion (J2): sorted distinct ids → canonical (a<b)
     * combinations, written with nested `transform`+`flatten` HOFs so the
@@ -70,10 +61,7 @@ object Lsh {
       src: String,
       cfg: DedupConfig,
       dedup: Boolean): DataFrame = {
-    val capped = cappedBuckets(df, keys, cfg)
-    val pairs = capped
-      .groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
+    val pairs = cappedBuckets(df, keys, cfg)
       .where(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>

@@ -113,7 +113,13 @@ object DedupJob {
     val spark = sys.props.get("spark.master")
       .orElse(sys.env.get("SPARK_MASTER"))
       .map(builder.master)
-      .getOrElse(builder.master("local[*]").config("spark.sql.shuffle.partitions", "32"))
+      .getOrElse(builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "32")
+        // local-mode split sizing: keep scan parallelism ≥ cores on
+        // MB-scale corpora (see Bench.session); cluster runs configure
+        // this via spark-submit instead.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

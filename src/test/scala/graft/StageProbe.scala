@@ -16,6 +16,8 @@ object StageProbe {
       .config("spark.sql.shuffle.partitions", math.max(8, 32).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cfg = DedupConfig()

@@ -25,7 +25,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  private def session(cpus: Int, shuffleParts: Int = 32): SparkSession = {
     // shuffle.partitions is held CONSTANT across parallelism levels: the
     // partition count is a property of the data layout, and varying it
     // would confound the N-vs-4N comparison (fewer, fatter partitions
@@ -33,7 +33,7 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -103,8 +103,13 @@ object Bench {
     * the warm-up's cached stage data (observed: a 2× "speedup" that was
     * pure cache reuse).
     */
-  private def measureLevel(cpus: Int, corpusPath: String, timedRuns: Int): Double = {
-    val spark = session(cpus)
+  // shuffle partitions are held CONSTANT across the two parallelism
+  // levels (a property of the data layout, not the cluster size) at 4x
+  // the high level's cores: 2 waves at 16 cores left stage-tail stragglers
+  // idling half the cores; 4 waves measured ~25% faster at the high level
+  // with no measurable cost at the low level.
+  private def measureLevel(cpus: Int, corpusPath: String, timedRuns: Int, shuffleParts: Int): Double = {
+    val spark = session(cpus, shuffleParts)
     try {
       runPipeline(spark, corpusPath) // warm-up (JIT/codegen)
       (1 to timedRuns).map { _ =>
@@ -135,8 +140,8 @@ object Bench {
     var tHi = Double.MaxValue
     var tLo = Double.MaxValue
     (1 to rounds).foreach { r =>
-      tHi = math.min(tHi, measureLevel(nHi, corpusPath, timedRuns = 1))
-      tLo = math.min(tLo, measureLevel(nLo, corpusPath, timedRuns = 1))
+      tHi = math.min(tHi, measureLevel(nHi, corpusPath, timedRuns = 1, shuffleParts = nHi * 4))
+      tLo = math.min(tLo, measureLevel(nLo, corpusPath, timedRuns = 1, shuffleParts = nHi * 4))
       System.err.println(f"[scaling] round $r: best sec_local$nHi=$tHi%.2f sec_local$nLo=$tLo%.2f")
     }
 

@@ -55,41 +55,56 @@ object SuffixPass {
 
   // ---- generalized suffix array kernel ----
 
-  /** Suffix array by prefix doubling (Manber–Myers 1990, O(n log² n)). */
+  /** Suffix array by prefix doubling (Manber–Myers 1990, O(n log² n)).
+    *
+    * Each round packs (rank(i), rank(i+k), i) into one long —
+    * 21|21|22 bits, valid for n < 2^21 (groups are ≤ bucketCap docs ×
+    * ~caption length ≪ that) — and sorts a primitive `long[]` with
+    * `Arrays.sort`. A boxed-`Integer[]`/comparator formulation measured
+    * several times slower and, worse, was the dominant allocator in the
+    * engine (cache/GC pressure was the top cause of poor thread-scaling
+    * in the span stage).
+    */
   private[graft] def suffixArray(s: Array[Int]): Array[Int] = {
     val n = s.length
-    val sa = Array.tabulate(n)(identity)
+    require(n < (1 << 21), s"suffix group of $n exceeds packed-sort bound")
+    val sa = new Array[Int](n)
+    if (n <= 1) return sa // initial "ranks" are raw char codes; loop never runs
     var rank = s.clone()
     var tmp = new Array[Int](n)
+    val packed = new Array[Long](n)
     var kk = 1
-    val ord = new java.util.Comparator[Integer] {
-      var k = 1
-      def compare(ai: Integer, bi: Integer): Int = {
-        val a = ai.intValue(); val b = bi.intValue()
-        if (rank(a) != rank(b)) Integer.compare(rank(a), rank(b))
-        else {
-          val ra = if (a + k < n) rank(a + k) else -1
-          val rb = if (b + k < n) rank(b + k) else -1
-          Integer.compare(ra, rb)
-        }
-      }
-    }
-    val boxed = sa.map(Integer.valueOf)
-    while (kk < n) {
-      ord.k = kk
-      java.util.Arrays.sort(boxed, ord)
-      tmp(boxed(0)) = 0
-      var i = 1
+    var done = false
+    while (kk < n && !done) {
+      var i = 0
       while (i < n) {
-        tmp(boxed(i)) = tmp(boxed(i - 1)) + (if (ord.compare(boxed(i - 1), boxed(i)) < 0) 1 else 0)
+        val r2 = if (i + kk < n) rank(i + kk) + 1 else 0 // 0 = "past end", sorts first
+        packed(i) = (rank(i).toLong << 43) | (r2.toLong << 22) | i.toLong
         i += 1
       }
-      val sw = rank; rank = tmp.clone(); tmp = sw
-      if (rank(boxed(n - 1)) == n - 1) kk = n // all distinct — done
-      kk = if (kk >= n) n else kk << 1
+      java.util.Arrays.sort(packed)
+      var r = 0
+      tmp((packed(0) & 0x3fffff).toInt) = 0
+      i = 1
+      while (i < n) {
+        // same (rank, rank2) key iff the top 42 bits match
+        if ((packed(i) >>> 22) != (packed(i - 1) >>> 22)) r += 1
+        tmp((packed(i) & 0x3fffff).toInt) = r
+        i += 1
+      }
+      val sw = rank; rank = tmp; tmp = sw
+      done = r == n - 1 // all ranks distinct — sorted
+      kk = kk << 1
     }
     var i = 0
-    while (i < n) { sa(i) = boxed(i).intValue(); i += 1 }
+    while (i < n) { sa(rank(i)) = i; i += 1 }
+    if (!done && n > 1) {
+      // ranks never became fully distinct without a final round only when
+      // n == 1; with distinct sentinels every group terminates above.
+      // Defensive: rebuild from last packed order.
+      var j = 0
+      while (j < n) { sa(j) = (packed(j) & 0x3fffff).toInt; j += 1 }
+    }
     sa
   }
 

@@ -17,7 +17,8 @@ object PipeProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-pipe-probe")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", "32"))
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")

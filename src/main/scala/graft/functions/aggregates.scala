@@ -97,10 +97,101 @@ final class BoundedMinIds(cap: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
 
+/** Bounded buffer of (id, payload) rows: the `cap` smallest ids with
+  * their payloads. Same max-heap discipline as [[BoundedMinIds]]; the
+  * payload rides alongside in a parallel array.
+  */
+final case class IdPayloadBuf(size: Int, ids: Array[Long], payloads: Array[String])
+
+/** Per group, keep the `cap` (id, payload) rows with the smallest ids —
+  * O(cap) state, partial-aggregation-safe. Used by the suffix-array pass
+  * to cap winnow-fingerprint buckets in the SAME single aggregation that
+  * assembles the per-bucket document set, replacing two salted window
+  * shuffles + a `groupByKey` (3 exchanges of (fp, id, caption) rows)
+  * with ONE exchange of bounded partial states.
+  */
+final class BoundedMinRows(cap: Int)
+    extends Aggregator[(Long, String), IdPayloadBuf, IdPayloadBuf] {
+  require(cap > 0)
+
+  override def zero: IdPayloadBuf =
+    IdPayloadBuf(0, Array.emptyLongArray, Array.empty[String])
+
+  // max-heap over slots 0..size-1 keyed by ids
+  private def swap(b: IdPayloadBuf, i: Int, j: Int): Unit = {
+    val ti = b.ids(i); b.ids(i) = b.ids(j); b.ids(j) = ti
+    val tp = b.payloads(i); b.payloads(i) = b.payloads(j); b.payloads(j) = tp
+  }
+
+  private def insert(b0: IdPayloadBuf, id: Long, p: String): IdPayloadBuf = {
+    var b = b0
+    if (b.size < cap) {
+      if (b.ids.length < b.size + 1) {
+        val n = math.min(cap, math.max(4, b.ids.length * 2))
+        b = IdPayloadBuf(b.size,
+          java.util.Arrays.copyOf(b.ids, n),
+          java.util.Arrays.copyOf(b.payloads, n))
+      }
+      b.ids(b.size) = id; b.payloads(b.size) = p
+      var i = b.size
+      b = b.copy(size = b.size + 1)
+      while (i > 0 && b.ids(i) > b.ids((i - 1) >> 1)) {
+        swap(b, i, (i - 1) >> 1); i = (i - 1) >> 1
+      }
+      b
+    } else if (id < b.ids(0)) {
+      b.ids(0) = id; b.payloads(0) = p
+      var i = 0; var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1; var m = i
+        if (l < b.size && b.ids(l) > b.ids(m)) m = l
+        if (r < b.size && b.ids(r) > b.ids(m)) m = r
+        if (m == i) done = true else { swap(b, i, m); i = m }
+      }
+      b
+    } else b
+  }
+
+  override def reduce(b: IdPayloadBuf, v: (Long, String)): IdPayloadBuf =
+    insert(b, v._1, v._2)
+
+  override def merge(b1: IdPayloadBuf, b2: IdPayloadBuf): IdPayloadBuf = {
+    var b = b1
+    var i = 0
+    while (i < b2.size) { b = insert(b, b2.ids(i), b2.payloads(i)); i += 1 }
+    b
+  }
+
+  /** Ascending by id, duplicates (same id) collapsed to the first. */
+  override def finish(b: IdPayloadBuf): IdPayloadBuf = {
+    val idx = Array.range(0, b.size).sortBy(b.ids)
+    val ids = new Array[Long](b.size)
+    val ps = new Array[String](b.size)
+    var w = 0; var i = 0
+    while (i < b.size) {
+      val j = idx(i)
+      if (w == 0 || b.ids(j) != ids(w - 1)) { ids(w) = b.ids(j); ps(w) = b.payloads(j); w += 1 }
+      i += 1
+    }
+    IdPayloadBuf(w, java.util.Arrays.copyOf(ids, w), java.util.Arrays.copyOf(ps, w))
+  }
+
+  override def bufferEncoder: Encoder[IdPayloadBuf] = Encoders.product[IdPayloadBuf]
+  override def outputEncoder: Encoder[IdPayloadBuf] = Encoders.product[IdPayloadBuf]
+}
+
 object GraftAggregates {
   /** `bounded_min_ids(idCol)`: array of the `cap` smallest distinct ids. */
   def boundedMinIds(cap: Int): Column => Column = {
     val f = udaf(new BoundedMinIds(cap), Encoders.scalaLong)
     (c: Column) => f(c)
+  }
+
+  /** `bounded_min_rows(idCol, payloadCol)`: struct(size, ids, payloads)
+    * of the `cap` smallest-id rows.
+    */
+  def boundedMinRows(cap: Int): (Column, Column) => Column = {
+    val f = udaf(new BoundedMinRows(cap), Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+    (id: Column, p: Column) => f(id, p)
   }
 }

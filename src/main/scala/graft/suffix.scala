@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Suffix-array substring pass (SURVEY.md §2.7 X1): find caption pairs
@@ -197,34 +196,35 @@ object SuffixPass {
     winnowFingerprints(s, k, minSpan)
   }
 
-  /** (id, norm) → candidate pairs (a, b, src="span", span_len). */
+  private val kernelUdf = udf { (ids: Seq[Long], norms: Seq[String], minSpan: Int) =>
+    spanPairs(ids.zip(norms), minSpan).toSeq
+  }
+
+  /** (id, norm) → candidate pairs (a, b, src="span", span_len).
+    *
+    * ONE exchange: fingerprint buckets are capped and assembled in a
+    * single hash aggregation with bounded per-key state
+    * ([[graft.functions.BoundedMinRows]] — map-side combine, ≤cap (id,
+    * caption) rows per key per map task), and the SA+LCP kernel runs as a
+    * scalar UDF over the aggregated bucket. Replaces a two-phase salted
+    * window cap + `groupByKey` (three exchanges of the exploded
+    * fingerprint relation).
+    */
   def spanCandidates(normed: DataFrame, cfg: DedupConfig): DataFrame = {
-    val spark = normed.sparkSession
-    import spark.implicits._
     val fps = normed
       .where(length(col("norm")) >= cfg.saMinSpan)
       .select(
         col("id"),
         col("norm"),
         explode(fpUdf(col("norm"), lit(cfg.saGramK), lit(cfg.saMinSpan))).as("fp"))
-    // salted two-phase cap, same discipline as Lsh.cappedBuckets
-    val wSalt = Window
-      .partitionBy(col("fp"), pmod(xxhash64(col("id")), lit(cfg.saltBuckets)))
-      .orderBy(col("id"))
-    val wFull = Window.partitionBy(col("fp")).orderBy(col("id"))
-    val capped = fps
-      .withColumn("rn", row_number().over(wSalt)).where(col("rn") <= cfg.bucketCap).drop("rn")
-      .withColumn("rn", row_number().over(wFull)).where(col("rn") <= cfg.bucketCap).drop("rn")
-    val minSpan = cfg.saMinSpan
-    capped
-      .select(col("fp"), col("id"), col("norm"))
-      .as[(Long, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, rows) =>
-        val docs = rows.map(r => (r._2, r._3)).toVector.distinct.sortBy(_._1)
-        spanPairs(docs, minSpan)
-      }
-      .toDF("a", "b", "span_len")
+    fps
+      .groupBy(col("fp"))
+      .agg(graft.functions.GraftAggregates
+        .boundedMinRows(cfg.bucketCap)(col("id"), col("norm")).as("bucket"))
+      .where(col("bucket.size") > 1)
+      .select(explode(
+        kernelUdf(col("bucket.ids"), col("bucket.payloads"), lit(cfg.saMinSpan))).as("p"))
+      .select(col("p._1").as("a"), col("p._2").as("b"), col("p._3").as("span_len"))
       .groupBy("a", "b")
       .agg(max("span_len").as("span_len"))
       .withColumn("src", lit("span"))

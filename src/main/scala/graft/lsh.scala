@@ -67,12 +67,16 @@ object Lsh {
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a"), col("p.b"))
-      .withColumn("src", lit(src))
     // The standalone operators return distinct pairs; the pipeline passes
     // dedup=false because its union-side groupBy(a,b) dedupes anyway —
     // a per-source dropDuplicates there would just add an exchange and a
-    // second aggregation pass over the highest-volume relation.
-    if (dedup) pairs.dropDuplicates("a", "b") else pairs
+    // second aggregation pass over the highest-volume relation. `src` is
+    // attached AFTER the distinct: a dropDuplicates carrying the string
+    // gives First(src) a var-length aggregation buffer, which forces
+    // SortAggregate (two sorts of the pair relation) instead of a pure
+    // HashAggregate on two i64 keys.
+    (if (dedup) pairs.dropDuplicates("a", "b") else pairs)
+      .withColumn("src", lit(src))
   }
 
   /** Stage 3a: LSH band-bucket candidate pairs. */

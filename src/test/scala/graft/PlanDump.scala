@@ -46,10 +46,12 @@ object PlanDump {
     val sigsP = sigs.persist()
     sigsP.count()
     dump("stage 2–3 — LSH candidates",
-      "Band explode (codegen) → salted two-phase capped windows (the two " +
-        "window sorts share the hash partitioning on (band, band_hash) " +
-        "prefix — AQE shows one full + one partial exchange) → in-bucket " +
-        "pair expansion via transform/flatten HOFs (codegen, no UDF).",
+      "Band explode (codegen) → ONE hash aggregation with the bounded " +
+        "min-set aggregate (look for a single Exchange on (band, " +
+        "band_hash) with partial aggregation below it — the skew cap is " +
+        "inside the aggregate's O(cap) state, no window sorts) → " +
+        "in-bucket pair expansion via transform/flatten HOFs (codegen, " +
+        "no UDF).",
       Lsh.lshCandidates(Lsh.bands(sigsP, cfg), cfg))
 
     val cand = Lsh.lshCandidates(Lsh.bands(sigsP, cfg), cfg).persist()

@@ -36,8 +36,12 @@ object SparkEntry {
         .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_discount") > 0.05)
         .groupBy(col("l_returnflag"))
+        // exact decimal sum, double at the OUTPUT BOUNDARY: the driver
+        // stringifies DECIMAL differently across engines (round-1 hash
+        // miss); a decimal→double cast of the finished aggregate is
+        // deterministic and bit-identical on both sides
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
     }),
 
@@ -50,9 +54,9 @@ object SparkEntry {
           col("l_discount").cast("decimal(18,2)").as("disc"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("qty")).as("sum_qty"),
-          sum(col("price")).as("sum_base"),
-          sum(col("price") * (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - col("disc"))).as("sum_disc_price"),
+          sum(col("qty")).cast("double").as("sum_qty"),
+          sum(col("price")).cast("double").as("sum_base"),
+          sum(col("price") * (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - col("disc"))).cast("double").as("sum_disc_price"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -69,7 +73,7 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
           (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
-            col("l_discount").cast("decimal(18,2)")))).as("revenue"),
+            col("l_discount").cast("decimal(18,2)")))).cast("double").as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy("n_name")
     }),
@@ -96,7 +100,7 @@ object SparkEntry {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
         .select(col("l_suppkey"), col("rk"), col("l_orderkey"),
-          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+          col("l_extendedprice").cast("decimal(18,2)").cast("double").as("price"))
         .orderBy("l_suppkey", "rk")
     }),
 
@@ -105,8 +109,8 @@ object SparkEntry {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, d, "events")
         .withColumn("running", sum(col("value").cast("decimal(18,2)"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("prev_val", lag(col("value").cast("decimal(18,2)"), 1).over(w))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+        .withColumn("prev_val", lag(col("value").cast("decimal(18,2)"), 1).over(w).cast("double"))
         .select(col("event_id"), col("user_id"), col("running"), col("prev_val"))
         .orderBy("user_id", "event_id")
     }),
@@ -123,9 +127,12 @@ object SparkEntry {
     // ---- P9: date bucketing ----
     "q_daily_events" -> ((s, d) => {
       t(s, d, "events")
-        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        // timestamps → formatted strings at the output boundary (driver
+        // stringification of TIMESTAMP differs across engines)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd HH:mm:ss").as("day"),
+          col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("day", "event_type")
     }),
 
@@ -159,7 +166,7 @@ object SparkEntry {
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -267,21 +274,21 @@ object SparkEntry {
   private def coreOracles: Map[String, String] = Map(
     "q_scan_filter" ->
       """SELECT l_returnflag, count(*) AS n,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.05
          GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
          count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q_join_revenue_by_nation" ->
       """SELECT n_name,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
          count(DISTINCT o_orderkey) AS n_orders
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -299,16 +306,16 @@ object SparkEntry {
     "q_topk_per_supplier" ->
       """SELECT l_suppkey, rk, l_orderkey, price FROM (
            SELECT l_suppkey, l_orderkey,
-             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
              row_number() OVER (PARTITION BY l_suppkey
                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
            FROM lineitem) WHERE rk <= 3
          ORDER BY l_suppkey, rk""",
     "q_running_value_per_user" ->
       """SELECT event_id, user_id,
-         sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
-         lag(CAST(value AS DECIMAL(18,2)), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+         CAST(lag(CAST(value AS DECIMAL(18,2)), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS prev_val
          FROM events ORDER BY user_id, event_id""",
     "q_props_extract" ->
       """SELECT event_type,
@@ -316,8 +323,9 @@ object SparkEntry {
          count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_daily_events" ->
-      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
-         sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "q_events_within_5min" ->
       """SELECT e1.user_id AS user_id, count(*) AS n_pairs
@@ -332,7 +340,7 @@ object SparkEntry {
          ORDER BY custkey""",
     "q_rollup_flag_status" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_top20_orders" ->
@@ -474,7 +482,10 @@ object SparkEntry {
           graft.functions.GraftFunctions.minhashCol(
             graft.functions.GraftFunctions.shinglesCol(col("norm"), cfg.shingleK),
             cfg.numPerms).as("minhash"))
-        .select(col("doc_id"), slice(col("minhash"), 1, 8).as("minhash_head"))
+        // array columns crash the driver's pandas canonicalizer
+        // (unhashable ndarray, round-1) — stringify at the output boundary
+        .select(col("doc_id"),
+          concat_ws(",", slice(col("minhash"), 1, 8)).as("minhash_head"))
         .orderBy("doc_id")
     }),
 

@@ -63,8 +63,11 @@ object Bench {
   private def runPipeline(spark: SparkSession, corpusPath: String): (Double, Long) = {
     val corpus = spark.read.parquet(corpusPath)
     val t0 = System.nanoTime()
-    val n = Pipeline.run(corpus, DedupConfig()).clusters.count()
-    ((System.nanoTime() - t0) / 1e9, n)
+    val r = Pipeline.run(corpus, DedupConfig())
+    val n = r.clusters.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    r.unpersist()
+    (sec, n)
   }
 
   def main(args: Array[String]): Unit = {
@@ -83,8 +86,13 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // end-to-end pipeline throughput on the deterministic fixture corpus
+    // end-to-end pipeline throughput on the deterministic fixture corpus.
+    // One warm-up run first: the cold run is dominated by JIT/codegen of
+    // the whole pipeline (round-1 measured 659 img/s cold vs 3.2k warm on
+    // the same engine) and would misstate steady-state throughput.
     val (corpusPath, nImages) = ensureCorpus(spark, nClusters = 3000)
+    runPipeline(spark, corpusPath)
+    spark.catalog.clearCache() // don't serve the timed run from warm-up cache
     val (pipeSec, _) = runPipeline(spark, corpusPath)
     val imagesPerSec = nImages / pipeSec
 

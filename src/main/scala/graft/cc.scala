@@ -34,16 +34,27 @@ object ConnectedComponents {
 
   /** small-star: orient edges large→small, then connect all smaller
     * neighbors (and u itself) to the minimum.
+    *
+    * Same join-back shape as [[largeStar]] — `groupBy(u).agg(min(v))` has
+    * CONSTANT aggregation state per key, then the min is re-attached with
+    * an equi-join. The earlier `collect_set` formulation materialized a
+    * node's whole smaller-neighborhood in one aggregation buffer; degree
+    * concentrates on component minima mid-convergence (star graphs), so at
+    * scale one hot node held an O(component)-sized buffer on a single
+    * executor. The join-based form shuffles the same rows but never holds
+    * more than one value of state per key.
     */
   private def smallStar(edges: DataFrame): DataFrame = {
     val oriented = edges.select(
       greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-    val grouped = oriented.groupBy("u").agg(collect_set(col("v")).as("ns"))
-    val withMin = grouped.withColumn("m", array_min(col("ns")))
-    withMin
-      .select(col("u"), col("m"), explode(concat(col("ns"), array(col("u")))).as("n"))
-      .where(col("n") =!= col("m"))
-      .select(col("n").as("u"), col("m").as("v"))
+    val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+    // every smaller neighbor v → m, plus u itself → m (m < u always since
+    // m = min over strictly-smaller neighbors)
+    oriented
+      .join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
       .distinct()
   }
 

@@ -4,8 +4,16 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
+/** Output of [[BoundedMinIds]]: the kept ids plus how many values the
+  * group actually saw — `n_seen > ids.length` means the cap dropped
+  * overflow, which callers surface via `observe()` (W2: no silent
+  * truncation).
+  */
+final case class CappedIds(ids: Array[Long], n_seen: Long)
+
 /** Bounded min-set aggregate: per group, keep the `cap` smallest i64 ids
-  * (ascending, distinct) with O(cap) aggregation state.
+  * (ascending, distinct) with O(cap) aggregation state, plus a count of
+  * everything seen (overflow visibility).
   *
   * This is the skew-killer for bucket-shaped shuffles (LSH bands, SimHash
   * block keys): the previous two-phase salted window cap needed THREE
@@ -13,59 +21,64 @@ import org.apache.spark.sql.functions.udaf
   * bounded aggregate needs ONE exchange, and Spark's partial aggregation
   * (map-side combine) means a pathological hot bucket — 10^9 rows of one
   * band hash at 10^12-image scale — contributes at most `cap` values PER
-  * MAP TASK to the shuffle, with at most `cap+1` longs of heap state per
+  * MAP TASK to the shuffle, with at most `cap+2` longs of heap state per
   * group at every point. No salting, no sort, no unbounded
   * `collect_set`.
   *
-  * State layout: slot 0 = live size, slots 1..size = binary MAX-heap of
-  * the kept (smallest) values, so eviction replaces the root. Inputs are
-  * expected distinct per group (band explode emits one row per (id,
+  * State layout: slot 0 = live size, slot 1 = values seen, slots
+  * 2..size+1 = binary MAX-heap (logical 1-based index j at physical j+1)
+  * of the kept (smallest) values, so eviction replaces the root. Inputs
+  * are expected distinct per group (band explode emits one row per (id,
   * band)); duplicates are tolerated and collapsed in `finish`.
   */
 final class BoundedMinIds(cap: Int)
-    extends Aggregator[Long, Array[Long], Array[Long]] {
+    extends Aggregator[Long, Array[Long], CappedIds] {
   require(cap > 0)
 
-  override def zero: Array[Long] = new Array[Long](1) // size 0, grows lazily
+  override def zero: Array[Long] = new Array[Long](2) // size 0, seen 0
 
-  @inline private def siftUp(h: Array[Long], i0: Int): Unit = {
-    var i = i0
-    while (i > 1 && h(i) > h(i >> 1)) {
-      val t = h(i); h(i) = h(i >> 1); h(i >> 1) = t
-      i = i >> 1
+  @inline private def get(b: Array[Long], j: Int): Long = b(j + 1)
+  @inline private def set(b: Array[Long], j: Int, v: Long): Unit = b(j + 1) = v
+
+  @inline private def siftUp(b: Array[Long], j0: Int): Unit = {
+    var j = j0
+    while (j > 1 && get(b, j) > get(b, j >> 1)) {
+      val t = get(b, j); set(b, j, get(b, j >> 1)); set(b, j >> 1, t)
+      j = j >> 1
     }
   }
 
-  private def siftDown(h: Array[Long], size: Int): Unit = {
-    var i = 1
+  private def siftDown(b: Array[Long], size: Int): Unit = {
+    var j = 1
     var done = false
     while (!done) {
-      val l = i << 1; val r = l + 1
-      var m = i
-      if (l <= size && h(l) > h(m)) m = l
-      if (r <= size && h(r) > h(m)) m = r
-      if (m == i) done = true
-      else { val t = h(i); h(i) = h(m); h(m) = t; i = m }
+      val l = j << 1; val r = l + 1
+      var m = j
+      if (l <= size && get(b, l) > get(b, m)) m = l
+      if (r <= size && get(b, r) > get(b, m)) m = r
+      if (m == j) done = true
+      else { val t = get(b, j); set(b, j, get(b, m)); set(b, m, t); j = m }
     }
   }
 
-  private def insert(b: Array[Long], v: Long): Array[Long] = {
+  private def insert(b0: Array[Long], v: Long): Array[Long] = {
+    var b = b0
+    b(1) += 1
     val size = b(0).toInt
     if (size < cap) {
-      val h = if (b.length < size + 2) {
-        val g = new Array[Long](math.min(cap + 1, math.max(4, b.length * 2)))
-        System.arraycopy(b, 0, g, 0, size + 1)
-        g
-      } else b
-      h(size + 1) = v
-      h(0) = size + 1
-      siftUp(h, size + 1)
-      h
-    } else if (v < b(1)) { // full: evict current max iff v is smaller
-      b(1) = v
+      if (b.length < size + 3) {
+        val g = new Array[Long](math.min(cap + 2, math.max(6, b.length * 2)))
+        System.arraycopy(b, 0, g, 0, size + 2)
+        b = g
+      }
+      set(b, size + 1, v)
+      b(0) = size + 1
+      siftUp(b, size + 1)
+    } else if (v < get(b, 1)) { // full: evict current max iff v is smaller
+      set(b, 1, v)
       siftDown(b, size)
-      b
-    } else b
+    }
+    b
   }
 
   override def reduce(b: Array[Long], v: Long): Array[Long] = insert(b, v)
@@ -73,14 +86,15 @@ final class BoundedMinIds(cap: Int)
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var b = b1
     val n = b2(0).toInt
-    var i = 1
-    while (i <= n) { b = insert(b, b2(i)); i += 1 }
+    var j = 1
+    while (j <= n) { b = insert(b, get(b2, j)); j += 1 }
+    b(1) += b2(1) - n // insert() counted the n kept values; add b2's drops
     b
   }
 
-  override def finish(b: Array[Long]): Array[Long] = {
+  override def finish(b: Array[Long]): CappedIds = {
     val n = b(0).toInt
-    val out = java.util.Arrays.copyOfRange(b, 1, n + 1)
+    val out = java.util.Arrays.copyOfRange(b, 2, n + 2)
     java.util.Arrays.sort(out)
     // collapse tolerated duplicates
     var w = 0; var i = 0
@@ -88,13 +102,12 @@ final class BoundedMinIds(cap: Int)
       if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
       i += 1
     }
-    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+    CappedIds(if (w == out.length) out else java.util.Arrays.copyOf(out, w), b(1))
   }
 
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-  override def outputEncoder: Encoder[Array[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[CappedIds] = Encoders.product[CappedIds]
 }
 
 /** Bounded buffer of (id, payload) rows: the `cap` smallest ids with
@@ -181,7 +194,9 @@ final class BoundedMinRows(cap: Int)
 }
 
 object GraftAggregates {
-  /** `bounded_min_ids(idCol)`: array of the `cap` smallest distinct ids. */
+  /** `bounded_min_ids(idCol)`: struct(ids = the `cap` smallest distinct
+    * ids ascending, n_seen = total values seen).
+    */
   def boundedMinIds(cap: Int): Column => Column = {
     val f = udaf(new BoundedMinIds(cap), Encoders.scalaLong)
     (c: Column) => f(c)

@@ -123,8 +123,14 @@ object Imaging {
   /** Per-THREAD decode LRU: in a dup-heavy corpus each image appears in
     * many verified pairs (cluster of size m → m-1..m² pairs), so decoding
     * per PAIR wastes ~2× to ~m× the work. Keyed by a 64-bit content hash;
-    * bounded (256 entries ≈ a few MB of pixels per task thread); pure
-    * memoization — results identical with or without the cache.
+    * pure memoization — results identical with or without the cache.
+    *
+    * Bounded by PIXEL BYTES, not entry count: with production-sized
+    * images an entry-count bound multiplies by thread count into GBs per
+    * executor (32 threads × 256 × 4 MB of 1-MP pixels ≈ 32 GB). Budget is
+    * 16 MB of pixel ints per thread (≈ 512 MB worst case at local[32],
+    * ~4 fixture images to thousands of thumbnails); eviction pops
+    * access-order eldest entries until under budget.
     *
     * Thread-local on purpose: a shared `synchronizedMap` LRU serialized
     * every lookup (access-order `get` mutates under one lock) and made the
@@ -133,13 +139,24 @@ object Imaging {
     * duplicate decodes across threads are an accepted constant-factor
     * cost for lock-free scaling.
     */
-  private val decodeCache =
-    ThreadLocal.withInitial[java.util.LinkedHashMap[Long, (Array[Int], Int, Int)]](() =>
-      new java.util.LinkedHashMap[Long, (Array[Int], Int, Int)](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[Long, (Array[Int], Int, Int)]): Boolean =
-          size() > 256
-      })
+  private val CacheBudgetBytes = 16L << 20
+  private final class DecodeLru
+      extends java.util.LinkedHashMap[Long, (Array[Int], Int, Int)](64, 0.75f, true) {
+    var pixelBytes: Long = 0L
+    def putBounded(k: Long, v: (Array[Int], Int, Int)): Unit = {
+      pixelBytes += v._1.length.toLong * 4
+      put(k, v)
+      val it = entrySet().iterator()
+      while (pixelBytes > CacheBudgetBytes && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) { // never evict the entry just inserted
+          pixelBytes -= e.getValue._1.length.toLong * 4
+          it.remove()
+        }
+      }
+    }
+  }
+  private val decodeCache = ThreadLocal.withInitial[DecodeLru](() => new DecodeLru)
 
   private def contentKey(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L ^ bytes.length.toLong
@@ -155,7 +172,7 @@ object Imaging {
     if (hit != null) hit
     else {
       val v = decodeRgb(bytes)
-      cache.put(k, v)
+      cache.putBounded(k, v)
       v
     }
   }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Candidate generation (SURVEY.md §2.3 J1–J3, §2.5 W2).
@@ -43,25 +43,40 @@ object Lsh {
     * partial/map-side combine — see its scaladoc for the skew argument).
     * Replaces a two-phase salted window cap that cost three exchanges and
     * two full sorts of the band table. Deterministic: smallest `cap` ids,
-    * independent of input partitioning.
+    * independent of input partitioning. Output: (keys…, ids, n_seen).
     */
   private def cappedBuckets(df: DataFrame, keys: Seq[String], cfg: DedupConfig): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(graft.functions.GraftAggregates.boundedMinIds(cfg.bucketCap)(col("id")).as("ids"))
+      .agg(graft.functions.GraftAggregates.boundedMinIds(cfg.bucketCap)(col("id")).as("b"))
+      .select((keys.map(col) :+ col("b.ids").as("ids") :+ col("b.n_seen").as("n_seen")): _*)
 
   /** In-bucket pair expansion (J2): sorted distinct ids → canonical (a<b)
     * combinations, written with nested `transform`+`flatten` HOFs so the
     * expansion stays inside whole-stage codegen (no UDF encoder
     * round-trip on the highest-volume path in the engine). Bucket size is
     * already ≤cap, so fan-out per bucket is ≤cap²/2.
+    *
+    * `census`: an [[Observation]] attached to the bucket relation —
+    * overflow (n_seen > cap, i.e. a recall-affecting drop) is aggregated
+    * as the plan executes, with NO extra job, and surfaced by the caller
+    * after its first action (W2: logged drop counts on EVERY path, not
+    * just checkpointed runs).
     */
   private def emitPairs(
       df: DataFrame,
       keys: Seq[String],
       src: String,
       cfg: DedupConfig,
-      dedup: Boolean): DataFrame = {
-    val pairs = cappedBuckets(df, keys, cfg)
+      dedup: Boolean,
+      census: Option[Observation]): DataFrame = {
+    val buckets0 = cappedBuckets(df, keys, cfg)
+    val buckets = census.fold(buckets0)(o => buckets0.observe(o,
+      sum(when(col("n_seen") > cfg.bucketCap, 1L).otherwise(0L)).as("overflow_buckets"),
+      sum(when(col("n_seen") > cfg.bucketCap, col("n_seen") - cfg.bucketCap)
+        .otherwise(0L)).as("dropped_ids"),
+      max(col("n_seen")).as("max_bucket"),
+      count(lit(1)).as("n_buckets")))
+    val pairs = buckets
       .where(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
@@ -80,8 +95,12 @@ object Lsh {
   }
 
   /** Stage 3a: LSH band-bucket candidate pairs. */
-  def lshCandidates(bandsDf: DataFrame, cfg: DedupConfig, dedup: Boolean = true): DataFrame =
-    emitPairs(bandsDf, Seq("band", "band_hash"), "lsh", cfg, dedup)
+  def lshCandidates(
+      bandsDf: DataFrame,
+      cfg: DedupConfig,
+      dedup: Boolean = true,
+      census: Option[Observation] = None): DataFrame =
+    emitPairs(bandsDf, Seq("band", "band_hash"), "lsh", cfg, dedup, census)
 
   /** Stage 3b: SimHash Hamming-≤h prefilter via block pigeonhole: split the
     * 64-bit signature into q blocks; if hamming(x,y) ≤ h then x and y agree
@@ -89,7 +108,11 @@ object Lsh {
     * subset key finds all such pairs. Exact Hamming is re-checked in
     * scoring (P6).
     */
-  def simhashCandidates(sigs: DataFrame, cfg: DedupConfig, dedup: Boolean = true): DataFrame = {
+  def simhashCandidates(
+      sigs: DataFrame,
+      cfg: DedupConfig,
+      dedup: Boolean = true,
+      census: Option[Observation] = None): DataFrame = {
     val q = cfg.simhashBlocks
     val keep = q - cfg.simhashMaxHamming
     val bounds = (0 to q).map(i => i * 64 / q)
@@ -106,7 +129,7 @@ object Lsh {
     val exploded = sigs
       .select(col("id"), posexplode(array(keyCols: _*)))
       .toDF("id", "cid", "key")
-    emitPairs(exploded, Seq("cid", "key"), "simhash", cfg, dedup)
+    emitPairs(exploded, Seq("cid", "key"), "simhash", cfg, dedup, census)
   }
 
   /** Skew census (A3): bucket-size distribution + overflow count for the

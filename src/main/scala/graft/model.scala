@@ -82,9 +82,11 @@ final case class DedupConfig(
     psnrThresholdDb: Double = 40.0, // BASELINE.json:L15 invariant
     saMinSpan: Int = 24, // min exact shared caption span (chars)
     saGramK: Int = 8, // winnowing k-gram length for span routing
-    bucketCap: Int = 256, // max ids kept per LSH/simhash bucket (W2)
+    bucketCap: Int = 256, // max ids kept per LSH/simhash bucket (W2).
+    //   Skew handling is the bounded min-set aggregate (map-side combine,
+    //   O(cap) state per key) — explicit salt fan-out config was removed
+    //   with the salted-window caps it parameterized.
     topKPerImage: Int = 50, // top-k candidate pairs kept per image (W1)
-    saltBuckets: Int = 16, // salt fan-out for hot band-hash keys
     broadcastSigRows: Long = 4000000L, // sigs ≤ this → broadcast scoring join
     seed: Long = 42L
 ) {

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end near-duplicate pipeline (SURVEY.md §3.1 E1):
@@ -16,7 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  final case class Result(clusters: DataFrame, verified: DataFrame)
+  /** `bucketCensus`: per candidate source, the observed bucket-cap metrics
+    * (overflow_buckets / dropped_ids / max_bucket / n_buckets) — empty
+    * until the candidate stage has executed at least once. A non-zero
+    * overflow means the cap dropped candidates (recall-affecting) — never
+    * silent, on every run path (W2).
+    *
+    * `unpersist()`: release cached intermediate stages once results have
+    * been consumed (long-lived sessions would otherwise accumulate
+    * MEMORY_AND_DISK blocks across runs).
+    */
+  final case class Result(
+      clusters: DataFrame,
+      verified: DataFrame,
+      bucketCensus: () => Map[String, Map[String, Any]],
+      unpersist: () => Unit)
 
   /** Run without checkpointing (tests / bench). */
   def run(corpus: DataFrame, cfg: DedupConfig): Result =
@@ -30,11 +44,15 @@ object Pipeline {
     // Without table checkpoints each stage would lazily re-derive its whole
     // upstream DAG — signatures would be recomputed once per candidate path
     // plus twice in scoring. Persist re-used stages in memory (spilling to
-    // disk) when no TableIO materializes them.
+    // disk) when no TableIO materializes them; track what we persisted so
+    // the caller can release it (cache hygiene in long-lived sessions).
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def ckpt(stage: String)(df: => DataFrame): DataFrame = io match {
       case Some(t) => t.commit(stage, df)
       case None =>
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += p
+        p
     }
 
     // stage 0–1: filters + signatures (row-local, one codegen stage)
@@ -58,11 +76,15 @@ object Pipeline {
       t.commit("bucket_stats", Lsh.bucketStats(Lsh.bands(sigs, cfg), cfg))
     }
 
-    // stage 2–3: candidate generation (three retrieval paths, unioned)
+    // stage 2–3: candidate generation (three retrieval paths, unioned).
+    // Observations ride the plan and aggregate the bucket-cap census with
+    // no extra job (harvested once the stage first executes).
+    val lshObs = new Observation()
+    val shObs = new Observation()
     val candidates = ckpt("candidates") {
       val bandsDf = Lsh.bands(sigs, cfg)
-      val lshPairs = Lsh.lshCandidates(bandsDf, cfg, dedup = false)
-      val shPairs = Lsh.simhashCandidates(sigs, cfg, dedup = false)
+      val lshPairs = Lsh.lshCandidates(bandsDf, cfg, dedup = false, census = Some(lshObs))
+      val shPairs = Lsh.simhashCandidates(sigs, cfg, dedup = false, census = Some(shObs))
       val spanPairs = SuffixPass.spanCandidates(sigs.select(col("id"), col("norm")), cfg)
       lshPairs.withColumn("span_len", lit(0))
         .unionByName(shPairs.withColumn("span_len", lit(0)))
@@ -90,19 +112,65 @@ object Pipeline {
       ConnectedComponents.cluster(edges, corpus.select(col("image_id")))
     }
 
-    Result(clusters, verified)
+    // the CC loop's convergence actions have materialized every persisted
+    // stage above; sigs/candidates/scored have no remaining consumers —
+    // release them now. verified + clusters stay cached for the caller
+    // (Result.unpersist releases those).
+    val earlyRelease = persisted.filterNot(df => (df eq verified) || (df eq clusters))
+    earlyRelease.foreach(_.unpersist(blocking = false))
+    val lateRelease = persisted.filter(df => (df eq verified) || (df eq clusters))
+
+    def census(): Map[String, Map[String, Any]] = {
+      // non-blocking: future.value is Some only once the observed plan
+      // node has executed (get() would hang if the stage never ran)
+      def metrics(o: Observation): Map[String, Any] = o.future.value match {
+        case Some(scala.util.Success(row)) if row.schema != null =>
+          row.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> row.get(i) }.toMap
+        case _ => Map.empty
+      }
+      val m = Map("lsh" -> metrics(lshObs), "simhash" -> metrics(shObs))
+      m.foreach { case (src, c) =>
+        c.get("overflow_buckets").collect { case n: Long if n > 0 =>
+          System.err.println(s"[graft] $src bucket cap overflow: $c")
+        }
+      }
+      m
+    }
+
+    Result(clusters, verified, () => census(),
+      () => lateRelease.foreach(_.unpersist(blocking = false)))
   }
 }
 
 /** spark-submit entry point (SURVEY.md §3.1/§3.3):
-  * `graft.DedupJob --input <parquet> --out <dir> [--resume]`.
+  * `graft.DedupJob --input <parquet> --out <dir> [--run-id <id>] [--resume]`.
   */
 object DedupJob {
+
+  /** Flags (valueless) and key-value options; order-independent. The old
+    * `args.sliding(2,2)` pairing misaligned every option after a valueless
+    * flag, silently dropping `--out` in `--resume --input x --out y`.
+    */
+  private[graft] def parseArgs(args: Array[String]): (Map[String, String], Set[String]) = {
+    val boolFlags = Set("--resume")
+    val kv = scala.collection.mutable.Map.empty[String, String]
+    val flags = scala.collection.mutable.Set.empty[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (boolFlags(a)) { flags += a; i += 1 }
+      else if (a.startsWith("--") && i + 1 < args.length) { kv(a) = args(i + 1); i += 2 }
+      else sys.error(s"unrecognized or valueless argument: $a")
+    }
+    (kv.toMap, flags.toSet)
+  }
+
   def main(args: Array[String]): Unit = {
-    val argMap = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val (argMap, flags) = parseArgs(args)
     val input = argMap.getOrElse("--input", sys.error("--input required"))
     val out = argMap.getOrElse("--out", sys.error("--out required"))
     val runId = argMap.getOrElse("--run-id", "run-" + System.currentTimeMillis())
+    val resume = flags("--resume")
 
     // spark-submit injects --master in production; local runs (sbt runMain)
     // fall back to SPARK_MASTER or all cores.
@@ -124,11 +192,21 @@ object DedupJob {
     spark.sparkContext.setLogLevel("WARN")
 
     val cfg = DedupConfig()
+    val priorCommits = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/_manifest/config.hash"))
+    if (priorCommits && !resume)
+      System.err.println(s"[graft] $out already holds committed snapshots; " +
+        "they will be reused (pass --resume to acknowledge explicitly)")
+    if (resume && !priorCommits)
+      System.err.println(s"[graft] --resume given but $out has no committed " +
+        "snapshots; running from scratch")
     val io = new ParquetTableIO(spark, out, runId, cfg.configHash)
     val corpus = spark.read.parquet(input)
     val result = Pipeline.runCheckpointed(corpus, cfg, io)
     val n = result.clusters.count()
     val nClusters = result.clusters.select("cluster_id").distinct().count()
+    result.bucketCensus() // logs any cap overflow to stderr
+    result.unpersist()
     println(s"""{"images":$n,"clusters":$nClusters,"run_id":"$runId"}""")
     spark.stop()
   }

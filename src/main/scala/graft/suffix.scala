@@ -56,10 +56,13 @@ object SuffixPass {
 
   /** Suffix array by prefix doubling (Manber–Myers 1990, O(n log² n)).
     *
-    * Each round packs (rank(i), rank(i+k), i) into one long —
-    * 21|21|22 bits, valid for n < 2^21 (groups are ≤ bucketCap docs ×
-    * ~caption length ≪ that) — and sorts a primitive `long[]` with
-    * `Arrays.sort`. A boxed-`Integer[]`/comparator formulation measured
+    * Each round packs (rank(i), rank(i+k), i) into one long — 21|21|21
+    * bits at positions 42|21|0, 63 bits total so the SIGN BIT is never
+    * touched (an earlier 21|21|22 layout put rank's top bit at bit 63:
+    * any rank ≥ 2^20 went negative and `Arrays.sort` silently corrupted
+    * the order). Valid for n < 2^21: rank ≤ n-1 and r2 = rank+1 ≤ n both
+    * fit 21 bits, as does i. Sorting a primitive `long[]` with
+    * `Arrays.sort`: a boxed-`Integer[]`/comparator formulation measured
     * several times slower and, worse, was the dominant allocator in the
     * engine (cache/GC pressure was the top cause of poor thread-scaling
     * in the span stage).
@@ -67,6 +70,8 @@ object SuffixPass {
   private[graft] def suffixArray(s: Array[Int]): Array[Int] = {
     val n = s.length
     require(n < (1 << 21), s"suffix group of $n exceeds packed-sort bound")
+    require(s.forall(c => c >= 0 && c < (1 << 21)),
+      "char codes must fit the 21-bit initial-rank field")
     val sa = new Array[Int](n)
     if (n <= 1) return sa // initial "ranks" are raw char codes; loop never runs
     var rank = s.clone()
@@ -78,17 +83,17 @@ object SuffixPass {
       var i = 0
       while (i < n) {
         val r2 = if (i + kk < n) rank(i + kk) + 1 else 0 // 0 = "past end", sorts first
-        packed(i) = (rank(i).toLong << 43) | (r2.toLong << 22) | i.toLong
+        packed(i) = (rank(i).toLong << 42) | (r2.toLong << 21) | i.toLong
         i += 1
       }
       java.util.Arrays.sort(packed)
       var r = 0
-      tmp((packed(0) & 0x3fffff).toInt) = 0
+      tmp((packed(0) & 0x1fffff).toInt) = 0
       i = 1
       while (i < n) {
         // same (rank, rank2) key iff the top 42 bits match
-        if ((packed(i) >>> 22) != (packed(i - 1) >>> 22)) r += 1
-        tmp((packed(i) & 0x3fffff).toInt) = r
+        if ((packed(i) >>> 21) != (packed(i - 1) >>> 21)) r += 1
+        tmp((packed(i) & 0x1fffff).toInt) = r
         i += 1
       }
       val sw = rank; rank = tmp; tmp = sw
@@ -102,7 +107,7 @@ object SuffixPass {
       // n == 1; with distinct sentinels every group terminates above.
       // Defensive: rebuild from last packed order.
       var j = 0
-      while (j < n) { sa(j) = (packed(j) & 0x3fffff).toInt; j += 1 }
+      while (j < n) { sa(j) = (packed(j) & 0x1fffff).toInt; j += 1 }
     }
     sa
   }

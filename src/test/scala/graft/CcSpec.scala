@@ -52,4 +52,19 @@ class CcSpec extends SparkSpec {
     val n = 100
     check(n, (1 until n).map(i => (0, i)))
   }
+
+  test("cc hub stress: one node with 1e5 neighbors (bounded agg state)") {
+    // a component minimum concentrates the whole component's edges on one
+    // key mid-convergence; the join-based small-star must hold constant
+    // state per key (the old collect_set formulation buffered all 1e5
+    // neighbors in a single aggregation buffer)
+    val n = 100001
+    val hubEdges = (1 until n).map(i => (0, i))
+    def id(i: Int) = f"n$i%06d"
+    val edgeDf = hubEdges.map { case (a, b) => (id(a), id(b)) }.toDF("a", "b")
+    val nodes = (0 until n).map(id).toDF("image_id")
+    val got = ConnectedComponents.cluster(edgeDf, nodes)
+    assert(got.select(countDistinct(col("cluster_id"))).as[Long].collect()(0) == 1L)
+    assert(got.where(col("cluster_id") =!= id(0)).count() == 0L)
+  }
 }

@@ -17,7 +17,7 @@ class PipelineSpec extends SparkSpec {
   private lazy val corpus = Fixtures.corpus(spark, nClusters).cache()
   private lazy val result = {
     val r = Pipeline.run(corpus.toDF(), cfg)
-    Pipeline.Result(r.clusters.cache(), r.verified.cache())
+    r.copy(clusters = r.clusters.cache(), verified = r.verified.cache())
   }
 
   test("pipeline emits every corpus row exactly once") {

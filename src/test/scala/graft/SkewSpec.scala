@@ -39,6 +39,19 @@ class SkewSpec extends SparkSpec {
     assert(got == capPairs, s"identical captions → all bands keep the same capped id set")
   }
 
+  test("bucket-cap overflow is observable on the uncheckpointed path (W2)") {
+    // the census Observation aggregates drop counts as the candidate plan
+    // executes — no extra job, and a recall-affecting cap is never silent
+    val obs = new org.apache.spark.sql.Observation()
+    val sigs = Signatures.signatures(hotCorpus(600), cfg)
+    Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg, census = Some(obs)).count()
+    val m = obs.get
+    assert(m("overflow_buckets").asInstanceOf[Long] == cfg.bands.toLong)
+    assert(m("max_bucket").asInstanceOf[Long] == 600L)
+    assert(m("dropped_ids").asInstanceOf[Long] ==
+      cfg.bands.toLong * (600 - cfg.bucketCap))
+  }
+
   test("salting is a pure repartition: capped set is deterministic") {
     val sigs = Signatures.signatures(hotCorpus(300), cfg)
     val p1 = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg)

@@ -20,6 +20,30 @@ class SuffixSpec extends AnyFunSuite {
     }
   }
 
+  test("suffix array correct for n >= 2^20 (packed-sort sign-bit range)") {
+    // ranks >= 2^20 used to set the packed long's sign bit and corrupt the
+    // sort order; verify the sorted-suffix property across that range.
+    // Small alphabet forces many equal-rank rounds (deep rank growth).
+    val rng = new java.util.SplittableRandom(7)
+    val n = (1 << 20) + 4096
+    val arr = Array.fill(n)(1 + rng.nextInt(3))
+    val sa = SuffixPass.suffixArray(arr)
+    assert(sa.toSet == (0 until n).toSet, "not a permutation")
+    var i = 1
+    while (i < n) {
+      val a = sa(i - 1); val b = sa(i)
+      // lexicographic comparison with early exit (random text → O(1) avg)
+      var k = 0
+      while (a + k < n && b + k < n && arr(a + k) == arr(b + k)) k += 1
+      val ok =
+        if (a + k >= n) true // shorter suffix sorts first
+        else if (b + k >= n) false
+        else arr(a + k) < arr(b + k)
+      assert(ok, s"suffixes out of order at $i (sa=$a,$b)")
+      i += 1
+    }
+  }
+
   test("lcp array matches naive pairwise LCP") {
     val s = "banana".map(_.toInt).toArray
     val sa = SuffixPass.suffixArray(s)

@@ -61,6 +61,18 @@ class TableIOSpec extends SparkSpec {
     assert(c1.sameElements(c2))
   }
 
+  test("DedupJob CLI args: valueless --resume parses in any position") {
+    val (kv, flags) = DedupJob.parseArgs(
+      Array("--resume", "--input", "in.parquet", "--out", "outdir"))
+    assert(kv == Map("--input" -> "in.parquet", "--out" -> "outdir"))
+    assert(flags == Set("--resume"))
+    val (kv2, flags2) = DedupJob.parseArgs(
+      Array("--input", "i", "--resume", "--run-id", "r7"))
+    assert(kv2 == Map("--input" -> "i", "--run-id" -> "r7") && flags2("--resume"))
+    intercept[RuntimeException] { DedupJob.parseArgs(Array("--input")) }
+    intercept[RuntimeException] { DedupJob.parseArgs(Array("bogus")) }
+  }
+
   test("partial run (crash after stage 2) resumes and completes") {
     val root = tmpDir()
     val cfg = DedupConfig()

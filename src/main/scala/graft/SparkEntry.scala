@@ -499,49 +499,78 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // training-data dedup: full MinHash+LSH near-dup pairs on documents
-    // with signature-Jaccard scores (rows-only; exact-Jaccard twin is
-    // oracled by q_ngram_jaccard)
+    // training-data dedup: MinHash+LSH near-dup pairs on documents,
+    // re-scored with EXACT 5-gram Jaccard (built-ins) and gated at 0.7.
+    // DuckDB-oracled: the oracle recomputes the exact >=0.7 pair set from
+    // scratch (all-pairs), so the check verifies LSH candidate
+    // COMPLETENESS at this threshold too — at b=42, r=3 a J>=0.7 pair
+    // collides in some band with P(miss) = (1-J^3)^42 <= 2e-8; equality
+    // on the driver's fixed datasets is verified empirically (sf0.01 and
+    // sf0.1) and is deterministic (seeded hashes, fixed data).
     "q_doc_near_dup_lsh" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
       val cfg = DedupConfig()
-      val sigs = t(s, d, "documents")
-        .withColumn("norm", Text.normalizeCol(col("text")))
-        .select(col("doc_id").as("id"), // docs already have i64 ids
-          graft.functions.GraftFunctions.minhashCol(
-            graft.functions.GraftFunctions.shinglesCol(col("norm"), cfg.shingleK),
-            cfg.numPerms).as("minhash"))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").as("id"), col("text")) // docs have i64 ids
+      val sigs = docs.select(col("id"),
+        graft.functions.GraftFunctions.minhashCol(
+          graft.functions.GraftFunctions.shinglesCol(col("text"), 5),
+          cfg.numPerms).as("minhash"))
       val cands = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg)
-      val sa = sigs.select(col("id").as("a"), col("minhash").as("mh_a"))
-      val sb = sigs.select(col("id").as("b"), col("minhash").as("mh_b"))
-      cands.join(sa, "a").join(sb, "b")
-        .withColumn("jaccard_sig",
-          aggregate(zip_with(col("mh_a"), col("mh_b"),
-            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
-            .cast("double") / cfg.numPerms)
-        .where(col("jaccard_sig") >= 0.5)
-        .select(col("a"), col("b"), round(col("jaccard_sig"), 4).as("jaccard_sig"))
+      val sh = docs.select(col("id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+          i => col("text").substr(i, lit(5)))).as("sh"))
+      cands
+        .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
+        .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 4))
+        .where(col("jaccard") >= 0.7)
+        .select(col("a"), col("b"), col("jaccard"))
         .orderBy("a", "b")
     }),
 
-    // text analysis: winnowed document fingerprints (rows-only)
+    // X1 suffix-array substring pass, fully oracled: winnowing guarantees
+    // any two docs sharing a >=24-char span share a fingerprint, and the
+    // SA+LCP kernel emits exactly the co-bucketed pairs with LCP >= 24 —
+    // so the output EQUALS the exact pair set, which DuckDB recomputes
+    // independently via 24-gram equality (a shared substring of length
+    // >=24 ⟺ a shared 24-gram at some alignment).
+    "q_doc_span_pairs" -> ((s, d) => {
+      val cfg = DedupConfig()
+      val docs = t(s, d, "documents").where(col("doc_id") < 120)
+        .select(col("doc_id").as("id"), col("text").as("norm"))
+      SuffixPass.spanCandidates(docs, cfg)
+        .select(col("a"), col("b"))
+        .orderBy("a", "b")
+    }),
+
+    // text analysis: winnowed document fingerprints (MOSS-style,
+    // Schleimer et al. 2003) over a SQL-expressible polynomial gram hash —
+    // the DuckDB oracle recomputes every selected fingerprint
+    // independently (the engine's xxhash-based twin is exercised by the
+    // suffix pass + SuffixSpec)
     "q_doc_fingerprints" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"),
-          size(TextOps.fingerprintsUdf(col("text"), lit(8), lit(24))).as("n_fp"))
+          concat_ws(",", TextOps.polyFingerprintsUdf(col("text"), lit(8), lit(24))).as("fps"))
         .orderBy("doc_id")
     }),
 
-    // text analysis: n-gram language-ID heuristic (rows-only)
+    // text analysis: n-gram language-ID heuristic, per-doc, with overlap
+    // score; the DuckDB oracle recomputes the full kernel (bigram counts →
+    // top-20 → profile overlap → argmax) from the same embedded profiles
     "q_lang_id" -> ((s, d) => {
       t(s, d, "documents")
-        .select(col("doc_id"), TextOps.langIdUdf(col("text")).as("lang_detected"))
-        .groupBy("lang_detected").agg(count(lit(1)).as("n"))
-        .orderBy("lang_detected")
+        .select(col("doc_id"), TextOps.langIdScoredUdf(col("text")).as("r"))
+        .select(col("doc_id"), col("r._1").as("lang_detected"),
+          col("r._2").cast("long").as("overlap"))
+        .orderBy("doc_id")
     }),
 
-    // text analysis: quality scoring columns (oracled subset exists as
-    // q_doc_quality; this is the full heuristic set — rows-only)
+    // text analysis: full quality-scoring heuristic set (DuckDB-oracled:
+    // every heuristic recomputed independently in SQL)
     "q_doc_quality_full" -> ((s, d) => {
       t(s, d, "documents")
         .select((col("doc_id") +: TextOps.qualityColumns(col("text"))): _*)
@@ -558,8 +587,10 @@ object SparkEntry {
       Ann.annTopK(corpus, queries, k = 5).orderBy("qid", "rk")
     }),
 
-    // multimodal: image decode + resize + phash features (rows-only;
-    // deterministic fixture corpus — testdata has no image table)
+    // multimodal: image decode + resize + phash features over the
+    // deterministic fixture corpus (testdata has no image table). Oracle =
+    // pinned golden relation (SparkEntryGoldens) — the kernels have no SQL
+    // equivalent; the golden pins output against regression.
     "q_image_features" -> ((s, d) => {
       val corpus = Fixtures.corpus(s, 30).toDF()
       Multimodal.imageFeatures(corpus)
@@ -590,7 +621,71 @@ object SparkEntry {
     })
   )
 
+  /** Horner base-131 mod 2^31−1 over the 8 chars at positions i..i+7 —
+    * the exact SQL twin of [[TextOps.winnowPoly]]'s gram hash.
+    */
+  private def polyHashSqlExpr: String = {
+    def ord(j: Int) = s"CAST(ord(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT)"
+    (1 until 8).foldLeft(ord(0)) { (acc, j) =>
+      s"(($acc) * 131 + ${ord(j)}) % 2147483647"
+    }
+  }
+
+  /** Full SQL recomputation of [[TextOps.detectLangScored]]: bigram counts
+    * → top-20 (count desc, bigram asc) → profile overlap → argmax
+    * (overlap desc, lang asc); zero overlap → 'und'. Profile VALUES are
+    * generated from the SAME embedded profiles the Scala kernel uses.
+    */
+  private def langIdOracleSql: String = {
+    val profileRows = TextOps.profiles.toSeq.sortBy(_._1).flatMap { case (l, bgs) =>
+      bgs.toSeq.sorted.map(bg => s"('$l', '$bg')")
+    }.mkString(", ")
+    s"""WITH profiles(lang, bg) AS (VALUES $profileRows),
+       bigrams AS (
+         SELECT doc_id, substr(lower(text), CAST(i AS INT), 2) AS bg
+         FROM documents, unnest(generate_series(1, length(text) - 1)) AS t(i)
+         WHERE length(text) >= 2),
+       counts AS (
+         SELECT doc_id, bg, count(*) AS n FROM bigrams
+         WHERE regexp_matches(bg, '^[[:alpha:]][[:alpha:]]$$') GROUP BY 1, 2),
+       top20 AS (
+         SELECT doc_id, bg FROM (
+           SELECT doc_id, bg,
+             row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bg) AS rk
+           FROM counts) WHERE rk <= 20),
+       ovl AS (
+         SELECT t.doc_id, p.lang, count(*) AS overlap
+         FROM top20 t JOIN profiles p ON t.bg = p.bg
+         GROUP BY 1, 2),
+       best AS (
+         SELECT doc_id, lang, overlap FROM (
+           SELECT doc_id, lang, overlap,
+             row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, lang) AS rk
+           FROM ovl) WHERE rk = 1)
+       SELECT d.doc_id AS doc_id, coalesce(b.lang, 'und') AS lang_detected,
+         CAST(coalesce(b.overlap, 0) AS BIGINT) AS overlap
+       FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+       ORDER BY 1"""
+  }
+
   private def extraOracles: Map[String, String] = Map(
+    "q_doc_fingerprints" ->
+      s"""WITH hs AS (
+           SELECT doc_id, i, ${polyHashSqlExpr} AS h, length(text) - 7 AS ngrams
+           FROM documents, unnest(generate_series(1, length(text) - 7)) AS t(i)
+           WHERE length(text) >= 24),
+         wm AS (
+           SELECT doc_id, i, ngrams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND 16 FOLLOWING) AS fp
+           FROM hs),
+         agg AS (
+           SELECT doc_id, array_to_string(list_sort(list(DISTINCT fp)), ',') AS fps
+           FROM wm WHERE i <= greatest(ngrams - 16, 1) GROUP BY 1)
+         SELECT d.doc_id AS doc_id, coalesce(a.fps, '') AS fps
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY 1""",
+    "q_lang_id" -> langIdOracleSql,
     "q_levenshtein" ->
       """SELECT doc_id, levenshtein(substr(text, 1, 10), 'spark data') AS dist
          FROM documents ORDER BY doc_id""",
@@ -614,6 +709,45 @@ object SparkEntry {
       """SELECT label, count(*) AS n, min(len(embedding)) AS dim,
          round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_e1
          FROM embeddings GROUP BY label ORDER BY label""",
+    "q_doc_near_dup_lsh" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           FROM documents, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b,
+           round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+         FROM pairs
+         JOIN counts ca ON pairs.a = ca.doc_id
+         JOIN counts cb ON pairs.b = cb.doc_id
+         WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) >= 0.7
+         ORDER BY a, b""",
+    "q_doc_span_pairs" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+         g24 AS (
+           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 24) AS g
+           FROM docs, unnest(generate_series(1, length(text) - 23)) AS t(i)
+           WHERE length(text) >= 24)
+         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM g24 x JOIN g24 y ON x.g = y.g AND x.doc_id < y.doc_id
+         ORDER BY a, b""",
+    "q_doc_quality_full" ->
+      """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS len,
+         round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+           greatest(length(text), 1), 4) AS alpha_ratio,
+         round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) /
+           greatest(length(text), 1), 4) AS punct_ratio,
+         round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> list_contains(['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE) /
+           greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS stopword_ratio,
+         round(CAST(length(text) - len(regexp_split_to_array(trim(text), '\s+')) + 1 AS DOUBLE) /
+           greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS mean_tok_len,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         FROM documents ORDER BY doc_id""",
     "q_doc_clusters" ->
       """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
          sh AS (
@@ -635,6 +769,9 @@ object SparkEntry {
            UNION
            SELECT e.b, w.rep FROM walk w JOIN edges e ON e.a = w.node)
          SELECT node AS doc_id, min(rep) AS cluster_id
-         FROM walk GROUP BY node ORDER BY doc_id"""
+         FROM walk GROUP BY node ORDER BY doc_id""",
+    "q_image_features" -> SparkEntryGoldens.q_image_features,
+    "q_video_frames" -> SparkEntryGoldens.q_video_frames,
+    "q_audio_features" -> SparkEntryGoldens.q_audio_features
   )
 }

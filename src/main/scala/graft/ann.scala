@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,19 +63,51 @@ object Ann {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Plane count scaled to corpus size: 2^planes buckets sized toward
+    * `targetBucket` vectors each (planes = ⌈log2(n / targetBucket)⌉,
+    * clamped to [8, 24]). A FIXED plane count is a scale bug: 12 planes =
+    * 4096 buckets forever, so at 10^9 vectors every bucket holds ~250k
+    * vectors and the bucket equi-join re-explodes quadratically. At
+    * n = 10^9 this derives 24 planes (~16M buckets, ~60 vectors each).
+    */
+  def derivePlanes(n: Long, targetBucket: Int = 64): Int = {
+    val needed = math.ceil(math.log(math.max(1L, n / targetBucket).toDouble) /
+      math.log(2.0)).toInt
+    math.max(8, math.min(24, needed))
+  }
+
   /** LSH-bucketed ANN: top-k neighbors per query vector, searching only
     * shared (multi-probed) buckets. `queries` and `corpus` both carry
     * (id, vec). One equi-join on bucket id replaces the cross join.
+    *
+    * `nPlanes = 0` (default) derives the plane count from `corpus.count()`
+    * (one cheap count job). Hot buckets — duplicate/near-constant
+    * embeddings all land on one sign pattern — are capped at `bucketCap`
+    * corpus vectors (deterministic: smallest ids win, via WindowGroupLimit
+    * so only the top-cap rows per bucket are buffered), and the drop count
+    * is surfaced through `census` (never silent; same W2 discipline as the
+    * LSH text path).
     */
   def annTopK(
       corpus: DataFrame, // (id: long, vec: array<float>)
       queries: DataFrame, // (qid: long, qvec: array<float>)
       k: Int,
-      nPlanes: Int = 12,
-      seed: Long = 42L): DataFrame = {
-    val cb = corpus.withColumn("bucket", bucketUdf(nPlanes, seed)(col("vec")))
+      nPlanes: Int = 0,
+      seed: Long = 42L,
+      bucketCap: Int = 4096,
+      census: Option[Observation] = None): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes else derivePlanes(corpus.count())
+    val cw = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    val withRk = corpus
+      .withColumn("bucket", bucketUdf(planes, seed)(col("vec")))
+      .withColumn("crk", row_number().over(cw))
+    val observed = census.fold(withRk)(o => withRk.observe(o,
+      sum(when(col("crk") > bucketCap, 1L).otherwise(0L)).as("dropped_vectors"),
+      max(col("crk")).as("max_bucket"),
+      count(lit(1)).as("n_vectors")))
+    val cb = observed.where(col("crk") <= bucketCap).drop("crk")
     val qb = queries.withColumn("bucket",
-      explode(probeUdf(nPlanes, seed)(col("qvec"))))
+      explode(probeUdf(planes, seed)(col("qvec"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
     qb.join(cb, "bucket")
       .where(col("qid") =!= col("id"))

@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Tiny embedded letter-bigram profiles (top bigrams per language drawn
-    * from public letter-frequency tables). Scoring = overlap of the doc's
-    * top bigrams with each profile; ties break lexicographically →
-    * deterministic. A real deployment would embed full trigram profiles;
-    * the Spark plumbing (row-local scalar kernel) is identical.
+  /** Embedded letter-bigram profiles: the 20 most frequent letter bigrams
+    * per language, drawn from public letter-frequency tables (Norvig's
+    * n-gram counts; Practical Cryptography language statistics). Scoring =
+    * overlap of the doc's top-20 bigrams with each profile; ties break
+    * lexicographically → deterministic; zero overlap → "und". The whole
+    * kernel is re-computable in ANSI-ish SQL, so the harness oracle
+    * recomputes it independently (see SparkEntry.langIdOracleSql).
     */
-  private val profiles: Map[String, Set[String]] = Map(
+  private[graft] val profiles: Map[String, Set[String]] = Map(
     "en" -> Set("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
       "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar"),
     "de" -> Set("en", "er", "ch", "de", "ei", "nd", "te", "in", "ie", "ge",
@@ -24,11 +26,20 @@ object TextOps {
     "es" -> Set("de", "es", "en", "el", "la", "os", "on", "as", "er", "ra",
       "ar", "re", "al", "an", "nt", "ue", "do", "ad", "ta", "co"),
     "fr" -> Set("es", "le", "de", "en", "on", "re", "nt", "ou", "an", "ai",
-      "it", "te", "se", "et", "la", "au", "el", "me", "is", "ur")
+      "it", "te", "se", "et", "la", "au", "el", "me", "is", "ur"),
+    "it" -> Set("di", "la", "er", "on", "an", "re", "in", "co", "al", "ta",
+      "el", "to", "nt", "ch", "ar", "en", "es", "at", "il", "ra"),
+    "pt" -> Set("de", "os", "es", "ar", "ra", "en", "er", "ad", "as", "do",
+      "ta", "co", "nt", "da", "ma", "se", "te", "an", "re", "or"),
+    "nl" -> Set("en", "de", "er", "an", "et", "ee", "ij", "te", "ge", "nd",
+      "aa", "in", "el", "ar", "ng", "at", "ve", "he", "st", "on")
   )
 
-  def detectLang(text: String): String = {
-    if (text == null || text.isEmpty) return "und"
+  /** (language, overlap score ∈ [0, 20]); ("und", 0) when no letter
+    * bigrams exist or no profile overlaps at all.
+    */
+  def detectLangScored(text: String): (String, Int) = {
+    if (text == null || text.isEmpty) return ("und", 0)
     val counts = scala.collection.mutable.HashMap.empty[String, Int]
     val t = text.toLowerCase
     var i = 0
@@ -40,15 +51,18 @@ object TextOps {
       }
       i += 1
     }
-    if (counts.isEmpty) return "und"
+    if (counts.isEmpty) return ("und", 0)
     val top = counts.toSeq.sortBy { case (bg, n) => (-n, bg) }.take(20).map(_._1).toSet
-    profiles.toSeq
+    val best = profiles.toSeq
       .map { case (lang, prof) => (lang, (prof & top).size) }
-      .sortBy { case (lang, overlap) => (-overlap, lang) }
-      .head._1
+      .minBy { case (lang, overlap) => (-overlap, lang) }
+    if (best._2 == 0) ("und", 0) else best
   }
 
+  def detectLang(text: String): String = detectLangScored(text)._1
+
   val langIdUdf = udf(detectLang _)
+  val langIdScoredUdf = udf(detectLangScored _)
 
   /** Winnowed document fingerprint set (rolling-hash based; reuses the
     * suffix-pass winnowing kernel — Schleimer et al. 2003).
@@ -56,6 +70,47 @@ object TextOps {
   val fingerprintsUdf = udf { (text: String, k: Int, window: Int) =>
     SuffixPass.winnowFingerprints(if (text == null) "" else text, k, window)
   }
+
+  /** Winnowed fingerprints over a SQL-expressible polynomial hash
+    * (Horner base-131 mod 2^31−1 per k-gram): identical selection rule to
+    * [[SuffixPass.winnowFingerprints]] (min hash of each window of
+    * w = minSpan−k+1 consecutive k-grams, distinct, sorted), but with a
+    * gram hash DuckDB can recompute exactly — the oracle-checked harness
+    * query verifies the whole winnowing operator end-to-end against an
+    * independent SQL recomputation.
+    */
+  def winnowPoly(s: String, k: Int, minSpan: Int): Array[Long] = {
+    if (s == null || s.length < minSpan) return Array.emptyLongArray
+    val M = 2147483647L // 2^31 − 1; Horner step stays < 2^45, no overflow
+    val n = s.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = i
+      while (j < i + k) { h = (h * 131 + s.charAt(j)) % M; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val w = math.max(1, minSpan - k + 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (n <= w) set.add(hs.min)
+    else {
+      var start = 0
+      while (start + w <= n) {
+        var m = hs(start); var j = start + 1
+        while (j < start + w) { if (hs(j) < m) m = hs(j); j += 1 }
+        set.add(m)
+        start += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var j2 = 0
+    while (it.hasNext) { out(j2) = it.next(); j2 += 1 }
+    out
+  }
+
+  val polyFingerprintsUdf = udf(winnowPoly _)
 
   /** Quality-score columns: length, alpha ratio, punctuation ratio,
     * stopword ratio, mean token length — standard corpus-filtering

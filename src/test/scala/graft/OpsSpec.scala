@@ -31,28 +31,85 @@ class OpsSpec extends SparkSpec {
     assert(probes.tail.forall(p => java.lang.Integer.bitCount(p ^ b1) == 1))
   }
 
-  test("ann: LSH top-k finds the planted nearest neighbor") {
-    // plant pairs of near-identical vectors; ANN must pair them up
+  /** Planted-twin recall at a given corpus size (n base vectors + their
+    * near-identical twins); returns hits/n.
+    */
+  private def twinRecall(n: Int): Double = {
     val rng = new java.util.SplittableRandom(9)
-    val base = (0 until 40).map { i =>
+    val base = (0 until n).map { i =>
       (i.toLong * 2, Array.fill(16)(rng.nextDouble().toFloat - 0.5f))
     }
-    val twins = base.map { case (id, v) =>
-      (id + 1, v.map(x => x + 0.001f)) // near-identical twin
-    }
+    val twins = base.map { case (id, v) => (id + 1, v.map(x => x + 0.001f)) }
     val all = (base ++ twins).toDF("id", "vec")
     val queries = base.toDF("qid", "qvec")
     val top1 = Ann.annTopK(all, queries, k = 1)
       .select("qid", "id").as[(Long, Long)].collect().toMap
-    val hits = base.count { case (id, _) => top1.get(id).contains(id + 1) }
-    assert(hits >= 38, s"only $hits/40 twins found") // multi-probe recall
+    base.count { case (id, _) => top1.get(id).contains(id + 1) }.toDouble / n
+  }
+
+  test("ann: LSH top-k finds the planted nearest neighbor (recall >= 0.95 at 2 sizes)") {
+    // multi-probe recall must hold as the corpus grows, not just at the
+    // toy size (scale evidence for the auto-derived plane count)
+    assert(twinRecall(40) >= 0.95)
+    assert(twinRecall(400) >= 0.95)
+  }
+
+  test("ann: plane count scales with corpus size (fixed planes = scale bug)") {
+    assert(Ann.derivePlanes(1000) == 8) // clamp floor at toy sizes
+    assert(Ann.derivePlanes(1000000) == 14) // ~64/bucket
+    assert(Ann.derivePlanes(1000000000L) == 24) // 10^9 → 16M buckets
+    assert(Ann.derivePlanes(1000000000000L) == 24) // clamp ceiling
+  }
+
+  test("ann: hot-bucket cap drops are observable, never silent") {
+    // constant vectors: every corpus row lands in ONE bucket
+    val all = (0 until 50).map(i => (i.toLong, Array.fill(8)(1.0f))).toDF("id", "vec")
+    val q = Seq((999L, Array.fill(8)(1.0f))).toDF("qid", "qvec")
+    val obs = new org.apache.spark.sql.Observation()
+    val got = Ann.annTopK(all, q, k = 5, bucketCap = 20, census = Some(obs)).count()
+    assert(got == 5)
+    val m = obs.get
+    assert(m("dropped_vectors").asInstanceOf[Number].longValue == 30L)
+    assert(m("max_bucket").asInstanceOf[Number].longValue == 50L)
+    assert(m("n_vectors").asInstanceOf[Number].longValue == 50L)
   }
 
   test("textops: language id is deterministic and sane on english text") {
     val en = "the quick brown fox is in the garden and it is resting there"
     assert(TextOps.detectLang(en) == "en")
     assert(TextOps.detectLang("") == "und")
+    assert(TextOps.detectLang("12345 678 @@@") == "und") // no letter bigrams
     assert(TextOps.detectLang(en) == TextOps.detectLang(en))
+  }
+
+  test("textops: language id accuracy on a labeled multilingual fixture") {
+    // documented accuracy (BASELINE.md): short natural-language samples,
+    // one per supported language — the bigram heuristic must identify all
+    // (longer texts only improve the bigram statistics)
+    val labeled = Seq(
+      "en" -> ("the weather in the north of the country is rather cold in " +
+        "winter and the people there are used to staying inside of their homes"),
+      "de" -> ("die kinder gehen in die schule und der lehrer erzählt eine " +
+        "geschichte über die alten zeiten in deutschland und die schönen wälder"),
+      "es" -> ("los estudiantes de la universidad estudian las lenguas " +
+        "extranjeras para poder trabajar en otros lugares del mundo entero"),
+      "fr" -> ("les enfants aiment jouer dans le jardin quand il fait beau " +
+        "et que la lumiere du jour est encore presente sur les toits de la " +
+        "petite ville"),
+      "it" -> ("il bambino gioca nella piazza della citta con gli amici e " +
+        "racconta che il castello antico della collina ha una storia molto " +
+        "interessante"),
+      "pt" -> ("os meninos da escola estudam todos os dias para aprender as " +
+        "coisas mais importantes da historia do seu pais e da sua cidade"),
+      "nl" -> ("de kinderen van de school gaan elke dag met de fiets naar " +
+        "het park en de meester vertelt een verhaal over de oude tijden"))
+    val correct = labeled.count { case (lang, text) =>
+      TextOps.detectLang(text) == lang
+    }
+    assert(correct == 7, {
+      val got = labeled.map { case (l, t) => s"$l->${TextOps.detectLang(t)}" }
+      s"only $correct/7 correct: ${got.mkString(", ")}"
+    })
   }
 
   test("textops: quality columns compute exact ratios on a known string") {

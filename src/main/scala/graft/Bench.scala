@@ -34,6 +34,15 @@ object Bench {
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", shuffleParts.toString)
+      // Bounded-state UDAF aggregations (BoundedMinIds/Rows) have O(cap)
+      // per-key buffers, so a large in-memory hash map is safe; the
+      // default 128-key fallback made every bucket aggregation sort-based
+      // (per-row buffer serialization + TimSort of the widest relations).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "65536"))
+      .config("spark.eventLog.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
+      .config("spark.eventLog.dir", "/tmp/spark-events")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -105,7 +114,61 @@ object Bench {
     spark.stop()
   }
 
-  /** One measured level: warm-up run (JIT/codegen), then best-of-2 timed
+  /** Session on a `local-cluster[workers,coresPerWorker,memMB]` master:
+    * SEPARATE executor JVMs (own heap + GC each) — the sandbox's closest
+    * stand-in for the north rule's "N vs 4N executors on a multi-executor
+    * cluster" (the thread-mode local[N] pair shares one heap between both
+    * "cluster sizes", which is exactly the confound being tested).
+    * Requires the packaged engine jar (`sbt package`) so executor
+    * processes can load graft classes.
+    */
+  private def clusterSession(
+      workers: Int, coresPerWorker: Int, memMb: Int, shuffleParts: Int): SparkSession = {
+    // Worker/launcher need the Spark install location. Preferred: run with
+    // env SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13. Fallback (env
+    // absent): spark.testing + spark.test.home — NOTE spark.testing ships
+    // to executors in SparkConf and flips Utils.isTesting code paths, so
+    // the env route is the one used for recorded measurements.
+    if (!sys.env.contains("SPARK_HOME")) {
+      System.setProperty("spark.testing", "true")
+      System.setProperty("spark.test.home", "/opt/spark")
+    }
+    val jar = new java.io.File("target/scala-2.13")
+      .listFiles((_, n) => n.endsWith(".jar") && !n.endsWith("-tests.jar"))
+    require(jar != null && jar.nonEmpty,
+      "scaling jvm mode needs the packaged engine jar: run `sbt package` first")
+    val s = SparkSession.builder()
+      .master(s"local-cluster[$workers,$coresPerWorker,$memMb]")
+      .appName(s"graft-scaling-$workers-x-$coresPerWorker")
+      .config("spark.executor.memory", s"${memMb}m")
+      // the host stalls for tens of seconds under hypervisor contention;
+      // the default 60 s worker timeout then declares live workers lost
+      // and respawns executors while the old PROCESSES keep running
+      // (observed: 8 executors competing for 16 cores). Long timeouts
+      // ride the stall out instead.
+      .config("spark.worker.timeout", "300")
+      .config("spark.network.timeout", "300s")
+      .config("spark.executor.heartbeatInterval", "30s")
+      .config("spark.executorEnv.SPARK_HOME", "/opt/spark")
+      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      .config("spark.jars", jar.head.getAbsolutePath)
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "65536"))
+      .config("spark.eventLog.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
+      .config("spark.eventLog.dir", "/tmp/spark-events")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "8m") // see session()
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One measured level: warm-up run (JIT/codegen), then best-of-k timed
     * runs. `clearCache()` between runs — Pipeline.run persists its stages
     * and Spark's CacheManager would otherwise serve the measured run from
     * the warm-up's cached stage data (observed: a 2× "speedup" that was
@@ -116,8 +179,9 @@ object Bench {
   // the high level's cores: 2 waves at 16 cores left stage-tail stragglers
   // idling half the cores; 4 waves measured ~25% faster at the high level
   // with no measurable cost at the low level.
-  private def measureLevel(cpus: Int, corpusPath: String, timedRuns: Int, shuffleParts: Int): Double = {
-    val spark = session(cpus, shuffleParts)
+  private def measureLevel(mkSession: () => SparkSession, corpusPath: String,
+      timedRuns: Int): Double = {
+    val spark = mkSession()
     try {
       runPipeline(spark, corpusPath) // warm-up (JIT/codegen)
       (1 to timedRuns).map { _ =>
@@ -132,14 +196,27 @@ object Bench {
 
   private def scalingMain(): Unit = {
     val nClusters = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "48000").toInt
+    // jvm mode (default): 1 vs 4 SEPARATE executor JVMs at fixed
+    // cores/executor — the north-rule shape. threads mode: legacy
+    // local[N] vs local[4N] single-JVM pair.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "jvm")
     // generate corpus once at full parallelism
     val gen = session(32)
     val (corpusPath, nImages) = ensureCorpus(gen, nClusters)
     gen.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
-    val nLo = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
+    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES_PER_EXEC", "4").toInt
+    val nLo = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", coresPerExec.toString).toInt
     val nHi = sys.env.getOrElse("SPARK_GRAFT_SCALE_4N", (nLo * 4).toString).toInt
+    val memMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXEC_MB", "8192").toInt
+    val shuffleParts = nHi * 4
+    def mk(cores: Int): () => SparkSession = mode match {
+      case "threads" => () => session(cores, shuffleParts)
+      case _ => // cores/coresPerExec separate executor JVMs
+        val workers = math.max(1, cores / coresPerExec)
+        () => clusterSession(workers, coresPerWorker = coresPerExec, memMb, shuffleParts)
+    }
     // The sandbox host's effective CPU fluctuates (hypervisor neighbors:
     // identical probe runs varied up to 5×), so a single timed run per
     // level is meaningless. Alternate levels and keep the per-level MIN —
@@ -148,14 +225,14 @@ object Bench {
     var tHi = Double.MaxValue
     var tLo = Double.MaxValue
     (1 to rounds).foreach { r =>
-      tHi = math.min(tHi, measureLevel(nHi, corpusPath, timedRuns = 1, shuffleParts = nHi * 4))
-      tLo = math.min(tLo, measureLevel(nLo, corpusPath, timedRuns = 1, shuffleParts = nHi * 4))
-      System.err.println(f"[scaling] round $r: best sec_local$nHi=$tHi%.2f sec_local$nLo=$tLo%.2f")
+      tHi = math.min(tHi, measureLevel(mk(nHi), corpusPath, timedRuns = 1))
+      tLo = math.min(tLo, measureLevel(mk(nLo), corpusPath, timedRuns = 1))
+      System.err.println(f"[scaling] round $r ($mode): best sec_$nHi=$tHi%.2f sec_$nLo=$tLo%.2f")
     }
 
     val thrHi = nImages / tHi
     val thrLo = nImages / tLo
     val eff = (thrHi / thrLo) / (nHi.toDouble / nLo)
-    println(f"""{"images":$nImages,"cores_n":$nLo,"cores_4n":$nHi,"sec_local$nLo%d":$tLo%.2f,"sec_local$nHi%d":$tHi%.2f,"images_per_sec_local$nLo%d":$thrLo%.1f,"images_per_sec_local$nHi%d":$thrHi%.1f,"scaling_efficiency":$eff%.3f}""")
+    println(f"""{"images":$nImages,"mode":"$mode%s","cores_n":$nLo,"cores_4n":$nHi,"sec_n":$tLo%.2f,"sec_4n":$tHi%.2f,"images_per_sec_n":$thrLo%.1f,"images_per_sec_4n":$thrHi%.1f,"scaling_efficiency":$eff%.3f}""")
   }
 }

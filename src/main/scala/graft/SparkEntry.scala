@@ -599,25 +599,31 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
-    // multimodal: video frame sampling plumbing (stubbed decode)
+    // multimodal: REAL multi-frame video decode (animated GIF corpus) —
+    // per-frame perceptual hashes with bounded sampling fan-out. Oracle =
+    // pinned golden (deterministic seeded corpus + JDK decoder).
     "q_video_frames" -> ((s, d) => {
-      val corpus = Fixtures.corpus(s, 10).toDF()
+      val corpus = Fixtures.videoCorpus(s, 40).toDF()
       corpus
-        .select(col("image_id"),
-          explode(Multimodal.sampleFramesUdf(col("bytes"), lit(2), lit(5))).as("f"))
-        .select(col("image_id"), col("f._1").as("frame_idx"), col("f._2").as("frame_hash"))
-        .orderBy("image_id", "frame_idx")
+        .select(col("video_id"), col("n_frames"),
+          explode(Multimodal.sampleFramesUdf(col("bytes"), lit(2), lit(4))).as("f"))
+        .select(col("video_id"), col("n_frames"),
+          col("f._1").as("frame_idx"), col("f._2").as("frame_phash"))
+        .orderBy("video_id", "frame_idx")
     }),
 
-    // multimodal: audio feature plumbing (stubbed decode)
+    // multimodal: REAL audio decode (PCM WAV corpus) — FFT → mel → DCT
+    // MFCC features. Oracle = pinned golden.
     "q_audio_features" -> ((s, d) => {
-      val corpus = Fixtures.corpus(s, 10).toDF()
+      val corpus = Fixtures.audioCorpus(s, 40).toDF()
       corpus
-        .select(col("image_id"),
+        .select(col("audio_id"), col("sample_rate"),
           Multimodal.audioFeaturesUdf(col("bytes"), lit(13)).as("mfcc"))
-        .select(col("image_id"), size(col("mfcc")).as("n_coeffs"),
-          round(element_at(col("mfcc"), 1).cast("double"), 4).as("c0"))
-        .orderBy("image_id")
+        .select(col("audio_id"), col("sample_rate"),
+          size(col("mfcc")).as("n_coeffs"),
+          round(element_at(col("mfcc"), 1).cast("double"), 4).as("c0"),
+          round(element_at(col("mfcc"), 2).cast("double"), 4).as("c1"))
+        .orderBy("audio_id")
     })
   )
 

@@ -58,6 +58,14 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** One large-star + small-star round, exposed for mechanical plan
+    * verification (PlanDump + CcSpec assert it contains only
+    * constant-state HashAggregates — no ObjectHashAggregate, no
+    * collect_set buffers).
+    */
+  private[graft] def planProbe(edges: DataFrame): DataFrame =
+    smallStar(largeStar(edges))
+
   /** Convergence probe: cheap order-independent signature of the edge set
     * (count + XOR of pair hashes) — one lightweight action per round
     * instead of an `except` anti-join. XOR aggregate is overflow-free

@@ -355,4 +355,90 @@ object Fixtures {
     val (specs, _) = plan(nClusters, seed)
     spark.createDataset(specs.map(s => ClusterRow(s.image_id, s.cluster_id)))
   }
+
+  // ---- media fixtures (REAL containers: animated GIF video, PCM WAV) ----
+
+  /** Deterministic animated GIF: `nFrames` frames of the seeded gradient
+    * renderer (each frame a fresh seed → distinct per-frame pHashes).
+    * JDK ImageIO writes GIF sequences natively.
+    */
+  def renderGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var i = 0
+    while (i < nFrames) {
+      val img = renderBase(seed ^ (i.toLong * 0x9e3779b97f4a7c15L), w, h)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+      i += 1
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Deterministic PCM-16 mono WAV: a mix of 2–3 seeded sine tones.
+    * Hand-built RIFF container (44-byte canonical header + data chunk).
+    */
+  def renderWav(seed: Long, sampleRate: Int = 8000, seconds: Double = 0.5): Array[Byte] = {
+    val rng = new SplittableRandom(seed)
+    val nTones = 2 + rng.nextInt(2)
+    val tones = Array.fill(nTones)(200.0 + rng.nextInt(1800))
+    val n = (sampleRate * seconds).toInt
+    val data = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      var s = 0.0
+      var t = 0
+      while (t < nTones) { s += math.sin(2.0 * math.Pi * tones(t) * i / sampleRate); t += 1 }
+      bb.putShort(i * 2, (s / nTones * 20000).toShort)
+      i += 1
+    }
+    val out = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.putInt(0x46464952) // "RIFF"
+    out.putInt(36 + data.length)
+    out.putInt(0x45564157) // "WAVE"
+    out.putInt(0x20746d66) // "fmt "
+    out.putInt(16)
+    out.putShort(1) // PCM
+    out.putShort(1) // mono
+    out.putInt(sampleRate)
+    out.putInt(sampleRate * 2) // byte rate
+    out.putShort(2) // block align
+    out.putShort(16) // bits
+    out.putInt(0x61746164) // "data"
+    out.putInt(data.length)
+    out.put(data)
+    out.array()
+  }
+
+  final case class VideoRow(video_id: String, bytes: Array[Byte], fmt: String, n_frames: Int)
+  final case class AudioRow(audio_id: String, bytes: Array[Byte], fmt: String, sample_rate: Int)
+
+  /** Seeded corpus of real animated GIFs (3–8 frames each). */
+  def videoCorpus(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[VideoRow] = {
+    import spark.implicits._
+    val rng = new SplittableRandom(seed)
+    val specs = Vector.tabulate(n) { i =>
+      (f"vid$i%05d", rng.nextLong(), 3 + rng.nextInt(6))
+    }
+    spark.createDataset(specs).map { case (id, s, frames) =>
+      VideoRow(id, renderGif(s, 32, 32, frames), "gif", frames)
+    }
+  }
+
+  /** Seeded corpus of real PCM WAV clips. */
+  def audioCorpus(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[AudioRow] = {
+    import spark.implicits._
+    val rng = new SplittableRandom(seed)
+    val specs = Vector.tabulate(n)(i => (f"aud$i%05d", rng.nextLong()))
+    spark.createDataset(specs).map { case (id, s) =>
+      AudioRow(id, renderWav(s), "wav", 8000)
+    }
+  }
 }

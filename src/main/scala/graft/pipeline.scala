@@ -86,12 +86,25 @@ object Pipeline {
       val lshPairs = Lsh.lshCandidates(bandsDf, cfg, dedup = false, census = Some(lshObs))
       val shPairs = Lsh.simhashCandidates(sigs, cfg, dedup = false, census = Some(shObs))
       val spanPairs = SuffixPass.spanCandidates(sigs.select(col("id"), col("norm")), cfg)
-      lshPairs.withColumn("span_len", lit(0))
-        .unionByName(shPairs.withColumn("span_len", lit(0)))
-        .unionByName(spanPairs.select(col("a"), col("b"), col("src"), col("span_len")))
+      // Source provenance as a BIT MASK, not collect_set: bit_or is a
+      // declarative aggregate, so the HIGHEST-VOLUME aggregation in the
+      // engine (pair dedup over every emitted candidate) stays a codegen
+      // HashAggregate — collect_set forced ObjectHashAggregate, whose
+      // 128-key sort-based fallback serialized buffers per row and
+      // TimSorted the whole pair relation per task (measured dominant in
+      // stage profiles). The readable src string is derived from the mask
+      // afterwards, row-local (and deterministically ordered, which
+      // collect_set's concat never was).
+      lshPairs.drop("src").withColumn("span_len", lit(0)).withColumn("srcb", lit(1))
+        .unionByName(shPairs.drop("src").withColumn("span_len", lit(0)).withColumn("srcb", lit(2)))
+        .unionByName(spanPairs.select(col("a"), col("b"), col("span_len")).withColumn("srcb", lit(4)))
         .groupBy("a", "b")
-        .agg(concat_ws("+", collect_set(col("src"))).as("src"),
-          max(col("span_len")).as("span_len"))
+        .agg(expr("bit_or(srcb)").as("srcb"), max(col("span_len")).as("span_len"))
+        .withColumn("src", concat_ws("+", filter(array(
+          when(col("srcb").bitwiseAND(1) =!= 0, "lsh"),
+          when(col("srcb").bitwiseAND(2) =!= 0, "simhash"),
+          when(col("srcb").bitwiseAND(4) =!= 0, "span")), x => x.isNotNull)))
+        .drop("srcb")
     }
 
     // stage 4: signature-space scoring + keep-rule + top-k. The signature
@@ -177,6 +190,9 @@ object DedupJob {
     val builder = SparkSession.builder()
       .appName("graft-dedup")
       .config("spark.sql.adaptive.enabled", "true")
+      // bounded-state UDAF buckets: keep the aggregation hash-based (the
+      // 128-key default forces a sort-based fallback; see Bench.session)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
     val spark = sys.props.get("spark.master")
       .orElse(sys.env.get("SPARK_MASTER"))

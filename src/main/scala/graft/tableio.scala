@@ -19,7 +19,31 @@ import org.apache.spark.sql.functions._
   */
 trait TableIO {
   def commit(stage: String, df: DataFrame): DataFrame
+
+  /** Like [[commit]] but hash-partitions the snapshot files by the given
+    * columns (Iceberg: identity partition transform) — downstream
+    * equi-joins/aggregations on those columns read pruned subsets.
+    */
+  def commitPartitioned(stage: String, df: DataFrame, partitionCols: Seq[String]): DataFrame
   def load(stage: String): Option[DataFrame]
+
+  /** Snapshot directories for a stage, oldest → newest (Iceberg: snapshot
+    * history). The manifest's head entry is the live snapshot.
+    */
+  def history(stage: String): Seq[String]
+
+  /** Point the stage's manifest back at an earlier snapshot (Iceberg:
+    * rollback-to-snapshot). No data is deleted; the atomic-manifest-swap
+    * commit discipline applies.
+    */
+  def rollback(stage: String, snapshotDir: String): Unit
+
+  /** Write a NEW snapshot for a stage that may already be committed
+    * (Iceberg: every write is a new snapshot; prior ones stay in
+    * [[history]] for rollback). Unlike [[commit]], does NOT short-circuit
+    * on an existing manifest.
+    */
+  def replace(stage: String, df: DataFrame): DataFrame
   def runId: String
 }
 
@@ -47,42 +71,73 @@ final class ParquetTableIO(
   private def manifestPath(stage: String): Path =
     rootPath.resolve(s"_manifest/$stage.json")
 
-  override def load(stage: String): Option[DataFrame] = {
+  /** Manifest = newline list of snapshot dirs, LIVE snapshot first,
+    * older history after (newest → oldest). Swapped atomically.
+    */
+  private def readManifest(stage: String): Seq[String] = {
     val m = manifestPath(stage)
-    if (!Files.exists(m)) None
-    else {
-      val snapshotDir = Files.readString(m).trim.split('\n').head
-      Some(spark.read.parquet(snapshotDir))
-    }
+    if (!Files.exists(m)) Seq.empty
+    else Files.readString(m).trim.split('\n').toSeq.filter(_.nonEmpty)
   }
 
-  override def commit(stage: String, df: DataFrame): DataFrame = {
+  private def writeManifest(stage: String, lines: Seq[String]): Unit = {
+    val tmp = rootPath.resolve(s"_manifest/.$stage.json.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(stage),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def load(stage: String): Option[DataFrame] =
+    readManifest(stage).headOption.map(spark.read.parquet(_))
+
+  override def history(stage: String): Seq[String] = readManifest(stage).reverse
+
+  override def rollback(stage: String, snapshotDir: String): Unit = {
+    val lines = readManifest(stage)
+    require(lines.contains(snapshotDir),
+      s"snapshot $snapshotDir is not in $stage's history: $lines")
+    writeManifest(stage, snapshotDir +: lines.filterNot(_ == snapshotDir))
+  }
+
+  private def writeSnapshot(
+      stage: String, df: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    val t0 = System.currentTimeMillis()
+    val snapshot = s"$root/$stage/snapshot-${System.nanoTime()}"
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(snapshot)
+    val committed = spark.read.parquet(snapshot)
+    // per-partition lineage + metrics (BASELINE.json:L14): which files
+    // back each partition, and its row count
+    val metrics = committed
+      .select(spark_partition_id().as("partition_id"),
+        input_file_name().as("file"))
+      .groupBy("partition_id", "file")
+      .agg(count(lit(1)).as("rows"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("stage", lit(stage))
+      .withColumn("wall_ms", lit(System.currentTimeMillis() - t0))
+    metrics.write.mode("append").parquet(s"$root/_metrics/rows")
+    // atomic commit point: prepend the new snapshot, keep history
+    writeManifest(stage, snapshot +: readManifest(stage))
+    committed
+  }
+
+  override def commit(stage: String, df: DataFrame): DataFrame =
     load(stage) match {
       case Some(cached) => cached // resume: stage already committed
-      case None =>
-        val t0 = System.currentTimeMillis()
-        val snapshot = s"$root/$stage/snapshot-${System.nanoTime()}"
-        df.write.mode("overwrite").parquet(snapshot)
-        val committed = spark.read.parquet(snapshot)
-        // per-partition lineage + metrics (BASELINE.json:L14): which files
-        // back each partition, and its row count
-        val metrics = committed
-          .select(spark_partition_id().as("partition_id"),
-            input_file_name().as("file"))
-          .groupBy("partition_id", "file")
-          .agg(count(lit(1)).as("rows"))
-          .withColumn("run_id", lit(runId))
-          .withColumn("stage", lit(stage))
-          .withColumn("wall_ms", lit(System.currentTimeMillis() - t0))
-        metrics.write.mode("append").parquet(s"$root/_metrics/rows")
-        // atomic commit point: write manifest to tmp, single-file rename
-        val tmp = rootPath.resolve(s"_manifest/.$stage.json.tmp")
-        Files.write(tmp, snapshot.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, manifestPath(stage),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        committed
+      case None => writeSnapshot(stage, df, Seq.empty)
     }
-  }
+
+  override def commitPartitioned(
+      stage: String, df: DataFrame, partitionCols: Seq[String]): DataFrame =
+    load(stage) match {
+      case Some(cached) => cached
+      case None => writeSnapshot(stage, df, partitionCols)
+    }
+
+  override def replace(stage: String, df: DataFrame): DataFrame =
+    writeSnapshot(stage, df, Seq.empty)
 
   def metrics(): Option[DataFrame] = {
     val p = s"$root/_metrics/rows"

@@ -53,6 +53,16 @@ class CcSpec extends SparkSpec {
     check(n, (1 until n).map(i => (0, i)))
   }
 
+  test("cc star rounds compile to constant-state hash aggregates (plan assert)") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("u", "v")
+    val plan = ConnectedComponents.planProbe(edges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"star round must not use object aggregation buffers:\n$plan")
+    assert(!plan.contains("collect_set"), "unbounded collect_set in CC round")
+    assert(plan.contains("HashAggregate"), "expected hash aggregation for min()")
+  }
+
   test("cc hub stress: one node with 1e5 neighbors (bounded agg state)") {
     // a component minimum concentrates the whole component's edges on one
     // key mid-convergence; the join-based small-star must hold constant

@@ -154,13 +154,75 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Int]("dec_w") == -1)
   }
 
-  test("multimodal stubs: frame sampling bounded fan-out, audio fixed width") {
-    val corpus = Fixtures.corpus(spark, 3).toDF()
-    val frames = corpus.select(col("image_id"),
-      explode(Multimodal.sampleFramesUdf(col("bytes"), lit(2), lit(5))).as("f"))
-    assert(frames.groupBy("image_id").count().agg(max("count")).as[Long].collect()(0) <= 5)
-    val mfcc = corpus.select(Multimodal.audioFeaturesUdf(col("bytes"), lit(13)).as("m"))
-      .select(size(col("m"))).as[Int].collect()
-    assert(mfcc.forall(_ == 13))
+  test("multimodal video: GIF frame decode is real, sampled, per-frame distinct") {
+    val gif = Fixtures.renderGif(seed = 7L, w = 32, h = 32, nFrames = 5)
+    val all = Multimodal.gifFrameHashes(gif, everyNth = 1, maxFrames = 10)
+    assert(all.length == 5)
+    assert(all.map(_._1).sameElements(Array(0, 1, 2, 3, 4)))
+    // frames render from distinct seeds → distinct perceptual hashes
+    assert(all.map(_._2).distinct.length == 5)
+    // deterministic decode
+    assert(Multimodal.gifFrameHashes(gif, 1, 10).sameElements(all))
+    // sampling: every 2nd frame capped at 2
+    val sampled = Multimodal.gifFrameHashes(gif, everyNth = 2, maxFrames = 2)
+    assert(sampled.map(_._1).sameElements(Array(0, 2)))
+    // frame pHash tracks the SOURCE image's pHash through the GIF
+    // palette quantization (256 colors) — near, not exact
+    val srcPhash = {
+      val img = Fixtures.renderBase(7L ^ 0L, 32, 32)
+      val px = img.getRGB(0, 0, 32, 32, null, 0, 32).map(_ & 0xffffff)
+      Imaging.phashOfPixels(px, 32, 32)
+    }
+    assert(java.lang.Long.bitCount(all(0)._2 ^ srcPhash) <= 12)
+    // garbage payload → null, no crash
+    assert(Multimodal.gifFrameHashes(Array[Byte](1, 2, 3), 1, 5) == null)
+  }
+
+  test("multimodal audio: WAV PCM decode recovers the waveform exactly") {
+    // hand-build a single 440 Hz tone and check sample-level round-trip
+    val sr = 8000; val n = 800
+    val data = java.nio.ByteBuffer.allocate(n * 2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i =>
+      data.putShort((math.sin(2 * math.Pi * 440 * i / sr) * 16000).toShort))
+    val wav = {
+      val b = java.nio.ByteBuffer.allocate(44 + n * 2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(0x46464952); b.putInt(36 + n * 2); b.putInt(0x45564157)
+      b.putInt(0x20746d66); b.putInt(16); b.putShort(1); b.putShort(1)
+      b.putInt(sr); b.putInt(sr * 2); b.putShort(2); b.putShort(16)
+      b.putInt(0x61746164); b.putInt(n * 2); b.put(data.array()); b.array()
+    }
+    val (samples, gotSr) = Multimodal.decodeWavPcm(wav)
+    assert(gotSr == sr && samples.length == n)
+    (0 until n).foreach { i =>
+      val expected = (math.sin(2 * math.Pi * 440 * i / sr) * 16000).toShort / 32768.0
+      assert(math.abs(samples(i) - expected) < 1e-9)
+    }
+    assert(Multimodal.decodeWavPcm("nonsense".getBytes) == null)
+  }
+
+  test("multimodal audio: MFCC features separate tones and are deterministic") {
+    val a = Fixtures.renderWav(seed = 1L)
+    val b = Fixtures.renderWav(seed = 2L)
+    val ma = Multimodal.audioMfcc(a, 13)
+    val mb = Multimodal.audioMfcc(b, 13)
+    assert(ma.length == 13 && mb.length == 13)
+    assert(!ma.sameElements(mb), "different tone mixes must yield different MFCCs")
+    assert(Multimodal.audioMfcc(a, 13).sameElements(ma))
+    // spectral sanity: a pure low tone vs pure high tone differ in the
+    // first few coefficients by a clear margin
+    def tone(hz: Double): Array[Byte] = {
+      val sr = 8000; val n = 4000
+      val d = java.nio.ByteBuffer.allocate(44 + n * 2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      d.putInt(0x46464952); d.putInt(36 + n * 2); d.putInt(0x45564157)
+      d.putInt(0x20746d66); d.putInt(16); d.putShort(1); d.putShort(1)
+      d.putInt(sr); d.putInt(sr * 2); d.putShort(2); d.putShort(16)
+      d.putInt(0x61746164); d.putInt(n * 2)
+      (0 until n).foreach(i => d.putShort((math.sin(2 * math.Pi * hz * i / sr) * 16000).toShort))
+      d.array()
+    }
+    val lo = Multimodal.audioMfcc(tone(300), 13)
+    val hi = Multimodal.audioMfcc(tone(2500), 13)
+    val dist = math.sqrt(lo.zip(hi).map { case (x, y) => (x - y) * (x - y) }.sum)
+    assert(dist > 1.0, s"MFCC distance $dist too small between 300 Hz and 2.5 kHz")
   }
 }

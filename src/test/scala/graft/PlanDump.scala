@@ -70,6 +70,48 @@ object PlanDump {
         "join, after the byte-equality short-circuit.",
       Scoring.verify(surv, corpus, cfg))
 
+    dump("stage 3b — suffix-array span pass",
+      "ONE exchange for the whole pass: winnow-fingerprint explode " +
+        "(row-local UDF) → single ObjectHashAggregate pair " +
+        "(partial_boundedminrows below the Exchange — bounded O(cap) " +
+        "buffers, map-side combine) → SA+LCP kernel UDF over each capped " +
+        "bucket → pair aggregation. No window sorts, no groupByKey, no " +
+        "unbounded collect_*.",
+      SuffixPass.spanCandidates(sigsP.select(col("id"), col("norm")), cfg))
+
+    dump("stage 3c — candidate union + pair dedup (bit_or provenance)",
+      "The highest-volume aggregation in the engine. Both aggregations " +
+        "around the final Exchange must be plain HashAggregate (codegen) " +
+        "computing bit_or + max — NOT ObjectHashAggregate: collect_set " +
+        "provenance previously forced object aggregation here, whose " +
+        "128-key sort-based fallback TimSorted the whole pair relation " +
+        "per task. The src string is derived AFTER aggregation, " +
+        "row-local.",
+      {
+        val lshPairs = Lsh.lshCandidates(Lsh.bands(sigsP, cfg), cfg, dedup = false)
+        val shPairs = Lsh.simhashCandidates(sigsP, cfg, dedup = false)
+        val spanPairs = SuffixPass.spanCandidates(sigsP.select(col("id"), col("norm")), cfg)
+        lshPairs.drop("src").withColumn("span_len", lit(0)).withColumn("srcb", lit(1))
+          .unionByName(shPairs.drop("src").withColumn("span_len", lit(0)).withColumn("srcb", lit(2)))
+          .unionByName(spanPairs.select(col("a"), col("b"), col("span_len")).withColumn("srcb", lit(4)))
+          .groupBy("a", "b")
+          .agg(expr("bit_or(srcb)").as("srcb"), max(col("span_len")).as("span_len"))
+      })
+
+    val edges = Scoring.verify(surv, corpus, cfg)
+      .where(col("is_dup")).select(col("a"), col("b"))
+      .select(col("a").as("u"), col("b").as("v")).persist()
+    edges.count()
+    dump("stage 6 — connected components (one large-star + small-star round)",
+      "Both star operations are groupBy-MIN + equi-join-back: every " +
+        "aggregate in this plan must be a plain HashAggregate over " +
+        "min(...) — CONSTANT state per key (the old small-star " +
+        "collect_set held a hot node's whole neighborhood in one buffer). " +
+        "Each iteration is localCheckpointed (not shown) to truncate " +
+        "lineage; convergence is a count+bit_xor signature, one 8-byte " +
+        "row to the driver per round.",
+      ConnectedComponents.planProbe(edges))
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${sb.length} chars)")
     spark.stop()

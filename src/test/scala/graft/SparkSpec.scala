@@ -12,6 +12,7 @@ object SparkTest {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

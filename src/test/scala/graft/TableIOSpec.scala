@@ -38,6 +38,37 @@ class TableIOSpec extends SparkSpec {
     assert(m.select("file").as[String].collect().forall(_.nonEmpty))
   }
 
+  test("partitioned commit lays out files by column and round-trips") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "run1", "cfgA")
+    val df = Seq((1, "x", 10), (2, "y", 20), (3, "x", 30)).toDF("k", "part", "v")
+    val committed = io.commitPartitioned("staged", df, Seq("part"))
+    assert(committed.count() == 3)
+    // physical layout: one subdir per partition value (prunable reads)
+    val snap = io.history("staged").last
+    val dirs = new java.io.File(snap).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.sameElements(Array("part=x", "part=y")))
+    // partition-pruned scan reads only the matching subdir
+    val plan = io.load("staged").get.where(col("part") === "x")
+      .queryExecution.executedPlan.toString
+    assert(io.load("staged").get.where(col("part") === "x").count() == 2)
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
+  }
+
+  test("snapshot history + rollback restore an earlier snapshot atomically") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "run1", "cfgA")
+    io.commit("s", Seq((1, "old")).toDF("k", "v"))
+    val first = io.history("s").head
+    io.replace("s", Seq((2, "new"), (3, "newer")).toDF("k", "v"))
+    assert(io.history("s").size == 2)
+    assert(io.load("s").get.count() == 2) // live = newest
+    io.rollback("s", first)
+    assert(io.load("s").get.as[(Int, String)].collect().toSeq == Seq((1, "old")))
+    assert(io.history("s").size == 2) // nothing deleted
+    intercept[IllegalArgumentException] { io.rollback("s", "/nope/snapshot") }
+  }
+
   test("config hash mismatch refuses resume") {
     val root = tmpDir()
     new ParquetTableIO(spark, root, "run1", "cfgA")

@@ -88,6 +88,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = session(cpus)
 
+    // Untimed warm-up: the first measured query otherwise absorbs all
+    // JIT/codegen/parquet-reader initialization (measured: q_agg_pricing
+    // 10.7 s as the first query vs ~0.7 s steady-state class).
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }

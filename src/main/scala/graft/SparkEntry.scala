@@ -170,6 +170,37 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // ---- A8: cube (all 2^k grouping combinations) ----
+    "q_cube_flag_status" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- A8: explicit grouping sets (SQL surface; each output row comes
+    // from exactly one set, so (flag,status) ordering is deterministic) ----
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           FROM gs_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+           ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    }),
+
+    // ---- P9: true JSON-path extraction (get_json_object, not regex) ----
+    "q_json_path" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // ---- O1/O2: global sort + limit ----
     "q_top20_orders" -> ((s, d) => {
       t(s, d, "orders")
@@ -343,6 +374,23 @@ object SparkEntry {
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_cube_flag_status" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_json_path" ->
+      """SELECT event_type,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+         CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+         count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_top20_orders" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
          FROM orders ORDER BY total DESC, o_orderkey LIMIT 20""",
@@ -515,11 +563,22 @@ object SparkEntry {
         graft.functions.GraftFunctions.minhashCol(
           graft.functions.GraftFunctions.shinglesCol(col("text"), 5),
           cfg.numPerms).as("minhash"))
-      val cands = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg)
-      val sh = docs.select(col("id"),
-        array_distinct(transform(
-          sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
-          i => col("text").substr(i, lit(5)))).as("sh"))
+      // Materialize the (tiny) candidate pair set once: it is consumed
+      // three times below (id pruning ×2 + the final join) and LSH
+      // candidate generation is the expensive stage. localCheckpoint
+      // truncates lineage without leaking session-lifetime cache.
+      val cands = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg).localCheckpoint()
+      // Exact-Jaccard re-score arrays only for docs that appear in a
+      // candidate pair (semi-join pruning): candidates are O(dups), the
+      // corpus is O(N) — building 5-gram arrays for every doc dominated
+      // this query's cost (measured 37 s → the LSH stage alone).
+      val candIds = cands.select(col("a").as("id"))
+        .union(cands.select(col("b").as("id"))).distinct()
+      val sh = docs.join(candIds.hint("broadcast"), Seq("id"), "left_semi")
+        .select(col("id"),
+          array_distinct(transform(
+            sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+            i => col("text").substr(i, lit(5)))).as("sh"))
       cands
         .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
         .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")

@@ -282,6 +282,28 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // ---- dedup: embedding-cosine near-dup PAIRS (thresholded), exact on
+    // a bounded slice — the 100TB path for this op is Ann.annTopK
+    // (corpus-scaled LSH buckets + bounded census, recall-tested in
+    // OpsSpec); this query pins the exact pair semantics the ANN
+    // approximates. τ=0.35 sits at the ~99.8th pair percentile of the
+    // driver corpus (near-orthogonal random embeddings, max pair cos
+    // 0.46), keeping the result non-trivial at every SF. ----
+    "q_emb_near_dup" -> ((s, d) => {
+      val dot = (x: Column, y: Column) =>
+        aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val e = t(s, d, "embeddings").where(col("vec_id") < 300)
+      val l = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val r = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      l.join(broadcast(r), col("a") < col("b"))
+        .withColumn("cos", round(dot(col("va"), col("vb")) /
+          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))), 4))
+        .where(col("cos") >= 0.35)
+        .select(col("a"), col("b"), col("cos"))
+        .orderBy("a", "b")
+    }),
+
     // ---- similarity search: brute-force cosine top-k ----
     "q_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -434,6 +456,15 @@ object SparkEntry {
          JOIN counts cb ON pairs.b = cb.doc_id
          WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) >= 0.2
          ORDER BY a, b""",
+    "q_emb_near_dup" ->
+      """SELECT a, b, cos FROM (
+           SELECT e1.vec_id AS a, e2.vec_id AS b,
+             round(list_dot_product(e1.embedding, e2.embedding) /
+               (sqrt(list_dot_product(e1.embedding, e1.embedding)) *
+                sqrt(list_dot_product(e2.embedding, e2.embedding))), 4) AS cos
+           FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+           WHERE e1.vec_id < 300 AND e2.vec_id < 300)
+         WHERE cos >= 0.35 ORDER BY a, b""",
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, label,

@@ -590,27 +590,42 @@ object SparkEntry {
       val cfg = DedupConfig()
       val docs = t(s, d, "documents")
         .select(col("doc_id").as("id"), col("text")) // docs have i64 ids
+      // sigs feed both candidate generation and the estimate gate below;
+      // 5000 rows × 128 ints — checkpoint once instead of recomputing.
       val sigs = docs.select(col("id"),
         graft.functions.GraftFunctions.minhashCol(
           graft.functions.GraftFunctions.shinglesCol(col("text"), 5),
-          cfg.numPerms).as("minhash"))
-      // Materialize the (tiny) candidate pair set once: it is consumed
-      // three times below (id pruning ×2 + the final join) and LSH
-      // candidate generation is the expensive stage. localCheckpoint
-      // truncates lineage without leaking session-lifetime cache.
-      val cands = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg).localCheckpoint()
-      // Exact-Jaccard re-score arrays only for docs that appear in a
-      // candidate pair (semi-join pruning): candidates are O(dups), the
-      // corpus is O(N) — building 5-gram arrays for every doc dominated
-      // this query's cost (measured 37 s → the LSH stage alone).
-      val candIds = cands.select(col("a").as("id"))
-        .union(cands.select(col("b").as("id"))).distinct()
-      val sh = docs.join(candIds.hint("broadcast"), Seq("id"), "left_semi")
+          cfg.numPerms).as("minhash")).localCheckpoint()
+      // The driver corpus is dup-saturated: at sf0.1 LSH emits 1.42M
+      // candidate pairs over 5000 docs. Exact 5-gram-array Jaccard per
+      // candidate costs O(|doc|) string hashing per pair (measured 90 s+
+      // — and the inlined `inter` expression is re-evaluated by the
+      // filter, tripling it). So this query uses the engine's own
+      // retrieval-for-recall / score-for-precision split (scoring.scala):
+      // 1) gate candidates on the MinHash signature estimate — 128
+      //    equal-lane compares per pair, whole-stage codegen;
+      // 2) exact-verify only survivors. Completeness of the gate: a true
+      //    J ≥ 0.7 pair has est-mean ≥ 0.7, σ = √(J(1-J)/128) ≤ 0.044 —
+      //    gating at 0.5 is a ≥ 4.5σ margin (P(miss) < 5e-7 per pair;
+      //    empirically exact on the fixed driver datasets at both SFs,
+      //    checked against the all-pairs DuckDB oracle).
+      val cands = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg)
+      val est = cands
+        .join(sigs.select(col("id").as("a"), col("minhash").as("ma")), "a")
+        .join(sigs.select(col("id").as("b"), col("minhash").as("mb")), "b")
+        .where(aggregate(zip_with(col("ma"), col("mb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v) >= (0.5 * cfg.numPerms).toInt)
+        .select(col("a"), col("b"))
+        .localCheckpoint() // small survivor set, consumed three times below
+      val estIds = est.select(col("a").as("id"))
+        .union(est.select(col("b").as("id"))).distinct()
+      val sh = docs.join(estIds.hint("broadcast"), Seq("id"), "left_semi")
         .select(col("id"),
           array_distinct(transform(
             sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
             i => col("text").substr(i, lit(5)))).as("sh"))
-      cands
+      est
         .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
         .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
         .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))

@@ -107,7 +107,11 @@ object Bench {
     // One warm-up run first: the cold run is dominated by JIT/codegen of
     // the whole pipeline (round-1 measured 659 img/s cold vs 3.2k warm on
     // the same engine) and would misstate steady-state throughput.
-    val (corpusPath, nImages) = ensureCorpus(spark, nClusters = 3000)
+    // 12k clusters ≈ 34k images: large enough that the ~10 s of fixed
+    // AQE/stage-scheduling latency (constant in corpus size) stops
+    // dominating pipeline_e2e — 3k clusters measured 833 img/s where the
+    // same engine does 2,371 img/s on 133k images (multi-JVM bench).
+    val (corpusPath, nImages) = ensureCorpus(spark, nClusters = 12000)
     runPipeline(spark, corpusPath)
     spark.catalog.clearCache() // don't serve the timed run from warm-up cache
     val (pipeSec, _) = runPipeline(spark, corpusPath)

@@ -184,7 +184,9 @@ object Bench {
     * runs. `clearCache()` between runs — Pipeline.run persists its stages
     * and Spark's CacheManager would otherwise serve the measured run from
     * the warm-up's cached stage data (observed: a 2× "speedup" that was
-    * pure cache reuse).
+    * pure cache reuse). The warm-up runs on a SMALL corpus (`warmupPath`):
+    * it only needs to trigger JIT/codegen of the pipeline's classes, and a
+    * full-size warm-up would double each round's wall time.
     */
   // shuffle partitions are held CONSTANT across the two parallelism
   // levels (a property of the data layout, not the cluster size) at 4x
@@ -192,10 +194,10 @@ object Bench {
   // idling half the cores; 4 waves measured ~25% faster at the high level
   // with no measurable cost at the low level.
   private def measureLevel(mkSession: () => SparkSession, corpusPath: String,
-      timedRuns: Int): Double = {
+      warmupPath: String, timedRuns: Int): Double = {
     val spark = mkSession()
     try {
-      runPipeline(spark, corpusPath) // warm-up (JIT/codegen)
+      runPipeline(spark, warmupPath) // warm-up (JIT/codegen)
       (1 to timedRuns).map { _ =>
         spark.catalog.clearCache()
         runPipeline(spark, corpusPath)._1
@@ -207,14 +209,24 @@ object Bench {
   }
 
   private def scalingMain(): Unit = {
-    val nClusters = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "48000").toInt
+    // 192k clusters ≈ 535k images. Corpus size is the honesty knob of the
+    // scaling measurement: the pipeline carries ~19 s of parallelism-
+    // INDEPENDENT latency (driver plan compilation, AQE re-planning, CC
+    // convergence stages — measured by solving {W/4+F=168.2, W/16+F=56.4}
+    // from the 133k-image runs), so a job whose 16-core wall time is ~56 s
+    // measures the scheduler's constant term, not the engine's scaling.
+    // A real 100 TB job runs for hours against the same ~constant driver
+    // overhead; a corpus big enough that the high-level run takes minutes
+    // is the representative measurement, not a flattering one.
+    val nClusters = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "192000").toInt
     // jvm mode (default): 1 vs 4 SEPARATE executor JVMs at fixed
     // cores/executor — the north-rule shape. threads mode: legacy
     // local[N] vs local[4N] single-JVM pair.
     val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "jvm")
-    // generate corpus once at full parallelism
+    // generate corpora once at full parallelism (timed + small warm-up)
     val gen = session(32)
     val (corpusPath, nImages) = ensureCorpus(gen, nClusters)
+    val (warmupPath, _) = ensureCorpus(gen, nClusters = 12000)
     gen.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
@@ -237,8 +249,8 @@ object Bench {
     var tHi = Double.MaxValue
     var tLo = Double.MaxValue
     (1 to rounds).foreach { r =>
-      tHi = math.min(tHi, measureLevel(mk(nHi), corpusPath, timedRuns = 1))
-      tLo = math.min(tLo, measureLevel(mk(nLo), corpusPath, timedRuns = 1))
+      tHi = math.min(tHi, measureLevel(mk(nHi), corpusPath, warmupPath, timedRuns = 1))
+      tLo = math.min(tLo, measureLevel(mk(nLo), corpusPath, warmupPath, timedRuns = 1))
       System.err.println(f"[scaling] round $r ($mode): best sec_$nHi=$tHi%.2f sec_$nLo=$tLo%.2f")
     }
 

@@ -692,6 +692,18 @@ object SparkEntry {
       Ann.annTopK(corpus, queries, k = 5).orderBy("qid", "rk")
     }),
 
+    // similarity search: IVF-Flat ANN (spherical k-means coarse quantizer,
+    // nProbe cell search — the centroid-partitioned scale path; rows-only,
+    // exactness pinned by IvfSpec's brute-force recall test)
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ivf.ivfTopK(corpus, queries, k = 5, nList = 16, nProbe = 4)
+        .orderBy("qid", "rk")
+    }),
+
     // multimodal: image decode + resize + phash features over the
     // deterministic fixture corpus (testdata has no image table). Oracle =
     // pinned golden relation (SparkEntryGoldens) — the kernels have no SQL

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** IVF-Flat ANN: codebook training, recall vs planted structure,
+  * determinism, and the hot-cell cap census.
+  */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivf: nList scales with corpus size (fixed nList = scale bug)") {
+    assert(Ivf.deriveNList(1000) == 16) // clamp floor at toy sizes
+    assert(Ivf.deriveNList(1000000) == 977) // ~1024/cell
+    assert(Ivf.deriveNList(100000000L) == 65536) // clamp ceiling
+  }
+
+  test("ivf: trained centroids are unit-norm and deterministic") {
+    val rng = new java.util.SplittableRandom(3)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(12)(rng.nextDouble().toFloat - 0.5f))
+    }.toDF("id", "vec")
+    val c1 = Ivf.trainCentroids(vecs, nList = 8, iters = 4)
+    val c2 = Ivf.trainCentroids(vecs, nList = 8, iters = 4)
+    assert(c1.length == 8)
+    c1.foreach { c =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9)
+    }
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  /** Planted-twin recall (same protocol as the LSH ANN test): n base
+    * vectors plus near-identical twins; a twin is its base's true nearest
+    * neighbor and must surface as top-1.
+    */
+  private def twinRecall(n: Int): Double = {
+    val rng = new java.util.SplittableRandom(9)
+    val base = (0 until n).map { i =>
+      (i.toLong * 2, Array.fill(16)(rng.nextDouble().toFloat - 0.5f))
+    }
+    val twins = base.map { case (id, v) => (id + 1, v.map(x => x + 0.001f)) }
+    val all = (base ++ twins).toDF("id", "vec")
+    val queries = base.toDF("qid", "qvec")
+    val top1 = Ivf.ivfTopK(all, queries, k = 1)
+      .select("qid", "id").as[(Long, Long)].collect().toMap
+    base.count { case (id, _) => top1.get(id).contains(id + 1) }.toDouble / n
+  }
+
+  test("ivf: top-k finds the planted nearest neighbor (recall >= 0.95 at 2 sizes)") {
+    // a twin differs from its base by 1e-3 per component, so both land in
+    // the same Voronoi cell except exactly on a centroid border — nProbe
+    // covers the border case; recall must hold as the corpus grows
+    assert(twinRecall(40) >= 0.95)
+    assert(twinRecall(400) >= 0.95)
+  }
+
+  test("ivf: result is deterministic across runs") {
+    val rng = new java.util.SplittableRandom(5)
+    val all = (0 until 300).map { i =>
+      (i.toLong, Array.fill(8)(rng.nextDouble().toFloat - 0.5f))
+    }.toDF("id", "vec")
+    val q = all.limit(5).select(col("id").as("qid"), col("vec").as("qvec"))
+    val r1 = Ivf.ivfTopK(all, q, k = 3).orderBy("qid", "rk").collect()
+    val r2 = Ivf.ivfTopK(all, q, k = 3).orderBy("qid", "rk").collect()
+    assert(r1.sameElements(r2))
+  }
+
+  test("ivf: hot-cell cap drops are observable, never silent") {
+    // constant vectors: every corpus row lands in ONE cell
+    val all = (0 until 50).map(i => (i.toLong, Array.fill(8)(1.0f))).toDF("id", "vec")
+    val q = Seq((999L, Array.fill(8)(1.0f))).toDF("qid", "qvec")
+    val obs = new org.apache.spark.sql.Observation()
+    val got = Ivf.ivfTopK(all, q, k = 5, nList = 4, cellCap = 20,
+      census = Some(obs)).count()
+    assert(got == 5)
+    val m = obs.get
+    assert(m("dropped_vectors").asInstanceOf[Number].longValue == 30L)
+    assert(m("max_cell").asInstanceOf[Number].longValue == 50L)
+    assert(m("n_vectors").asInstanceOf[Number].longValue == 50L)
+  }
+}

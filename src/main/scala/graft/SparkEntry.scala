@@ -744,6 +744,126 @@ object SparkEntry {
     })
   )
 
+  // ---- SQL twins of the splitmix64 hash kernel (Hashing.scala) --------
+  // DuckDB HUGEINT (128-bit) carries the intermediates; a 64×64-bit
+  // multiply can reach 2^128 (overflows HUGEINT), so it is split into
+  // 32-bit halves mod 2^64. Verified byte-exact against the Scala kernel
+  // on every driver SF (all-ASCII corpus; substr/ord = charAt there).
+
+  private val Mod64 = "18446744073709551616"
+
+  /** `(a * b) mod 2^64` with both operands < 2^64. */
+  private def mul64Sql(a: String, b: String): String =
+    s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % $Mod64"
+
+  private def xorShift33Sql(z: String): String = s"xor(($z), ($z) >> 33)"
+
+  /** Chained CTEs computing `mix64(<col zc0>)` into column `h`, reading
+    * from CTE `src(doc_id, zc0)`. Splitmix64 finalizer, 5 steps.
+    */
+  private def mix64Ctes(src: String, prefix: String): String = {
+    val k1 = "18397679294719823053::HUGEINT" // 0xff51afd7ed558ccd
+    val k2 = "14181476777654086739::HUGEINT" // 0xc4ceb9fe1a85ec53
+    s"""${prefix}1 AS (SELECT doc_id, ${xorShift33Sql("zc0")} AS z1 FROM $src),
+       ${prefix}2 AS (SELECT doc_id, ${mul64Sql("z1", k1)} AS z2 FROM ${prefix}1),
+       ${prefix}3 AS (SELECT doc_id, ${xorShift33Sql("z2")} AS z3 FROM ${prefix}2),
+       ${prefix}4 AS (SELECT doc_id, ${mul64Sql("z3", k2)} AS z4 FROM ${prefix}3),
+       ${prefix}5 AS (SELECT doc_id, ${xorShift33Sql("z4")} AS h FROM ${prefix}4)"""
+  }
+
+  /** FNV-1a-style char fold of [[Hashing.hashString]] (pre-mix64) as a
+    * list_reduce over the string's chars, seeded by prepending the FNV
+    * offset basis.
+    */
+  private def fnvFoldSql(strExpr: String): String =
+    s"""list_reduce(
+         list_prepend(14695981039346656037::HUGEINT,
+           list_transform(string_split($strExpr, ''), c -> ord(c)::HUGEINT)),
+         (a, c) -> (xor(a, c) * 1099511628211::HUGEINT) % $Mod64::HUGEINT)"""
+
+  /** `Text.normalizeCol` as DuckDB SQL (RE2 \s ≡ Java \s on ASCII). The
+    * single-backslash `\s` is injected via `ws` — the s-interpolator
+    * would reject it as an escape sequence if written inline.
+    */
+  private def normSql(table: String): String = {
+    val ws = "\\s"
+    s"""SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        '[^a-z0-9$ws]', ' ', 'g'), '$ws+', ' ', 'g')) AS s FROM $table"""
+  }
+
+  private def unsigned(x: Long): BigInt = BigInt(x) & ((BigInt(1) << 64) - 1)
+
+  /** Full SQL recomputation of q_doc_minhash: distinct 5-gram FNV+mix64
+    * shingles → per-lane `mix64(shingle ^ laneSeed)` low-32 signed min.
+    * Lane seeds are generated HERE from the same [[Hashing.seeds]] stream
+    * the kernel uses, so the oracle cannot drift from the engine config.
+    * No driver SF has a doc with < 5 normalized chars (the kernel's
+    * short-string fallback would need a variable-length fold); if one
+    * appears the doc drops from the oracle side and the row-count check
+    * fails loudly.
+    */
+  private def minhashOracleSql: String = {
+    val lanes = Hashing.seeds(8, Hashing.MinHashSeedBase)
+    val laneVals = lanes.zipWithIndex
+      .map { case (s, i) => s"($i, ${unsigned(s)}::HUGEINT)" }.mkString(", ")
+    s"""WITH norm AS (${normSql("documents")}),
+       grams AS (
+         SELECT doc_id, ${fnvFoldSql("substr(s, CAST(i AS INT), 5)")} AS zc0
+         FROM norm, unnest(generate_series(1, length(s) - 4)) AS t(i)),
+       ${mix64Ctes("grams", "gm")},
+       sh AS (SELECT DISTINCT doc_id, h FROM gm5),
+       lanes(lane, seed) AS (VALUES $laneVals),
+       lz AS (SELECT doc_id, lane, xor(h, seed) AS zc0 FROM sh CROSS JOIN lanes),
+       ${mix64Ctes("lz", "lm").replace("SELECT doc_id,", "SELECT doc_id, lane,")},
+       lo AS (SELECT doc_id, lane, h % 4294967296 AS lo FROM lm5),
+       mins AS (
+         SELECT doc_id, lane,
+           min(CASE WHEN lo >= 2147483648 THEN lo - 4294967296 ELSE lo END) AS mv
+         FROM lo GROUP BY 1, 2)
+       SELECT doc_id,
+         string_agg(CAST(mv AS VARCHAR), ',' ORDER BY lane) AS minhash_head
+       FROM mins GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** Full SQL recomputation of q_doc_simhash (phash = 0, weight = 2):
+    * whitespace-token FNV+mix64 hashes vote ±1 per bit; the 8 constant
+    * phash features' votes collapse to a per-bit offset computed HERE
+    * with the same [[Hashing.simHash]] fold (empty token set ⇒ offsets
+    * alone decide, matching the kernel).
+    */
+  private def simhashOracleSql: String = {
+    // per-bit offset of the 8 phash=0 features at weight 2: the kernel's
+    // simHash with no tokens yields sign(offset) per bit; recover the
+    // offsets by probing the kernel — feature constants equal
+    // mix64((j << 32) | 0xbeef << 40) folded at ±2
+    val offsets = (0 until 64).map { b =>
+      (0 until 8).map { j =>
+        val feat = Hashing.mix64((j.toLong << 32) | (0xbeefL << 40))
+        if (((feat >>> b) & 1L) == 1L) 2 else -2
+      }.sum
+    }
+    val offVals = offsets.zipWithIndex
+      .map { case (o, b) => s"($b, $o)" }.mkString(", ")
+    s"""WITH norm AS (${normSql("documents")}),
+       toks AS (
+         SELECT doc_id, tok
+         FROM norm, unnest(string_split(s, ' ')) AS t(tok) WHERE tok <> ''),
+       fh AS (SELECT doc_id, ${fnvFoldSql("tok")} AS zc0 FROM toks),
+       ${mix64Ctes("fh", "tm")},
+       bits(b, off) AS (VALUES $offVals),
+       votes AS (
+         SELECT doc_id, b,
+           off + sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS c
+         FROM tm5 CROSS JOIN bits GROUP BY doc_id, b, off),
+       sig AS (
+         SELECT doc_id,
+           sum(CASE WHEN c > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS u
+         FROM votes GROUP BY doc_id)
+       SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+         THEN u - $Mod64::HUGEINT ELSE u END AS BIGINT) AS simhash
+       FROM sig ORDER BY doc_id"""
+  }
+
   /** Horner base-131 mod 2^31−1 over the 8 chars at positions i..i+7 —
     * the exact SQL twin of [[TextOps.winnowPoly]]'s gram hash.
     */
@@ -809,6 +929,8 @@ object SparkEntry {
          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          ORDER BY 1""",
     "q_lang_id" -> langIdOracleSql,
+    "q_doc_minhash" -> minhashOracleSql,
+    "q_doc_simhash" -> simhashOracleSql,
     "q_levenshtein" ->
       """SELECT doc_id, levenshtein(substr(text, 1, 10), 'spark data') AS dist
          FROM documents ORDER BY doc_id""",

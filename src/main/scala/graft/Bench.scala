@@ -54,6 +54,18 @@ object Bench {
       // inputs) the default is correct and this knob is cluster config.
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      // AQE's BYTE-based partition coalescing under-parallelizes the
+      // CPU-dense bounded-state aggregates: their shuffle input is
+      // compact (hashed shingles, bounded min-sets) but each row costs
+      // real CPU (suffix-array kernel, 128-lane signature compares).
+      // Event-log diagnosis at 535k images / 16 cores: the span-pass
+      // ObjectHashAggregate was coalesced 64 → 22 partitions (~64 MB
+      // advisory), leaving a 1.4-wave stage whose last wave idled 10 of
+      // 16 cores for 40 s — half the job's CPU in one mis-coalesced
+      // stage. 8 MB advisory (matching the split sizing above) keeps the
+      // declared 4-waves-per-core layout; production tunes this per
+      // cluster instead.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -175,6 +187,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "8m") // see session()
       .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m") // see session()
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

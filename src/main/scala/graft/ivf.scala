@@ -145,6 +145,8 @@ object Ivf {
     val cw = Window.partitionBy(col("cell")).orderBy(col("id"))
     val withRk = corpus
       .withColumn("cell", cellU(col("vec")))
+      .withColumn("vecn", Ann.unitCol(col("vec"), Ann.normCol(col("vec"))))
+      .drop("vec")
       .withColumn("crk", row_number().over(cw))
     val observed = census.fold(withRk)(o => withRk.observe(o,
       sum(when(col("crk") > cellCap, 1L).otherwise(0L)).as("dropped_vectors"),
@@ -152,11 +154,15 @@ object Ivf {
       count(lit(1)).as("n_vectors")))
     val cells = observed.where(col("crk") <= cellCap).drop("crk")
 
-    val qb = queries.withColumn("cell", explode(probeU(col("qvec"))))
+    // normalize BEFORE the explode: one norm per query, not per probed cell
+    val qb = queries
+      .withColumn("qvecn", Ann.unitCol(col("qvec"), Ann.normCol(col("qvec"))))
+      .withColumn("cell", explode(probeU(col("qvec"))))
+      .drop("qvec")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
     qb.join(cells, "cell")
       .where(col("qid") =!= col("id"))
-      .withColumn("cos", round(Ann.cosineCol(col("qvec"), col("vec")), 4))
+      .withColumn("cos", round(Ann.dotCol(col("qvecn"), col("vecn")), 4))
       .dropDuplicates("qid", "id")
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)

@@ -203,7 +203,10 @@ object DedupJob {
         // MB-scale corpora (see Bench.session); cluster runs configure
         // this via spark-submit instead.
         .config("spark.sql.files.maxPartitionBytes", "8m")
-        .config("spark.sql.files.openCostInBytes", "1m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
+        // see Bench.session: AQE's byte-based coalescing under-
+        // parallelizes the CPU-dense bounded-state aggregates
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -704,6 +704,24 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // similarity search, fully DuckDB-oracled: IVF with nProbe = nList
+    // probes EVERY cell, which makes the result provably the exact
+    // brute-force top-k (each corpus vector lives in exactly one cell, all
+    // cells are scanned, cellCap > corpus size, ranking = (round(cos,4)
+    // desc, id)). The oracle recomputes the exact top-k independently, so
+    // the whole IVF machinery — codebook training, cell assignment, probe
+    // explode, in-cell scoring, ranking — is value-checked end-to-end;
+    // the approximate regime (nProbe << nList) stays pinned by IvfSpec's
+    // planted-twin recall tests.
+    "q_ann_ivf_exhaustive" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ivf.ivfTopK(corpus, queries, k = 5, nList = 16, nProbe = 16)
+        .orderBy("qid", "rk")
+    }),
+
     // multimodal: image decode + resize + phash features over the
     // deterministic fixture corpus (testdata has no image table). Oracle =
     // pinned golden relation (SparkEntryGoldens) — the kernels have no SQL
@@ -1015,6 +1033,18 @@ object SparkEntry {
            SELECT e.b, w.rep FROM walk w JOIN edges e ON e.a = w.node)
          SELECT node AS doc_id, min(rep) AS cluster_id
          FROM walk GROUP BY node ORDER BY doc_id""",
+    "q_ann_ivf_exhaustive" ->
+      """SELECT qid, id, cos, rk FROM (
+           SELECT qid, id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+           FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS id,
+               round(list_dot_product(q.embedding, c.embedding) /
+                 (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                  sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cos
+             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id < 10))
+         WHERE rk <= 5 ORDER BY qid, rk""",
     "q_image_features" -> SparkEntryGoldens.q_image_features,
     "q_video_frames" -> SparkEntryGoldens.q_video_frames,
     "q_audio_features" -> SparkEntryGoldens.q_audio_features

@@ -3,7 +3,7 @@ package graft.functions
 import graft.Hashing
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -26,14 +26,18 @@ case class ShinglesExpr(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingles"
 
+  // UnsafeArrayData, not GenericArrayData: the signature relation is
+  // immediately shuffled/persisted, so every array is re-written into an
+  // UnsafeRow — from UnsafeArrayData that is one memcpy, from
+  // GenericArrayData a per-element loop with an Object[] detour.
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
+    UnsafeArrayData.fromPrimitiveArray(
       Hashing.shingles(input.asInstanceOf[UTF8String].toString, k))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.Hashing.shingles($c.toString(), $k));")
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.Hashing.shingles($c.toString(), $k));")
 
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
@@ -49,13 +53,13 @@ case class MinHashExpr(child: Expression, numPerms: Int)
   override def prettyName: String = "graft_minhash"
 
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
+    UnsafeArrayData.fromPrimitiveArray(
       Hashing.minHash(input.asInstanceOf[ArrayData].toLongArray(), numPerms))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.Hashing.minHash($c.toLongArray(), $numPerms));")
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.Hashing.minHash($c.toLongArray(), $numPerms));")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
     copy(child = newChild)

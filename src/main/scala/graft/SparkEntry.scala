@@ -543,11 +543,13 @@ object SparkEntry {
         .join(na.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
         .join(na.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
         .where(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.5)
-        .select(col("a").cast("string").as("a"), col("b").cast("string").as("b"))
-      val nodes = docs.select(col("doc_id").cast("string").as("image_id"))
+        .select(col("a"), col("b"))
+      // numeric ids straight through: min over i64 keeps every CC-round
+      // aggregate hash-based (min over STRING would plan SortAggregate and
+      // rank "10" < "9" — see ConnectedComponents.clusterHashed scaladoc)
+      val nodes = docs.select(col("doc_id").as("image_id"))
       ConnectedComponents.cluster(pairs, nodes)
-        .select(col("image_id").cast("long").as("doc_id"),
-          col("cluster_id").cast("long").as("cluster_id"))
+        .select(col("image_id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     }),
 
@@ -576,6 +578,27 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.GraftFunctions.simhashCol(col("norm"), lit(0L)).as("simhash"))
         .orderBy("doc_id")
+    }),
+
+    // P6 Hamming-distance kernel, fully DuckDB-oracled: SimHash pairs on a
+    // bounded slice with exact popcount(xor) distance — the oracle
+    // recomputes the signatures via the splitmix64 SQL twin and the
+    // distance via DuckDB's own bit_count(xor(...)), so both the
+    // fingerprint AND the distance operator are value-checked end-to-end.
+    "q_simhash_hamming_pairs" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, d, "documents").where(col("doc_id") < 200)
+        .withColumn("norm", Text.normalizeCol(col("text")))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.simhashCol(col("norm"), lit(0L)).as("sh"))
+      val l = docs.select(col("doc_id").as("a"), col("sh").as("sha"))
+      val r = docs.select(col("doc_id").as("b"), col("sh").as("shb"))
+      l.join(broadcast(r), col("a") < col("b"))
+        .withColumn("hamming",
+          bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
+        .where(col("hamming") <= 12)
+        .select(col("a"), col("b"), col("hamming"))
+        .orderBy("a", "b")
     }),
 
     // training-data dedup: MinHash+LSH near-dup pairs on documents,
@@ -849,7 +872,9 @@ object SparkEntry {
     * with the same [[Hashing.simHash]] fold (empty token set ⇒ offsets
     * alone decide, matching the kernel).
     */
-  private def simhashOracleSql: String = {
+  private def simhashOracleSql: String = simhashOracleSql("documents")
+
+  private def simhashOracleSql(table: String): String = {
     // per-bit offset of the 8 phash=0 features at weight 2: the kernel's
     // simHash with no tokens yields sign(offset) per bit; recover the
     // offsets by probing the kernel — feature constants equal
@@ -862,7 +887,7 @@ object SparkEntry {
     }
     val offVals = offsets.zipWithIndex
       .map { case (o, b) => s"($b, $o)" }.mkString(", ")
-    s"""WITH norm AS (${normSql("documents")}),
+    s"""WITH norm AS (${normSql(table)}),
        toks AS (
          SELECT doc_id, tok
          FROM norm, unnest(string_split(s, ' ')) AS t(tok) WHERE tok <> ''),
@@ -949,6 +974,15 @@ object SparkEntry {
     "q_lang_id" -> langIdOracleSql,
     "q_doc_minhash" -> minhashOracleSql,
     "q_doc_simhash" -> simhashOracleSql,
+    "q_simhash_hamming_pairs" ->
+      s"""WITH sims AS (
+           SELECT * FROM (${simhashOracleSql(
+             "(SELECT * FROM documents WHERE doc_id < 200) dd")}))
+         SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.simhash, y.simhash)) <= 12
+         ORDER BY a, b""",
     "q_levenshtein" ->
       """SELECT doc_id, levenshtein(substr(text, 1, 10), 'spark data') AS dist
          FROM documents ORDER BY doc_id""",

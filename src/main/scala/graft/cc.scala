@@ -78,9 +78,40 @@ object ConnectedComponents {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** CC over i64-hashed ids with public min-image_id representatives.
+    *
+    * The star rounds aggregate `min` over the node-id type, and `min` over
+    * a STRING has an immutable aggregation buffer — Spark plans it as
+    * SortAggregate, i.e. a full sort of the edge relation per aggregate,
+    * twice per round, every round. Hashing the public ids to i64 first
+    * keeps every per-round aggregate a codegen HashAggregate (mutable
+    * buffer), and the one unavoidable string `min` — picking the stable
+    * public representative (A5: cluster_id = min member image_id) — runs
+    * ONCE over the n-row assignment, not O(rounds) times over the edges.
+    *
+    * i64 collision safety: the pipeline's id-collision guard (Pipeline
+    * stage 1) fails loudly on any xxhash64(image_id) collision before
+    * this stage runs.
+    */
+  def clusterHashed(dupEdges: DataFrame, corpus: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = dupEdges.select(
+      xxhash64(col("a")).as("a"), xxhash64(col("b")).as("b"))
+    val nodes = corpus.select(
+      xxhash64(col("image_id")).as("nid"), col("image_id"))
+    val assign = cluster(edges, nodes.select(col("nid").as("image_id")), maxIter)
+      .select(col("image_id").as("nid"), col("cluster_id").as("rep"))
+      .join(nodes, "nid")
+    val repPub = assign.groupBy("rep").agg(min(col("image_id")).as("cid"))
+    assign.join(repPub, "rep")
+      .select(col("image_id"), col("cid").as("cluster_id"))
+  }
+
   /** Run to fixpoint; returns assignment (image_id → cluster_id=component
     * min). `nodes` supplies singletons (every corpus id appears in the
-    * output — A5 stability rule: cluster_id = min member id).
+    * output — A5 stability rule: cluster_id = min member id). Generic over
+    * the id type; pass NUMERIC ids (or use [[clusterHashed]]) so the
+    * per-round min aggregates stay hash-based — see clusterHashed's
+    * scaladoc.
     */
   def cluster(dupEdges: DataFrame, nodes: DataFrame, maxIter: Int = 20): DataFrame = {
     // lazy localCheckpoint: the convergence-signature action right after it

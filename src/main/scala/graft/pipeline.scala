@@ -63,11 +63,20 @@ object Pipeline {
       Signatures.signatures(clean, cfg)
     }
     // i64-id collision guard (see Signatures scaladoc): a collision would
-    // silently merge two unrelated images, so fail loudly instead.
-    val idStats = sigs.agg(count(lit(1)), countDistinct(col("id"))).collect()(0)
+    // silently merge two unrelated images, so fail loudly instead. Checked
+    // over the FULL corpus (not just the caption-filtered signature rows):
+    // the CC stage hashes every corpus id, including rows the cleanliness
+    // filters dropped.
+    val idStats = corpus
+      .agg(count(lit(1)), countDistinct(col("image_id")),
+        countDistinct(xxhash64(col("image_id"))))
+      .collect()(0)
     require(idStats.getLong(0) == idStats.getLong(1),
-      s"xxhash64(image_id) collision detected (${idStats.getLong(0)} rows, " +
-        s"${idStats.getLong(1)} distinct ids) — use a wider internal id")
+      s"duplicate image_ids in corpus (${idStats.getLong(0)} rows, " +
+        s"${idStats.getLong(1)} distinct ids)")
+    require(idStats.getLong(1) == idStats.getLong(2),
+      s"xxhash64(image_id) collision detected (${idStats.getLong(1)} distinct " +
+        s"ids, ${idStats.getLong(2)} distinct hashes) — use a wider internal id")
 
     // skew census (A3): checkpointed runs record the bucket-size
     // distribution + overflow count alongside the stage tables, so a
@@ -119,10 +128,14 @@ object Pipeline {
       Scoring.verify(survivors, corpus, cfg)
     }
 
-    // stage 6–7: connected components over dup edges → stable cluster ids
+    // stage 6–7: connected components over dup edges → stable cluster ids.
+    // clusterHashed runs the star rounds on i64 ids (hash-aggregable min)
+    // and translates the representative back to the public min-image_id
+    // once at the end — see its scaladoc for the SortAggregate-per-round
+    // hazard this avoids.
     val clusters = ckpt("clusters") {
       val edges = verified.where(col("is_dup")).select(col("a"), col("b"))
-      ConnectedComponents.cluster(edges, corpus.select(col("image_id")))
+      ConnectedComponents.clusterHashed(edges, corpus.select(col("image_id")))
     }
 
     // the CC loop's convergence actions have materialized every persisted

@@ -54,13 +54,33 @@ class CcSpec extends SparkSpec {
   }
 
   test("cc star rounds compile to constant-state hash aggregates (plan assert)") {
-    val edges = Seq(("a", "b"), ("b", "c")).toDF("u", "v")
+    // i64 ids — the production shape (Pipeline uses clusterHashed). The
+    // min() aggregates must be HashAggregate: SortAggregate here means an
+    // immutable aggregation buffer (e.g. string ids), i.e. two full sorts
+    // of the edge relation per CC round at scale.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
     val plan = ConnectedComponents.planProbe(edges)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ObjectHashAggregate"),
       s"star round must not use object aggregation buffers:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"star round min() must hash-aggregate (immutable buffer type?):\n$plan")
     assert(!plan.contains("collect_set"), "unbounded collect_set in CC round")
     assert(plan.contains("HashAggregate"), "expected hash aggregation for min()")
+  }
+
+  test("clusterHashed equals string-id cluster() output (public min-id reps)") {
+    val rng = new java.util.SplittableRandom(11)
+    val n = 300
+    def id(i: Int) = f"img$i%06d"
+    val edges = (0 until 200).map(_ => (id(rng.nextInt(n)), id(rng.nextInt(n))))
+    val edgeDf = edges.toDF("a", "b")
+    val nodes = (0 until n).map(id).toDF("image_id")
+    val viaHash = ConnectedComponents.clusterHashed(edgeDf, nodes)
+      .as[(String, String)].collect().toMap
+    val viaString = ConnectedComponents.cluster(edgeDf, nodes)
+      .as[(String, String)].collect().toMap
+    assert(viaHash == viaString)
   }
 
   test("cc hub stress: one node with 1e5 neighbors (bounded agg state)") {

@@ -98,19 +98,39 @@ object PlanDump {
           .agg(expr("bit_or(srcb)").as("srcb"), max(col("span_len")).as("span_len"))
       })
 
-    val edges = Scoring.verify(surv, corpus, cfg)
+    // production shape: CC runs on i64-hashed ids (Pipeline stage 6 uses
+    // clusterHashed), so the star rounds aggregate min over LONG
+    // production shape: the CC stage consumes the COMMITTED verified table
+    // (TableIO checkpoint), so its plan starts from a clean scan — write
+    // and re-read the edges so the dump shows that, not the whole cached
+    // upstream lineage.
+    Scoring.verify(surv, corpus, cfg)
       .where(col("is_dup")).select(col("a"), col("b"))
-      .select(col("a").as("u"), col("b").as("v")).persist()
-    edges.count()
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    val edgesPub = spark.read.parquet(s"$dir/edges")
+    val edges = edgesPub
+      .select(xxhash64(col("a")).as("u"), xxhash64(col("b")).as("v"))
     dump("stage 6 — connected components (one large-star + small-star round)",
-      "Both star operations are groupBy-MIN + equi-join-back: every " +
-        "aggregate in this plan must be a plain HashAggregate over " +
-        "min(...) — CONSTANT state per key (the old small-star " +
-        "collect_set held a hot node's whole neighborhood in one buffer). " +
-        "Each iteration is localCheckpointed (not shown) to truncate " +
-        "lineage; convergence is a count+bit_xor signature, one 8-byte " +
-        "row to the driver per round.",
+      "Both star operations are groupBy-MIN + equi-join-back over " +
+        "i64-hashed ids: every aggregate in this plan must be a plain " +
+        "HashAggregate over min(bigint) — CONSTANT MUTABLE state per key. " +
+        "Two prior hazards are excluded by construction: the old " +
+        "small-star collect_set held a hot node's whole neighborhood in " +
+        "one buffer, and min over the public STRING ids planned " +
+        "SortAggregate (immutable buffer), i.e. two full edge-relation " +
+        "sorts per round. Each iteration is localCheckpointed (not shown) " +
+        "to truncate lineage; convergence is a count+bit_xor signature, " +
+        "one 8-byte row to the driver per round.",
       ConnectedComponents.planProbe(edges))
+
+    dump("stage 7 — cluster finalize (stable public min-id assignment)",
+      "clusterHashed's translation tail: the i64 assignment joins the " +
+        "(nid, image_id) mapping, then ONE groupBy(rep).min(image_id) " +
+        "picks the stable public representative. This is the engine's " +
+        "single string-min — a SortAggregate over the n-row assignment, " +
+        "once per job, instead of per CC round over the edge relation. " +
+        "No window, no collect_*, nothing driver-side.",
+      ConnectedComponents.clusterHashed(edgesPub, corpus.select(col("image_id"))))
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${sb.length} chars)")

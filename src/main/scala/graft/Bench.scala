@@ -108,11 +108,19 @@ object Bench {
         .groupBy("l_returnflag").count().count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
 
+    // min-of-2 per query: the host's effective CPU fluctuates up to ~3×
+    // between runs (BASELINE.md scaling methodology), so a single timed
+    // run can charge one query tens of seconds of hypervisor stall. The
+    // per-level minimum is the same noisy-host estimator the scaling
+    // bench uses.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
 
     // end-to-end pipeline throughput on the deterministic fixture corpus.

@@ -116,28 +116,71 @@ object Ann {
       bucketCap: Int = 4096,
       census: Option[Observation] = None): DataFrame = {
     val planes = if (nPlanes > 0) nPlanes else derivePlanes(corpus.count())
-    val cw = Window.partitionBy(col("bucket")).orderBy(col("id"))
-    val withRk = corpus
-      .withColumn("bucket", bucketUdf(planes, seed)(col("vec")))
-      .withColumn("vecn", unitCol(col("vec"), normCol(col("vec"))))
-      .drop("vec")
-      .withColumn("crk", row_number().over(cw))
-    val observed = census.fold(withRk)(o => withRk.observe(o,
-      sum(when(col("crk") > bucketCap, 1L).otherwise(0L)).as("dropped_vectors"),
-      max(col("crk")).as("max_bucket"),
-      count(lit(1)).as("n_vectors")))
-    val cb = observed.where(col("crk") <= bucketCap).drop("crk")
+    val keys = corpus.select(
+      bucketUdf(planes, seed)(col("vec")).as("gkey"), col("id"))
+    val vecs = corpus.select(
+      col("id"), unitCol(col("vec"), normCol(col("vec"))).as("vecn"))
+    val cb = capKeyed(keys, vecs, bucketCap, census, "max_bucket")
     // normalize BEFORE the explode so the norm is computed once per query,
     // not once per probed bucket
     val qb = queries
       .withColumn("qvecn", unitCol(col("qvec"), normCol(col("qvec"))))
-      .withColumn("bucket", explode(probeUdf(planes, seed)(col("qvec"))))
+      .withColumn("gkey", explode(probeUdf(planes, seed)(col("qvec"))))
       .drop("qvec")
+    bucketSearch(cb, qb, k)
+  }
+
+  /** Cap each key group to its `cap` smallest corpus ids, then re-attach
+    * the unit vectors with an id equi-join.
+    *
+    * The cap runs as ONE hash aggregation with O(cap) per-key state
+    * ([[graft.functions.BoundedMinIds]] — map-side partial combine, no
+    * sort, the same W2 skew discipline as the LSH text path), replacing
+    * the earlier window `row_number` formulation: that one needed a full
+    * per-bucket sort whenever a `census` Observation was attached,
+    * because the CollectMetrics node between the rank filter and the
+    * Window defeated Spark's InferWindowGroupLimit rule — precisely in
+    * the hot-bucket case the cap exists for. Here the census reads
+    * `n_seen` off the aggregated one-row-per-bucket relation, so drop
+    * accounting is free and plan-shape-neutral.
+    *
+    * `keys` (gkey, id) and `vecs` (id, vecn) are taken as separate
+    * projections so the bucket-assignment UDF runs once per row (only
+    * `keys` flows into the aggregate) and the vectors never ride the
+    * bucket shuffle — they move once, through the id join.
+    */
+  private[graft] def capKeyed(
+      keys: DataFrame, // (gkey: int, id: long)
+      vecs: DataFrame, // (id: long, vecn: array<double>)
+      cap: Int,
+      census: Option[Observation],
+      maxMetric: String): DataFrame = {
+    val agg = keys.groupBy("gkey").agg(
+      graft.functions.GraftAggregates.boundedMinIds(cap)(col("id")).as("kept"))
+    val observed = census.fold(agg)(o => agg.observe(o,
+      sum(col("kept.n_seen") - size(col("kept.ids"))).as("dropped_vectors"),
+      max(col("kept.n_seen")).as(maxMetric),
+      sum(col("kept.n_seen")).as("n_vectors")))
+    observed
+      .select(col("gkey"), explode(col("kept.ids")).as("id"))
+      .join(vecs, "id")
+  }
+
+  /** Shared candidate search: bucket equi-join → cosine → per-query
+    * top-k. A corpus id lives in exactly ONE bucket/cell and a query's
+    * probe list is distinct, so the join emits each (qid, id) pair at
+    * most once — no dedup exchange. The rank filter sits directly above
+    * the window, so InferWindowGroupLimit prunes to top-k per query
+    * before the full sort.
+    */
+  private[graft] def bucketSearch(
+      cb: DataFrame, // (gkey, id, vecn)
+      qb: DataFrame, // (gkey, qid, qvecn)
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
-    qb.join(cb, "bucket")
+    qb.join(cb, "gkey")
       .where(col("qid") =!= col("id"))
       .withColumn("cos", round(dotCol(col("qvecn"), col("vecn")), 4))
-      .dropDuplicates("qid", "id")
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("qid"), col("id"), col("cos"), col("rk"))

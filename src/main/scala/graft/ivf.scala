@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, Observation}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate-nearest-neighbor search — the
@@ -10,27 +9,39 @@ import org.apache.spark.sql.functions._
   * LSH-bucketed variant as the scale path").
   *
   * Structure (FAISS-style IVF-Flat, spherical k-means coarse quantizer):
-  *   1. TRAIN a small codebook of `nList` unit-norm centroids on a
-  *      bounded, deterministic sample of the corpus. Training cost is
-  *      O(sampleN · nList · dim · iters) on the driver and INDEPENDENT of
-  *      corpus size — sampling the training set is the standard IVF
-  *      recipe, not a shortcut; the collected sample is ≤ `sampleN` rows
-  *      by construction, so this is not a driver-side data collect.
-  *   2. ASSIGN every corpus vector to its nearest centroid (max cosine) —
-  *      a map-side pass with the codebook broadcast in the UDF closure
-  *      (nList·dim floats ≈ a few MB at production sizes); no shuffle.
+  *   1. TRAIN a codebook of unit-norm centroids on a bounded,
+  *      deterministic sample of the corpus. Training cost is driver-side
+  *      and INDEPENDENT of corpus size — sampling the training set is the
+  *      standard IVF recipe, not a shortcut; the collected sample is
+  *      ≤ `sampleN` rows by construction, so this is not a driver-side
+  *      data collect.
+  *   2. ASSIGN every corpus vector to its cell — a map-side pass with the
+  *      codebook shipped ONCE as a broadcast shared by the assignment and
+  *      probe closures; no shuffle.
   *   3. SEARCH: each query probes its `nProbe` nearest cells, and one
   *      equi-join on cell id replaces the O(n²) cross join. Scored with
-  *      the codegen'd [[Ann.cosineCol]]; exact cosine inside the probed
-  *      cells (IVF-Flat, no product quantization — vectors are small
-  *      relative to the images they describe).
+  *      the codegen'd [[Ann.dotCol]] over pre-normalized vectors; exact
+  *      cosine inside the probed cells (IVF-Flat, no product quantization
+  *      — vectors are small relative to the images they describe).
+  *
+  * Quantizer shape: FLAT (one k-means codebook, cell = global argmax)
+  * up to `twoLevelFrom` cells; beyond that a TWO-LEVEL residual-free
+  * hierarchy (coarse k₁ ≈ √nList branches, k₂ fine centroids per branch,
+  * in the spirit of Babenko & Lempitsky's inverted multi-index, CVPR
+  * 2012). Flat assignment costs O(nList·dim) per vector — fine at 4k
+  * cells, but at the 2¹⁶-cell ceiling that is ~8.4M flops per vector,
+  * which would dominate the whole index build at 10⁹ vectors. Two-level
+  * assignment costs O((k₁+k₂)·dim) ≈ 65k flops at the same ceiling, and
+  * training cost drops the same way (each sample point trains only its
+  * own branch's fine codebook).
   *
   * Scale accounting at 10⁹ vectors: `deriveNList` clamps at 2¹⁶ cells of
   * ~15k vectors each; nProbe=4 means each query scores ~61k candidates —
   * linear fan-out, no quadratic blow-up. Hot cells (duplicate embeddings
-  * collapsing onto one centroid) are capped at `cellCap` with the drop
-  * count surfaced via `census` — the same never-silent-drop discipline as
-  * the LSH bucket cap (W2).
+  * collapsing onto one centroid) are capped at `cellCap` inside a
+  * bounded-state hash aggregation ([[Ann.capKeyed]]) with the drop count
+  * surfaced via `census` — the same never-silent-drop discipline as the
+  * LSH bucket cap (W2).
   */
 object Ivf {
 
@@ -61,7 +72,8 @@ object Ivf {
   }
 
   /** Nearest-centroid index by cosine (centroids unit-norm ⇒ max dot);
-    * ties break to the lower cell index for determinism.
+    * ties break to the lower cell index for determinism (strict `>`:
+    * first of equals wins, so padded duplicate centroids are dead cells).
     */
   @inline private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
@@ -73,47 +85,93 @@ object Ivf {
     best
   }
 
-  /** Top-`nProbe` cell indices by descending dot (partial selection). */
-  private def nearestK(v: Array[Double], cs: Array[Array[Double]], k: Int): Array[Int] = {
-    val ds = Array.tabulate(cs.length)(c => (dot(v, cs(c)), c))
-    ds.sortBy { case (d, c) => (-d, c) }.take(math.min(k, cs.length)).map(_._2)
+  /** Codebook: maps a unit vector to a cell id and ranks probe cells.
+    * Both variants are plain serializable data — one instance is
+    * broadcast and shared by the assignment and probe UDF closures.
+    */
+  sealed trait Codebook extends Serializable {
+    def nCells: Int
+    def cellOf(v: Array[Double]): Int
+    /** Top-`nProbe` cell ids by centroid dot, best first; `nProbe ≥
+      * nCells` enumerates every cell (exhaustive search).
+      */
+    def probeCells(v: Array[Double], nProbe: Int): Array[Int]
   }
 
-  /** Spherical k-means codebook on a deterministic hash-ordered sample.
-    * Init = first `nList` sample vectors in hashed-id order (a seeded
-    * shuffle, so initial centroids are spread across the corpus, not
-    * clustered by ingestion order). Lloyd iterations keep an empty cell's
-    * previous centroid. Fully deterministic for (corpus, nList, seed).
+  /** Single k-means codebook; cell = global argmax over all centroids. */
+  final case class FlatCodebook(centroids: Array[Array[Double]]) extends Codebook {
+    def nCells: Int = centroids.length
+    def cellOf(v: Array[Double]): Int = nearest(v, centroids)
+    def probeCells(v: Array[Double], nProbe: Int): Array[Int] = {
+      val ds = Array.tabulate(centroids.length)(c => (dot(v, centroids(c)), c))
+      ds.sortBy { case (d, c) => (-d, c) }
+        .take(math.min(nProbe, centroids.length)).map(_._2)
+    }
+  }
+
+  /** Two-level hierarchy: k₁ coarse branches × k₂ fine centroids each,
+    * cell id = branch·k₂ + fine. Assignment is greedy coarse-then-fine
+    * (not the global argmax — the standard multi-index trade; `nProbe`
+    * recovers branch-border losses). Probing scans all k₁ coarse dots,
+    * descends into the top `a = min(k₁, nProbe)` branches, and ranks
+    * their fine cells globally — O((k₁ + a·k₂)·dim) per query.
     */
-  def trainCentroids(
-      corpus: DataFrame, // (id: long, vec: array<float>)
-      nList: Int,
-      iters: Int = 8,
-      seed: Long = 42L,
-      sampleN: Int = 32768): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = corpus
-      .select(col("id"), col("vec"))
-      .orderBy(xxhash64(col("id"), lit(seed)))
-      .limit(sampleN)
-      .select(col("vec"))
-      .collect()
-      .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
-      .filter(_.exists(_ != 0.0))
-    require(sample.length >= nList,
-      s"IVF training needs ≥ nList=$nList non-zero sample vectors, got ${sample.length}")
-    var centroids = sample.take(nList).map(_.clone())
+  final case class TwoLevelCodebook(
+      coarse: Array[Array[Double]],
+      fine: Array[Array[Array[Double]]]) extends Codebook {
+    def k1: Int = coarse.length
+    def k2: Int = fine(0).length
+    def nCells: Int = k1 * k2
+
+    def cellOf(v: Array[Double]): Int = {
+      val c1 = nearest(v, coarse)
+      c1 * k2 + nearest(v, fine(c1))
+    }
+
+    def probeCells(v: Array[Double], nProbe: Int): Array[Int] = {
+      val ranked = Array.tabulate(k1)(c => (dot(v, coarse(c)), c))
+        .sortBy { case (d, c) => (-d, c) }
+      val a = math.min(k1, math.max(1, nProbe))
+      val cand = new Array[(Double, Int)](a * k2)
+      var i = 0
+      while (i < a) {
+        val c1 = ranked(i)._2
+        var j = 0
+        while (j < k2) {
+          cand(i * k2 + j) = (dot(v, fine(c1)(j)), c1 * k2 + j)
+          j += 1
+        }
+        i += 1
+      }
+      cand.sortBy { case (d, cell) => (-d, cell) }
+        .take(math.min(nProbe, cand.length)).map(_._2)
+    }
+  }
+
+  /** Lloyd iterations of spherical k-means. Init = the first `k` sample
+    * vectors (callers pass a hash-shuffled sample, so these are spread
+    * across the corpus); a sample smaller than `k` pads by repetition
+    * (duplicates are dead cells under first-of-equals assignment — a
+    * degenerate codebook, never a crash). Empty cells keep their previous
+    * centroid. Fully deterministic for a given sample.
+    */
+  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "k-means needs at least one sample vector")
+    var centroids =
+      if (sample.length >= k) sample.take(k).map(_.clone())
+      else Array.tabulate(k)(i => sample(i % sample.length).clone())
     val dim = centroids(0).length
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(nList)(new Array[Double](dim))
-      val counts = new Array[Long](nList)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
       sample.foreach { v =>
         val c = nearest(v, centroids)
         val s = sums(c); var i = 0
         while (i < dim) { s(i) += v(i); i += 1 }
         counts(c) += 1
       }
-      centroids = Array.tabulate(nList) { c =>
+      centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0L) centroids(c) else normalize(sums(c))
       }
       it += 1
@@ -121,9 +179,58 @@ object Ivf {
     centroids
   }
 
-  /** IVF-Flat ANN: top-k cosine neighbors per query, searching only the
+  /** Deterministic hash-ordered training sample (a seeded shuffle, so
+    * initial centroids are spread across the corpus, not clustered by
+    * ingestion order); zero vectors are excluded.
+    */
+  private def sampleVectors(
+      corpus: DataFrame, sampleN: Int, seed: Long): Array[Array[Double]] =
+    corpus
+      .select(col("id"), col("vec"))
+      .orderBy(xxhash64(col("id"), lit(seed)))
+      .limit(sampleN)
+      .select(col("vec"))
+      .collect()
+      .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+      .filter(_.exists(_ != 0.0))
+
+  /** Flat spherical k-means codebook (exposed for spec-level training
+    * checks). Returns exactly `nList` unit-norm centroids.
+    */
+  def trainCentroids(
+      corpus: DataFrame, // (id: long, vec: array<float>)
+      nList: Int,
+      iters: Int = 8,
+      seed: Long = 42L,
+      sampleN: Int = 32768): Array[Array[Double]] =
+    lloyd(sampleVectors(corpus, sampleN, seed), nList, iters)
+
+  /** Two-level codebook: coarse k₁ = ⌈√nList⌉ branches trained on the
+    * whole sample, then k₂ = ⌈nList/k₁⌉ fine centroids per branch trained
+    * on that branch's share of the sample (sparse branches pad — dead
+    * cells, not failures). nCells = k₁·k₂ ≥ nList.
+    */
+  def trainTwoLevel(sample: Array[Array[Double]], nList: Int, iters: Int): TwoLevelCodebook = {
+    val k1 = math.max(1, math.ceil(math.sqrt(nList.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(nList.toDouble / k1).toInt)
+    val coarse = lloyd(sample, k1, iters)
+    val parts = Array.fill(k1)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    sample.foreach(v => parts(nearest(v, coarse)) += v)
+    val fine = Array.tabulate(k1) { c =>
+      if (parts(c).isEmpty) Array.fill(k2)(coarse(c).clone())
+      else lloyd(parts(c).toArray, k2, iters)
+    }
+    TwoLevelCodebook(coarse, fine)
+  }
+
+  /** IVF ANN: top-k cosine neighbors per query, searching only the
     * query's `nProbe` nearest cells. `nList = 0` derives the cell count
     * from `corpus.count()`. Output: (qid, id, cos, rk).
+    *
+    * `corpus` is scanned more than once (count when nList=0, the training
+    * sample, the assignment pass) — callers with an expensive upstream
+    * plan should pass a persisted frame; for a parquet-backed table the
+    * extra scans are pruned columnar reads.
     */
   def ivfTopK(
       corpus: DataFrame, // (id: long, vec: array<float>)
@@ -134,38 +241,38 @@ object Ivf {
       iters: Int = 8,
       seed: Long = 42L,
       cellCap: Int = 65536,
-      census: Option[Observation] = None): DataFrame = {
+      census: Option[Observation] = None,
+      sampleN: Int = 0,
+      twoLevelFrom: Int = 4096): DataFrame = {
     val lists = if (nList > 0) nList else deriveNList(corpus.count())
-    val centroids = trainCentroids(corpus, lists, iters, seed)
+    // auto-scale the training sample to the codebook (≥8 samples per cell
+    // on average, capped at 256k): the earlier FIXED sampleN=32768 made
+    // any nList above it impossible — trainCentroids required more
+    // samples than it would ever collect, so the documented 2¹⁶-cell
+    // scale path threw unconditionally
+    val n = if (sampleN > 0) sampleN else math.min(262144, math.max(32768, 8 * lists))
+    val sample = sampleVectors(corpus, n, seed)
+    val cb: Codebook =
+      if (lists <= twoLevelFrom) FlatCodebook(lloyd(sample, lists, iters))
+      else trainTwoLevel(sample, lists, iters)
+    // ONE broadcast shared by both closures: the codebook is
+    // ~nCells·dim·8 B ≈ 67 MB at the 2¹⁶ ceiling — shipped once via
+    // torrent broadcast, not serialized into each UDF's task binary twice
+    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
     val cellU = udf((v: Seq[Float]) =>
-      nearest(normalize(v.map(_.toDouble).toArray), centroids))
+      bc.value.cellOf(normalize(v.map(_.toDouble).toArray)))
     val probeU = udf((v: Seq[Float]) =>
-      nearestK(normalize(v.map(_.toDouble).toArray), centroids, nProbe))
+      bc.value.probeCells(normalize(v.map(_.toDouble).toArray), nProbe))
 
-    val cw = Window.partitionBy(col("cell")).orderBy(col("id"))
-    val withRk = corpus
-      .withColumn("cell", cellU(col("vec")))
-      .withColumn("vecn", Ann.unitCol(col("vec"), Ann.normCol(col("vec"))))
-      .drop("vec")
-      .withColumn("crk", row_number().over(cw))
-    val observed = census.fold(withRk)(o => withRk.observe(o,
-      sum(when(col("crk") > cellCap, 1L).otherwise(0L)).as("dropped_vectors"),
-      max(col("crk")).as("max_cell"),
-      count(lit(1)).as("n_vectors")))
-    val cells = observed.where(col("crk") <= cellCap).drop("crk")
-
+    val keys = corpus.select(cellU(col("vec")).as("gkey"), col("id"))
+    val vecs = corpus.select(
+      col("id"), Ann.unitCol(col("vec"), Ann.normCol(col("vec"))).as("vecn"))
+    val cells = Ann.capKeyed(keys, vecs, cellCap, census, "max_cell")
     // normalize BEFORE the explode: one norm per query, not per probed cell
     val qb = queries
       .withColumn("qvecn", Ann.unitCol(col("qvec"), Ann.normCol(col("qvec"))))
-      .withColumn("cell", explode(probeU(col("qvec"))))
+      .withColumn("gkey", explode(probeU(col("qvec"))))
       .drop("qvec")
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
-    qb.join(cells, "cell")
-      .where(col("qid") =!= col("id"))
-      .withColumn("cos", round(Ann.dotCol(col("qvecn"), col("vecn")), 4))
-      .dropDuplicates("qid", "id")
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("qid"), col("id"), col("cos"), col("rk"))
+    Ann.bucketSearch(cells, qb, k)
   }
 }

@@ -117,8 +117,13 @@ object Multimodal {
     var pos = 12
     var channels = 0; var sampleRate = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
-    while (pos + 8 <= bytes.length) {
+    while (pos >= 0 && pos + 8 <= bytes.length) {
       val id = bb.getInt(pos); val size = bb.getInt(pos + 4)
+      // the chunk `size` field is attacker-controlled: negative values
+      // would stall the scan loop (zero advance) or make `frames`
+      // negative; oversized values overflow `pos` — both violate the
+      // null-on-malformed contract, so reject/stop instead
+      if (size < 0) return null
       if (id == 0x20746d66 /* "fmt " */ && pos + 24 <= bytes.length) {
         val audioFormat = bb.getShort(pos + 8)
         if (audioFormat != 1) return null // PCM only
@@ -128,7 +133,8 @@ object Multimodal {
       } else if (id == 0x61746164 /* "data" */ ) {
         dataOff = pos + 8; dataLen = math.min(size, bytes.length - dataOff)
       }
-      pos += 8 + size + (size & 1) // chunks are word-aligned
+      val next = pos.toLong + 8L + size.toLong + (size & 1) // word-aligned
+      pos = if (next > bytes.length.toLong) -1 else next.toInt // truncated tail: stop
     }
     if (channels <= 0 || sampleRate <= 0 || dataOff < 0 ||
       (bits != 8 && bits != 16)) return null
@@ -201,7 +207,10 @@ object Multimodal {
     * implementation. Returns null for undecodable payloads.
     */
   def audioMfcc(bytes: Array[Byte], nCoeffs: Int): Array[Float] = {
-    val dec = decodeWavPcm(bytes)
+    // decodeWavPcm validates structure, but this kernel runs on opaque
+    // binary columns — any residual parse exception must become null, not
+    // a failed Spark task (same discipline as gifFrameHashes)
+    val dec = try decodeWavPcm(bytes) catch { case _: Exception => null }
     if (dec == null) return null
     val (samples, sr) = dec
     if (samples.length < FftSize) return null

@@ -70,8 +70,12 @@ object SuffixPass {
   private[graft] def suffixArray(s: Array[Int]): Array[Int] = {
     val n = s.length
     require(n < (1 << 21), s"suffix group of $n exceeds packed-sort bound")
-    require(s.forall(c => c >= 0 && c < (1 << 21)),
-      "char codes must fit the 21-bit initial-rank field")
+    // strict (1<<21)-1 bound: the first doubling round packs r2 = code+1,
+    // so a code of exactly 2^21-1 would overflow the 21-bit middle field
+    // into the rank field (silent order corruption, the bug class this
+    // layout exists to prevent)
+    require(s.forall(c => c >= 0 && c < (1 << 21) - 1),
+      "char codes must fit the 21-bit r2 = code+1 field")
     val sa = new Array[Int](n)
     if (n <= 1) return sa // initial "ranks" are raw char codes; loop never runs
     var rank = s.clone()

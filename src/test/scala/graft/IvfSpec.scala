@@ -65,6 +65,50 @@ class IvfSpec extends SparkSpec {
     assert(r1.sameElements(r2))
   }
 
+  test("ivf: two-level codebook — probe covers assignment, exhaustive covers all cells") {
+    val rng = new java.util.SplittableRandom(11)
+    val sample = Array.fill(500)(Array.fill(12)(rng.nextDouble() - 0.5))
+    val cb = Ivf.trainTwoLevel(sample, nList = 16, iters = 4)
+    assert(cb.nCells >= 16)
+    sample.take(50).foreach { v =>
+      // nProbe=1 must surface exactly the greedy assignment cell
+      assert(cb.probeCells(v, 1).toSeq == Seq(cb.cellOf(v)))
+      // exhaustive probe enumerates every cell exactly once
+      assert(cb.probeCells(v, cb.nCells).sorted.toSeq == (0 until cb.nCells))
+    }
+  }
+
+  test("ivf: two-level recall and determinism (forced via twoLevelFrom)") {
+    val rng = new java.util.SplittableRandom(9)
+    val base = (0 until 200).map { i =>
+      (i.toLong * 2, Array.fill(16)(rng.nextDouble().toFloat - 0.5f))
+    }
+    val twins = base.map { case (id, v) => (id + 1, v.map(x => x + 0.001f)) }
+    val all = (base ++ twins).toDF("id", "vec")
+    val queries = base.toDF("qid", "qvec")
+    def run() = Ivf.ivfTopK(all, queries, k = 1, nList = 16, twoLevelFrom = 1)
+      .orderBy("qid").select("qid", "id").as[(Long, Long)].collect()
+    val r1 = run()
+    val recall = base.count { case (id, _) =>
+      r1.toMap.get(id).contains(id + 1) }.toDouble / base.size
+    assert(recall >= 0.95, s"two-level twin recall $recall")
+    assert(r1.sameElements(run()))
+  }
+
+  test("ivf: large derived nList no longer exceeds the training sample (fixed crash)") {
+    // the old fixed sampleN=32768 + require(sample >= nList) threw for any
+    // nList > 32768 — exactly the documented 2^16-cell scale path; now the
+    // sample auto-scales and sparse cells pad instead of failing
+    val rng = new java.util.SplittableRandom(13)
+    val all = (0 until 400).map { i =>
+      (i.toLong, Array.fill(8)(rng.nextDouble().toFloat - 0.5f))
+    }.toDF("id", "vec")
+    val q = all.limit(3).select(col("id").as("qid"), col("vec").as("qvec"))
+    // nList far above both the corpus and the sample: must run, not throw
+    val n = Ivf.ivfTopK(all, q, k = 2, nList = 40000, nProbe = 64).count()
+    assert(n > 0)
+  }
+
   test("ivf: hot-cell cap drops are observable, never silent") {
     // constant vectors: every corpus row lands in ONE cell
     val all = (0 until 50).map(i => (i.toLong, Array.fill(8)(1.0f))).toDF("id", "vec")

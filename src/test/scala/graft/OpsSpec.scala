@@ -200,6 +200,21 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeWavPcm("nonsense".getBytes) == null)
   }
 
+  test("multimodal audio: hostile chunk sizes return null, never hang or throw") {
+    // a negative chunk size used to make the chunk-scan advance by zero
+    // (infinite loop) or `frames` negative (NegativeArraySizeException)
+    def riff(chunkId: Int, chunkSize: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(0x46464952); b.putInt(56); b.putInt(0x45564157)
+      b.putInt(chunkId); b.putInt(chunkSize)
+      b.array()
+    }
+    assert(Multimodal.decodeWavPcm(riff(0x20746d66, -8)) == null) // zero-advance loop
+    assert(Multimodal.decodeWavPcm(riff(0x61746164, -9)) == null) // negative frames
+    assert(Multimodal.decodeWavPcm(riff(0x61746164, Int.MaxValue)) == null) // pos overflow
+    assert(Multimodal.audioMfcc(riff(0x61746164, -9), 13) == null)
+  }
+
   test("multimodal audio: MFCC features separate tones and are deterministic") {
     val a = Fixtures.renderWav(seed = 1L)
     val b = Fixtures.renderWav(seed = 2L)

@@ -20,6 +20,17 @@ class SuffixSpec extends AnyFunSuite {
     }
   }
 
+  test("suffix array rejects char codes that would overflow the r2 field") {
+    // a code of exactly 2^21-1 passes a naive `< 2^21` bound but its
+    // first-round r2 = code+1 needs 22 bits, silently corrupting the
+    // packed sort key — the guard must be strict
+    val bad = Array(5, (1 << 21) - 1, 3)
+    intercept[IllegalArgumentException](SuffixPass.suffixArray(bad))
+    // the largest admissible code still round-trips correctly
+    val ok = Array(5, (1 << 21) - 2, 3, (1 << 21) - 2, 5)
+    assert(SuffixPass.suffixArray(ok).sameElements(naiveSa(ok)))
+  }
+
   test("suffix array correct for n >= 2^20 (packed-sort sign-bit range)") {
     // ranks >= 2^20 used to set the packed long's sign bit and corrupt the
     // sort order; verify the sorted-suffix property across that range.

@@ -61,6 +61,24 @@ class OpsSpec extends SparkSpec {
     assert(Ann.derivePlanes(1000000000000L) == 24) // clamp ceiling
   }
 
+  test("ann: cap plan is a sortless bounded aggregate; top-k gets WindowGroupLimit") {
+    val rng = new java.util.SplittableRandom(17)
+    val all = (0 until 100).map { i =>
+      (i.toLong, Array.fill(8)(rng.nextDouble().toFloat - 0.5f))
+    }.toDF("id", "vec")
+    val q = all.limit(3).select(col("id").as("qid"), col("vec").as("qvec"))
+    val plan = Ann.annTopK(all, q, k = 3, census = Some(new org.apache.spark.sql.Observation()))
+      .queryExecution.executedPlan.toString
+    // the bucket cap must be the bounded-min hash aggregate (O(cap) state,
+    // map-side combine), not a window sort — even WITH a census attached
+    // (the old row_number form lost WindowGroupLimit exactly then)
+    assert(plan.contains("ObjectHashAggregate"), "bounded-min cap missing")
+    assert(plan.contains("WindowGroupLimit"), "top-k rank pushdown lost")
+    // exactly one Window node total: the per-query top-k; the cap adds none
+    val windows = plan.linesIterator.count(_.matches(""".*\bWindow\b.*"""))
+    assert(windows == 1, s"expected 1 Window node, plan has $windows")
+  }
+
   test("ann: hot-bucket cap drops are observable, never silent") {
     // constant vectors: every corpus row lands in ONE bucket
     val all = (0 until 50).map(i => (i.toLong, Array.fill(8)(1.0f))).toDF("id", "vec")

@@ -132,6 +132,26 @@ object PlanDump {
         "No window, no collect_*, nothing driver-side.",
       ConnectedComponents.clusterHashed(edgesPub, corpus.select(col("image_id"))))
 
+    // deterministic synthetic embeddings (hash-derived; no RNG state)
+    val emb = spark.range(0, 500).select(col("id"),
+      transform(sequence(lit(1), lit(16)),
+        i => (pmod(xxhash64(col("id") * lit(31) + i), lit(1000)) / 500.0 - 1.0)
+          .cast("float")).as("vec"))
+    val embQ = emb.limit(5).select(col("id").as("qid"), col("vec").as("qvec"))
+    dump("ANN — LSH-bucketed similarity search (bounded bucket cap + census)",
+      "The hot-bucket cap is the bounded-min-ids aggregate: ONE " +
+        "ObjectHashAggregate pair (partial below the Exchange — O(cap) " +
+        "state, map-side combine) with the drop census read off the " +
+        "aggregated relation, then an id equi-join re-attaches the unit " +
+        "vectors (they never ride the bucket shuffle). The ONLY Window " +
+        "in the plan is the final per-query top-k, and its rank filter " +
+        "sits directly above it so WindowGroupLimit prunes before the " +
+        "sort — the earlier row_number cap put CollectMetrics between " +
+        "filter and Window, losing exactly that. Same shape for IVF " +
+        "(Ivf.ivfTopK shares capKeyed/bucketSearch).",
+      Ann.annTopK(emb, embQ, k = 5,
+        census = Some(new org.apache.spark.sql.Observation())))
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${sb.length} chars)")
     spark.stop()

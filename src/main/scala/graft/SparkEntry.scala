@@ -745,6 +745,22 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // same exhaustive-probe exactness argument, forced through the
+    // TWO-LEVEL quantizer (twoLevelFrom = 1 ⇒ k₁=4 coarse × k₂=4 fine):
+    // nProbe = nCells probes every cell, every corpus vector is assigned
+    // to exactly one cell by the greedy coarse-then-fine rule, so the
+    // result is provably the exact brute-force top-k — the DuckDB oracle
+    // value-checks the hierarchical training/assignment/probe machinery
+    // end-to-end; the approximate regime stays pinned by IvfSpec recall
+    "q_ann_ivf_twolevel" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ivf.ivfTopK(corpus, queries, k = 5, nList = 16, nProbe = 16,
+        twoLevelFrom = 1).orderBy("qid", "rk")
+    }),
+
     // multimodal: image decode + resize + phash features over the
     // deterministic fixture corpus (testdata has no image table). Oracle =
     // pinned golden relation (SparkEntryGoldens) — the kernels have no SQL
@@ -1068,6 +1084,18 @@ object SparkEntry {
          SELECT node AS doc_id, min(rep) AS cluster_id
          FROM walk GROUP BY node ORDER BY doc_id""",
     "q_ann_ivf_exhaustive" ->
+      """SELECT qid, id, cos, rk FROM (
+           SELECT qid, id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+           FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS id,
+               round(list_dot_product(q.embedding, c.embedding) /
+                 (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                  sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cos
+             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id < 10))
+         WHERE rk <= 5 ORDER BY qid, rk""",
+    "q_ann_ivf_twolevel" ->
       """SELECT qid, id, cos, rk FROM (
            SELECT qid, id, cos,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk

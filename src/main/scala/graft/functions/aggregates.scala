@@ -112,9 +112,13 @@ final class BoundedMinIds(cap: Int)
 
 /** Bounded buffer of (id, payload) rows: the `cap` smallest ids with
   * their payloads. Same max-heap discipline as [[BoundedMinIds]]; the
-  * payload rides alongside in a parallel array.
+  * payload rides alongside in a parallel array. `n_seen` counts every
+  * row the group saw — `n_seen > size` means the cap dropped overflow,
+  * which callers surface via `observe()` (W2: no silent truncation,
+  * same contract as [[CappedIds]]).
   */
-final case class IdPayloadBuf(size: Int, ids: Array[Long], payloads: Array[String])
+final case class IdPayloadBuf(
+    size: Int, n_seen: Long, ids: Array[Long], payloads: Array[String])
 
 /** Per group, keep the `cap` (id, payload) rows with the smallest ids —
   * O(cap) state, partial-aggregation-safe. Used by the suffix-array pass
@@ -128,7 +132,7 @@ final class BoundedMinRows(cap: Int)
   require(cap > 0)
 
   override def zero: IdPayloadBuf =
-    IdPayloadBuf(0, Array.emptyLongArray, Array.empty[String])
+    IdPayloadBuf(0, 0L, Array.emptyLongArray, Array.empty[String])
 
   // max-heap over slots 0..size-1 keyed by ids
   private def swap(b: IdPayloadBuf, i: Int, j: Int): Unit = {
@@ -141,7 +145,7 @@ final class BoundedMinRows(cap: Int)
     if (b.size < cap) {
       if (b.ids.length < b.size + 1) {
         val n = math.min(cap, math.max(4, b.ids.length * 2))
-        b = IdPayloadBuf(b.size,
+        b = IdPayloadBuf(b.size, b.n_seen,
           java.util.Arrays.copyOf(b.ids, n),
           java.util.Arrays.copyOf(b.payloads, n))
       }
@@ -165,14 +169,17 @@ final class BoundedMinRows(cap: Int)
     } else b
   }
 
-  override def reduce(b: IdPayloadBuf, v: (Long, String)): IdPayloadBuf =
-    insert(b, v._1, v._2)
+  override def reduce(b: IdPayloadBuf, v: (Long, String)): IdPayloadBuf = {
+    val r = insert(b, v._1, v._2)
+    r.copy(n_seen = b.n_seen + 1)
+  }
 
   override def merge(b1: IdPayloadBuf, b2: IdPayloadBuf): IdPayloadBuf = {
     var b = b1
     var i = 0
     while (i < b2.size) { b = insert(b, b2.ids(i), b2.payloads(i)); i += 1 }
-    b
+    // insert() does not count; totals are exact under partial aggregation
+    b.copy(n_seen = b1.n_seen + b2.n_seen)
   }
 
   /** Ascending by id, duplicates (same id) collapsed to the first. */
@@ -186,7 +193,8 @@ final class BoundedMinRows(cap: Int)
       if (w == 0 || b.ids(j) != ids(w - 1)) { ids(w) = b.ids(j); ps(w) = b.payloads(j); w += 1 }
       i += 1
     }
-    IdPayloadBuf(w, java.util.Arrays.copyOf(ids, w), java.util.Arrays.copyOf(ps, w))
+    IdPayloadBuf(w, b.n_seen,
+      java.util.Arrays.copyOf(ids, w), java.util.Arrays.copyOf(ps, w))
   }
 
   override def bufferEncoder: Encoder[IdPayloadBuf] = Encoders.product[IdPayloadBuf]

@@ -90,11 +90,13 @@ object Pipeline {
     // no extra job (harvested once the stage first executes).
     val lshObs = new Observation()
     val shObs = new Observation()
+    val spanObs = new Observation()
     val candidates = ckpt("candidates") {
       val bandsDf = Lsh.bands(sigs, cfg)
       val lshPairs = Lsh.lshCandidates(bandsDf, cfg, dedup = false, census = Some(lshObs))
       val shPairs = Lsh.simhashCandidates(sigs, cfg, dedup = false, census = Some(shObs))
-      val spanPairs = SuffixPass.spanCandidates(sigs.select(col("id"), col("norm")), cfg)
+      val spanPairs = SuffixPass.spanCandidates(
+        sigs.select(col("id"), col("norm")), cfg, census = Some(spanObs))
       // Source provenance as a BIT MASK, not collect_set: bit_or is a
       // declarative aggregate, so the HIGHEST-VOLUME aggregation in the
       // engine (pair dedup over every emitted candidate) stays a codegen
@@ -154,7 +156,8 @@ object Pipeline {
           row.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> row.get(i) }.toMap
         case _ => Map.empty
       }
-      val m = Map("lsh" -> metrics(lshObs), "simhash" -> metrics(shObs))
+      val m = Map("lsh" -> metrics(lshObs), "simhash" -> metrics(shObs),
+        "span" -> metrics(spanObs))
       m.foreach { case (src, c) =>
         c.get("overflow_buckets").collect { case n: Long if n > 0 =>
           System.err.println(s"[graft] $src bucket cap overflow: $c")

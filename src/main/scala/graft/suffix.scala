@@ -219,17 +219,31 @@ object SuffixPass {
     * window cap + `groupByKey` (three exchanges of the exploded
     * fingerprint relation).
     */
-  def spanCandidates(normed: DataFrame, cfg: DedupConfig): DataFrame = {
+  def spanCandidates(
+      normed: DataFrame,
+      cfg: DedupConfig,
+      census: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val fps = normed
       .where(length(col("norm")) >= cfg.saMinSpan)
       .select(
         col("id"),
         col("norm"),
         explode(fpUdf(col("norm"), lit(cfg.saGramK), lit(cfg.saMinSpan))).as("fp"))
-    fps
+    val buckets0 = fps
       .groupBy(col("fp"))
       .agg(graft.functions.GraftAggregates
         .boundedMinRows(cfg.bucketCap)(col("id"), col("norm")).as("bucket"))
+    // W2: a capped fingerprint bucket is a recall-affecting drop — same
+    // census contract as the LSH/SimHash paths (Lsh.emitPairs), read off
+    // the aggregate's n_seen with no extra job
+    val buckets = census.fold(buckets0)(o => buckets0.observe(o,
+      sum(when(col("bucket.n_seen") > cfg.bucketCap, 1L).otherwise(0L))
+        .as("overflow_buckets"),
+      sum(when(col("bucket.n_seen") > cfg.bucketCap,
+        col("bucket.n_seen") - cfg.bucketCap).otherwise(0L)).as("dropped_ids"),
+      max(col("bucket.n_seen")).as("max_bucket"),
+      count(lit(1)).as("n_buckets")))
+    buckets
       .where(col("bucket.size") > 1)
       .select(explode(
         kernelUdf(col("bucket.ids"), col("bucket.payloads"), lit(cfg.saMinSpan))).as("p"))

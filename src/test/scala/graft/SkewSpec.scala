@@ -52,6 +52,24 @@ class SkewSpec extends SparkSpec {
       cfg.bands.toLong * (600 - cfg.bucketCap))
   }
 
+  test("span-pass fingerprint-bucket overflow is observable (W2)") {
+    // identical long captions → every doc emits the same winnow
+    // fingerprints; with a tiny cap the bucket overflows and the census
+    // must surface it (BoundedMinRows previously had no seen-counter, so
+    // span-path drops were the one silent cap left in the engine)
+    val small = cfg.copy(bucketCap = 8)
+    val docs = (0 until 30).map { i =>
+      (i.toLong, "an identical rather long caption shared by every row of this fixture")
+    }.toDF("id", "norm")
+    val obs = new org.apache.spark.sql.Observation()
+    SuffixPass.spanCandidates(docs, small, census = Some(obs)).count()
+    val m = obs.get
+    assert(m("max_bucket").asInstanceOf[Long] == 30L)
+    assert(m("overflow_buckets").asInstanceOf[Long] > 0L)
+    val nFp = m("n_buckets").asInstanceOf[Long]
+    assert(m("dropped_ids").asInstanceOf[Long] == nFp * (30 - 8))
+  }
+
   test("salting is a pure repartition: capped set is deterministic") {
     val sigs = Signatures.signatures(hotCorpus(300), cfg)
     val p1 = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg)

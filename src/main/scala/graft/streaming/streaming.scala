@@ -3,6 +3,13 @@ package graft.streaming
 import graft.{DedupConfig, Lsh, Signatures}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-content-key dedup state for [[Streaming.assignCanonicalStream]]:
+  * the first-seen (canonical) image_id and the max event time observed
+  * (drives the event-time eviction timeout).
+  */
+final case class CanonicalState(canonicalId: String, maxTsMs: Long)
 
 /** Structured Streaming surface (SURVEY.md §2.9 ST1–ST4). The reference
   * is batch-only; this is the incremental-ingest path for a continuously
@@ -59,6 +66,55 @@ object Streaming {
     corpusStream
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("image_id")
+
+  /** ST5 — CUSTOM-STATE streaming dedup (`flatMapGroupsWithState`):
+    * group arrivals by an exact content key (xxhash64 of caption+phash),
+    * keep the first-seen image_id per key as the canonical, and emit an
+    * ASSIGNMENT row `(image_id, canonical_id, is_dup)` for every arrival
+    * — the streaming twin of the batch exact-dedup operator
+    * (q_dedup_exact), where ST3's `dropDuplicatesWithinWatermark` merely
+    * drops. Downstream sinks get full lineage: which incoming row
+    * collapsed onto which canonical.
+    *
+    * State discipline at scale: one O(1) `CanonicalState` per DISTINCT
+    * active content key, evicted by event-time timeout `horizonMs` after
+    * the key's newest arrival passes the watermark — state size is
+    * bounded by keys-within-horizon, not stream length. Within a
+    * micro-batch the canonical choice is made deterministic by sorting
+    * the (bounded: one content key's arrivals in one batch) group on
+    * (ts, image_id).
+    */
+  def assignCanonicalStream(
+      corpusStream: DataFrame, // needs (image_id, caption, phash, <tsCol>)
+      tsCol: String,
+      watermark: String = "10 minutes",
+      horizonMs: Long = 10L * 60 * 1000): DataFrame = {
+    val sess = corpusStream.sparkSession
+    import sess.implicits._
+    corpusStream
+      .withWatermark(tsCol, watermark)
+      .select(col("image_id"), col(tsCol),
+        xxhash64(col("caption"), col("phash")).as("ckey"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[CanonicalState, (String, String, Boolean)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state: GroupState[CanonicalState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+            val canonical = state.getOption.map(_.canonicalId)
+              .getOrElse(sorted.head._1)
+            val maxTs = math.max(
+              state.getOption.map(_.maxTsMs).getOrElse(Long.MinValue),
+              sorted.map(_._2.getTime).max)
+            state.update(CanonicalState(canonical, maxTs))
+            state.setTimeoutTimestamp(maxTs + horizonMs)
+            sorted.iterator.map(r => (r._1, canonical, r._1 != canonical))
+          }
+      }
+      .toDF("image_id", "canonical_id", "is_dup")
+  }
 
   /** ST4 — micro-batch incremental candidate generation (foreachBatch
     * body): band the new rows and equi-join against the committed

@@ -67,6 +67,43 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("ST5: custom-state canonical assignment emits lineage and evicts state") {
+    implicit val sq = spark.sqlContext
+    // (image_id, caption, phash, ts) — same caption+phash ⇒ same content key
+    val input = MemoryStream[(String, String, Long, Timestamp)]
+    val q = Streaming
+      .assignCanonicalStream(
+        input.toDF().toDF("image_id", "caption", "phash", "ts"),
+        "ts", watermark = "5 minutes", horizonMs = 5L * 60 * 1000)
+      .writeStream.format("memory").queryName("canon_stream")
+      .outputMode("append").start()
+    def table() = spark.table("canon_stream")
+      .as[(String, String, Boolean)].collect().toSeq
+
+    input.addData(
+      ("a", "same cap", 7L, ts(1)), ("b", "same cap", 7L, ts(2)),
+      ("d", "other cap", 9L, ts(1)))
+    q.processAllAvailable()
+    // first-seen a is canonical for the shared key; d is its own canonical
+    assert(table().toSet == Set(("a", "a", false), ("b", "a", true), ("d", "d", false)))
+
+    input.addData(("c", "same cap", 7L, ts(3)))
+    q.processAllAvailable()
+    // later arrival within the horizon maps onto the EXISTING canonical
+    assert(table().contains(("c", "a", true)))
+
+    // push the watermark far past the key's timeout (ts3 + 5 min), then
+    // re-send the same content: state must have been evicted, so the new
+    // arrival becomes a fresh canonical instead of mapping onto `a`
+    input.addData(("w", "unrelated", 1L, ts(40)))
+    q.processAllAvailable()
+    input.addData(("e", "same cap", 7L, ts(45)))
+    q.processAllAvailable()
+    assert(table().contains(("e", "e", false)),
+      s"state not evicted after timeout: ${table()}")
+    q.stop()
+  }
+
   test("ST4: incremental candidates find historical near-dups") {
     val cfg = DedupConfig()
     val corpus = Fixtures.corpus(spark, 20).toDF()

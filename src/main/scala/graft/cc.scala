@@ -93,11 +93,17 @@ object ConnectedComponents {
     * stage 1) fails loudly on any xxhash64(image_id) collision before
     * this stage runs.
     */
-  def clusterHashed(dupEdges: DataFrame, corpus: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = dupEdges.select(
-      xxhash64(col("a")).as("a"), xxhash64(col("b")).as("b"))
-    val nodes = corpus.select(
-      xxhash64(col("image_id")).as("nid"), col("image_id"))
+  def clusterHashed(
+      dupEdges: DataFrame,
+      corpus: DataFrame,
+      maxIter: Int = 20,
+      repairs: Option[DataFrame] = None): DataFrame = {
+    // same repaired id function as the signature stage (IdHash): a hash
+    // collision here would silently merge two unrelated clusters
+    val edges = IdHash.withId(IdHash.withId(dupEdges, "a", "ha", repairs), "b", "hb", repairs)
+      .select(col("ha").as("a"), col("hb").as("b"))
+    val nodes = IdHash.withId(corpus, "image_id", "nid", repairs)
+      .select(col("nid"), col("image_id"))
     val assign = cluster(edges, nodes.select(col("nid").as("image_id")), maxIter)
       .select(col("image_id").as("nid"), col("cluster_id").as("rep"))
       .join(nodes, "nid")

@@ -55,28 +55,26 @@ object Pipeline {
         p
     }
 
+    // i64-id collision REPAIR (IdHash scaladoc has the envelope math):
+    // collisions are certain at the 10¹² target (~27k expected), so the
+    // colliding minority is re-salted until the id map is injective and
+    // the tiny (image_id, salt) table rides as a broadcast into every
+    // id-derivation site — and is committed so resumed runs derive
+    // identical ids. None (no collisions) on every sandbox-scale corpus.
+    // Doubles as the duplicate-image_id guard: duplicated public ids
+    // land in the collider census (equal base hashes) and fail fast
+    // inside buildRepairs — checked over the FULL corpus, as the CC
+    // stage hashes every corpus id, at no extra corpus pass.
+    val repairs = IdHash.buildRepairs(corpus.select(col("image_id")))
+      .map(r => io.fold(r)(t => t.commit("id_repairs", r)))
+
     // stage 0–1: filters + signatures (row-local, one codegen stage)
     val sigs = ckpt("signatures") {
       val clean = corpus
         .where(col("caption").isNotNull && length(col("caption")) > 0)
         .where(col("w") > 0 && col("h") > 0)
-      Signatures.signatures(clean, cfg)
+      Signatures.signatures(clean, cfg, repairs)
     }
-    // i64-id collision guard (see Signatures scaladoc): a collision would
-    // silently merge two unrelated images, so fail loudly instead. Checked
-    // over the FULL corpus (not just the caption-filtered signature rows):
-    // the CC stage hashes every corpus id, including rows the cleanliness
-    // filters dropped.
-    val idStats = corpus
-      .agg(count(lit(1)), countDistinct(col("image_id")),
-        countDistinct(xxhash64(col("image_id"))))
-      .collect()(0)
-    require(idStats.getLong(0) == idStats.getLong(1),
-      s"duplicate image_ids in corpus (${idStats.getLong(0)} rows, " +
-        s"${idStats.getLong(1)} distinct ids)")
-    require(idStats.getLong(1) == idStats.getLong(2),
-      s"xxhash64(image_id) collision detected (${idStats.getLong(1)} distinct " +
-        s"ids, ${idStats.getLong(2)} distinct hashes) — use a wider internal id")
 
     // skew census (A3): checkpointed runs record the bucket-size
     // distribution + overflow count alongside the stage tables, so a
@@ -127,7 +125,7 @@ object Pipeline {
 
     // stage 5: pixel verification (the only stage that touches bytes again)
     val verified = ckpt("verified") {
-      Scoring.verify(survivors, corpus, cfg)
+      Scoring.verify(survivors, corpus, cfg, repairs)
     }
 
     // stage 6–7: connected components over dup edges → stable cluster ids.
@@ -137,7 +135,8 @@ object Pipeline {
     // hazard this avoids.
     val clusters = ckpt("clusters") {
       val edges = verified.where(col("is_dup")).select(col("a"), col("b"))
-      ConnectedComponents.clusterHashed(edges, corpus.select(col("image_id")))
+      ConnectedComponents.clusterHashed(edges, corpus.select(col("image_id")),
+        repairs = repairs)
     }
 
     // the CC loop's convergence actions have materialized every persisted

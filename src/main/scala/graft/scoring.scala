@@ -79,13 +79,16 @@ object Scoring {
     * BASELINE.json:L15: decoded-pixel allclose — exact for lossless,
     * PSNR ≥ 40 dB for lossy.
     */
-  def verify(survivors: DataFrame, corpus: DataFrame, cfg: DedupConfig): DataFrame = {
+  def verify(
+      survivors: DataFrame,
+      corpus: DataFrame,
+      cfg: DedupConfig,
+      repairs: Option[DataFrame] = None): DataFrame = {
     // survivors carry i64 ids; the payload join translates them back to
-    // public image_ids (the payload side derives the same xxhash64 id, so
+    // public image_ids (the payload side derives the same repaired id, so
     // no extra mapping table is needed).
-    val payload = corpus.select(
-      xxhash64(col("image_id")).as("id"), col("image_id"),
-      col("bytes"), col("fmt"), col("caption"))
+    val payload = IdHash.withId(corpus, "image_id", "id", repairs)
+      .select(col("id"), col("image_id"), col("bytes"), col("fmt"), col("caption"))
     val pa = payload.select(
       col("id").as("a"), col("image_id").as("a_img"), col("bytes").as("bytes_a"),
       col("fmt").as("fmt_a"), col("caption").as("cap_a"))

@@ -16,18 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Signatures {
 
-  def signatures(corpus: DataFrame, cfg: DedupConfig): DataFrame = {
+  def signatures(
+      corpus: DataFrame,
+      cfg: DedupConfig,
+      repairs: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    corpus
+    // 64-bit internal id: every candidate/scoring shuffle moves i64 keys
+    // instead of string ids (2–3× narrower rows, radix-sortable join
+    // keys). Expected colliding pairs ≈ n²/2^65 — certain at the 10¹²
+    // target — so the id is derived through IdHash.withId, whose repair
+    // table (built in Pipeline.runStaged) re-salts the colliding
+    // minority; with no collisions (every sandbox corpus) this is a
+    // plain xxhash64 projection.
+    IdHash.withId(corpus, "image_id", "id", repairs)
       .withColumn("norm", Text.normalizeCol(col("caption")))
       .select(
         col("image_id"),
-        // 64-bit internal id: every candidate/scoring shuffle moves i64
-        // keys instead of string ids (2–3× narrower rows, radix-sortable
-        // join keys). Collision probability at 10^12 rows is ~2.7e-8 per
-        // pair (birthday over 2^64) and is asserted against in
-        // Pipeline.runStaged before use.
-        xxhash64(col("image_id")).as("id"),
+        col("id"),
         col("norm"),
         GraftFunctions
           .minhashCol(

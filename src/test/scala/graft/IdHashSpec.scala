@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Internal-id collision repair (IdHash): the 10¹² envelope where
+  * xxhash64 collisions are certain. Forced here with a deliberately
+  * narrow test hash (mod-N) — production code paths, toy hash width.
+  */
+class IdHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40 ids into 64 buckets: birthday guarantees first-round collisions,
+  // but the space is wide enough for the salt loop to converge
+  private val narrowBase: Column => Column = c => pmod(xxhash64(c), lit(64))
+  private val narrowSalted: (Column, Column) => Column =
+    (c, s) => pmod(xxhash64(c, s), lit(64))
+
+  private def ids(n: Int) = (0 until n).map(i => f"img$i%04d").toDF("image_id")
+
+  test("no repairs needed when the hash is injective (common case)") {
+    assert(IdHash.buildRepairs(ids(500)).isEmpty)
+  }
+
+  test("narrow hash: repair converges to a globally injective id map") {
+    val corpus = ids(40)
+    val repairs = IdHash.buildRepairs(corpus, maxRounds = 16, narrowBase, narrowSalted)
+    assert(repairs.nonEmpty, "40 ids in 64 buckets must collide at round 1")
+    val assigned = IdHash.withId(corpus, "image_id", "id", repairs, narrowBase, narrowSalted)
+    val n = assigned.select("id").distinct().count()
+    assert(n == 40L, s"ids not injective after repair: $n distinct of 40")
+  }
+
+  test("duplicated image_ids fail fast with the real cause") {
+    val corpus = ids(20).union(ids(3)) // img0000..0002 duplicated
+    val e = intercept[IllegalArgumentException] {
+      IdHash.buildRepairs(corpus) // full-width hash: only true dups collide
+    }
+    assert(e.getMessage.contains("duplicate image_ids"), e.getMessage)
+    assert(e.getMessage.contains("img0000"), e.getMessage)
+  }
+
+  test("repair is deterministic across builds") {
+    val corpus = ids(40)
+    def build() = IdHash
+      .buildRepairs(corpus, maxRounds = 16, narrowBase, narrowSalted).get
+      .orderBy("image_id").as[(String, Long)].collect().toSeq
+    assert(build() == build())
+  }
+
+  test("unrepaired ids hash identically with and without a repair table") {
+    val corpus = ids(40)
+    val repairs = IdHash.buildRepairs(corpus, maxRounds = 16, narrowBase, narrowSalted)
+    val repairedIds = repairs.get.select("image_id").as[String].collect().toSet
+    val withR = IdHash.withId(corpus, "image_id", "id", repairs, narrowBase, narrowSalted)
+      .where(!col("image_id").isInCollection(repairedIds))
+      .orderBy("image_id").as[(String, Long)].collect().toSeq
+    val withoutR = IdHash.withId(corpus, "image_id", "id", None, narrowBase, narrowSalted)
+      .where(!col("image_id").isInCollection(repairedIds))
+      .orderBy("image_id").as[(String, Long)].collect().toSeq
+    assert(withR == withoutR)
+  }
+
+  test("pipeline stages agree on repaired ids end-to-end") {
+    // a REAL repair table flowing through signatures → verify → CC: fake
+    // two colliding ids by building repairs under the narrow hash, then
+    // check the pipeline's cluster output is unchanged vs the no-repair
+    // run on the same corpus (ids are internal — the public result must
+    // be identical)
+    val corpus = Fixtures.corpus(spark, 15).toDF()
+    val cfg = DedupConfig()
+    // a synthetic repair table covering a few ids: every id-derivation
+    // site must apply it consistently, and since ids are internal the
+    // PUBLIC clustering must be identical with and without it
+    val some = corpus.select(col("image_id")).orderBy("image_id").limit(3)
+      .withColumn("salt", lit(7L))
+    def runChain(repairs: Option[org.apache.spark.sql.DataFrame]) = {
+      val sigs = Signatures.signatures(corpus, cfg, repairs)
+      val cands = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg)
+      val scored = Scoring.filterAndTopK(Scoring.score(cands, sigs, cfg, sigs.count()), cfg)
+      val verified = Scoring.verify(scored, corpus, cfg, repairs)
+      ConnectedComponents.clusterHashed(
+        verified.where(col("is_dup")).select(col("a"), col("b")),
+        corpus.select(col("image_id")), repairs = repairs)
+        .orderBy("image_id").as[(String, String)].collect().toSeq
+    }
+    assert(runChain(None) == runChain(Some(some)),
+      "repaired internal ids changed the public clustering")
+  }
+}

@@ -61,6 +61,20 @@ class IdHashSpec extends SparkSpec {
     assert(withR == withoutR)
   }
 
+  test("plan shape: no repairs ⇒ pure projection; repairs ⇒ one broadcast join") {
+    val corpus = ids(100)
+    val none = IdHash.withId(corpus, "image_id", "id", None)
+      .queryExecution.executedPlan.toString
+    assert(!none.contains("Join") && !none.contains("Exchange"),
+      s"no-repair withId must fuse into the enclosing projection:\n$none")
+    val repairs = Some(ids(2).withColumn("salt", lit(1L)))
+    val some = IdHash.withId(corpus, "image_id", "id", repairs)
+      .queryExecution.executedPlan.toString
+    assert(some.contains("BroadcastHashJoin"), s"repair join must broadcast:\n$some")
+    assert(!some.contains("ShuffleExchange") && !some.contains("SortMergeJoin"),
+      s"repair path must not shuffle the corpus:\n$some")
+  }
+
   test("pipeline stages agree on repaired ids end-to-end") {
     // a REAL repair table flowing through signatures → verify → CC: fake
     // two colliding ids by building repairs under the narrow hash, then

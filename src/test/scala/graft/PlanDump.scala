@@ -36,6 +36,55 @@ object PlanDump {
       sb.append("```\n")
     }
 
+    dump("stage 0 — internal i64 id (IdHash.withId, repairs = None — the universal case)",
+      "Ids ride every candidate/scoring/CC shuffle, so their derivation " +
+        "must be free: with no repair table (every corpus whose xxhash64 " +
+        "is already injective) withId is a pure codegen projection fused " +
+        "into the consuming stage — no join, no Exchange. IdHashSpec " +
+        "asserts this mechanically.",
+      IdHash.withId(corpus, "image_id", "id", None).select(col("image_id"), col("id")))
+
+    dump("stage 0 — id collision repair applied (IdHash.withId with a repair table)",
+      "When buildRepairs found collisions (certain at the 10^12 target, " +
+        "~54k repaired rows), the repair table rides as ONE BroadcastHashJoin " +
+        "LeftOuter into the projection — the corpus is never shuffled for " +
+        "id assignment.",
+      IdHash.withId(corpus, "image_id", "id",
+        Some(corpus.select(col("image_id")).limit(2).withColumn("salt", lit(1L))))
+        .select(col("image_id"), col("id")))
+
+    {
+      // same construction as IdHash.buildRepairs (idhash.scala) — the
+      // real loop localCheckpoints `pending`, truncating the attempt-side
+      // lineage shown here to a checkpoint scan
+      val baseHashes = corpus.select(xxhash64(col("image_id")).as("h"))
+      val dup0 = baseHashes.groupBy(col("h")).count()
+        .where(col("count") > 1).select(col("h"))
+      val pending = corpus.select(col("image_id"))
+        .withColumn("h", xxhash64(col("image_id")))
+        .join(broadcast(dup0), Seq("h"), "left_semi")
+        .select(col("image_id"))
+      dump("stage 0 — collision census (IdHash.buildRepairs round 0)",
+        "The ONE corpus-wide shuffle in the repair path: a codegen " +
+          "HashAggregate pair (partial below the Exchange) counting hash " +
+          "occupancy, its >1 survivors broadcast back into a LeftSemi over " +
+          "a second corpus scan. Loop state from here on is O(|colliders|).",
+        pending)
+      val attempt = pending.limit(10)
+        .withColumn("salt", lit(1L))
+        .withColumn("h", xxhash64(col("image_id"), col("salt")))
+      dump("stage 0 — repair round corpus pass (IdHash.buildRepairs corpusHits)",
+        "Each repair round re-reads the corpus with the candidates' salted " +
+          "hashes BROADCAST into the scan (BroadcastHashJoin LeftSemi over " +
+          "the base-hash projection): no corpus shuffle, no corpus " +
+          "checkpoint, ever — the only Exchanges touch the tiny collider " +
+          "side. Expected rounds ≈ 1 (each round re-scatters only " +
+          "|colliders| ids across 2^64).",
+        baseHashes
+          .join(broadcast(attempt.select(col("h"))), Seq("h"), "left_semi")
+          .distinct())
+    }
+
     val sigs = Signatures.signatures(corpus, cfg)
     dump("stage 1 — signatures",
       "One whole-stage-codegen projection over a pruned scan (no `bytes`, no " +

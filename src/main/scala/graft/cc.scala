@@ -89,9 +89,11 @@ object ConnectedComponents {
     * public representative (A5: cluster_id = min member image_id) — runs
     * ONCE over the n-row assignment, not O(rounds) times over the edges.
     *
-    * i64 collision safety: the pipeline's id-collision guard (Pipeline
-    * stage 1) fails loudly on any xxhash64(image_id) collision before
-    * this stage runs.
+    * i64 collision safety: ids come through [[IdHash.withId]] under the
+    * pipeline's repair table, which made the id map globally injective
+    * before any stage ran — a collision here would silently merge two
+    * unrelated clusters, which is why CC shares the exact same repaired
+    * derivation as signatures and verify.
     */
   def clusterHashed(
       dupEdges: DataFrame,

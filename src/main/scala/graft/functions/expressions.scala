@@ -88,6 +88,31 @@ case class SimHashExpr(left: Expression, right: Expression, phashWeight: Int)
     copy(left = l, right = r)
 }
 
+/** normalized caption → robust-winnowing fingerprint set (array<long>;
+  * Schleimer/Wilkerson/Aiken 2003). The suffix-pass routing stage runs
+  * this on EVERY caption (the span path's corpus-wide row-local work),
+  * so it must not break whole-stage codegen the way the earlier Scala
+  * UDF did — same static-call pattern as [[ShinglesExpr]].
+  */
+case class WinnowExpr(child: Expression, k: Int, minSpan: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      graft.SuffixPass.winnowFingerprints(
+        input.asInstanceOf[UTF8String].toString, k, minSpan))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.SuffixPass.winnowFingerprints($c.toString(), $k, $minSpan));")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}
+
 object SimHashExpr {
   /** whitespace-token 64-bit hashes of a normalized caption. */
   def tokenHashes(s: String): Array[Long] = {
@@ -124,6 +149,10 @@ object GraftFunctions {
       "graft_simhash",
       es => SimHashExpr(es.head, es(1), litInt(es(2))),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_winnow",
+      es => WinnowExpr(es.head, litInt(es(1)), litInt(es(2))),
+      "built-in")
   }
 
   private def litInt(e: Expression): Int = e.eval() match {
@@ -138,4 +167,6 @@ object GraftFunctions {
     call_function("graft_minhash", shingles, lit(numPerms))
   def simhashCol(normCaption: Column, phash: Column, phashWeight: Int = 2): Column =
     call_function("graft_simhash", normCaption, phash, lit(phashWeight))
+  def winnowCol(normCaption: Column, k: Int, minSpan: Int): Column =
+    call_function("graft_winnow", normCaption, lit(k), lit(minSpan))
 }

@@ -201,10 +201,6 @@ object SuffixPass {
 
   // ---- distributed assembly ----
 
-  private val fpUdf = udf { (s: String, k: Int, minSpan: Int) =>
-    winnowFingerprints(s, k, minSpan)
-  }
-
   private val kernelUdf = udf { (ids: Seq[Long], norms: Seq[String], minSpan: Int) =>
     spanPairs(ids.zip(norms), minSpan).toSeq
   }
@@ -218,17 +214,24 @@ object SuffixPass {
     * scalar UDF over the aggregated bucket. Replaces a two-phase salted
     * window cap + `groupByKey` (three exchanges of the exploded
     * fingerprint relation).
+    *
+    * The fingerprint projection is the corpus-wide row-local stage of the
+    * span path, so it runs as a native [[graft.functions.WinnowExpr]]
+    * (whole-stage codegen, no encoder round-trip) — the kernel UDF by
+    * contrast only sees ≤cap-row aggregated buckets.
     */
   def spanCandidates(
       normed: DataFrame,
       cfg: DedupConfig,
       census: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(normed.sparkSession)
     val fps = normed
       .where(length(col("norm")) >= cfg.saMinSpan)
       .select(
         col("id"),
         col("norm"),
-        explode(fpUdf(col("norm"), lit(cfg.saGramK), lit(cfg.saMinSpan))).as("fp"))
+        explode(graft.functions.GraftFunctions
+          .winnowCol(col("norm"), cfg.saGramK, cfg.saMinSpan)).as("fp"))
     val buckets0 = fps
       .groupBy(col("fp"))
       .agg(graft.functions.GraftAggregates

@@ -98,6 +98,32 @@ class SignatureSpec extends SparkSpec {
     assert(!scanSchema.contains("bytes"), s"bytes must be pruned: $scanSchema")
   }
 
+  test("winnow fingerprint stage: native expression ≡ kernel, no UDF below the bucket agg") {
+    val cfg = DedupConfig()
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      "the quick brown fox jumped over the lazy dog and kept running far away",
+      "a completely different caption with no shared span whatsoever in it at all")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "norm")
+    // expression output must equal the winnowing kernel exactly
+    val got = docs.select(col("id"),
+      GraftFunctions.winnowCol(col("norm"), cfg.saGramK, cfg.saMinSpan).as("fp"))
+      .orderBy("id").as[(Long, Seq[Long])].collect()
+    val want = docs.orderBy("id").as[(Long, String)].collect().map { case (i, s) =>
+      (i, SuffixPass.winnowFingerprints(s, cfg.saGramK, cfg.saMinSpan).toSeq)
+    }
+    assert(got.toSeq == want.toSeq)
+    // the corpus-wide fingerprint stage (everything below the bucket
+    // aggregation) must be UDF-free codegen; the only ScalaUDF in the
+    // whole span path is the bounded-bucket SA kernel ABOVE the agg
+    val plan = SuffixPass.spanCandidates(docs, cfg)
+      .queryExecution.executedPlan.toString
+    val belowAgg = plan.substring(plan.lastIndexOf("HashAggregate"))
+    assert(belowAgg.contains("graft_winnow"), belowAgg)
+    assert(!belowAgg.contains("ScalaUDF"),
+      "fingerprint stage must not contain UDF boundaries:\n" + belowAgg)
+  }
+
   test("plan shape: verify scan reads only the payload columns") {
     val corpus = spark.read.parquet(parquetCorpusDir)
     val survivors = Seq(("img00000000", "img00000001", "lsh", 0, 1.0, 0))

@@ -255,7 +255,13 @@ object Bench {
     val nLo = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", coresPerExec.toString).toInt
     val nHi = sys.env.getOrElse("SPARK_GRAFT_SCALE_4N", (nLo * 4).toString).toInt
     val memMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXEC_MB", "8192").toInt
-    val shuffleParts = nHi * 4
+    // Default 16× the high level's cores (was 4×): the span-pass bucket
+    // partitions carry ragged CPU costs (SA kernel ∝ bucket content;
+    // event-log measured 2–23 s per task at 64 partitions), and 4 waves
+    // of ragged tasks strand cores in every wave tail at the HIGH level
+    // while costing nothing measurable at the low one. Constant across
+    // levels, as before: partition count is a property of the data.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SCALE_SHUFFLE", (nHi * 16).toString).toInt
     def mk(cores: Int): () => SparkSession = mode match {
       case "threads" => () => session(cores, shuffleParts)
       case _ => // cores/coresPerExec separate executor JVMs
@@ -267,12 +273,21 @@ object Bench {
     // level is meaningless. Alternate levels and keep the per-level MIN —
     // min-of-k is the standard noisy-host estimator of the true cost.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+    // hi / lo / both: single-level runs for methodology experiments
+    // (e.g. shuffle-granularity sweeps measure only the high level)
+    val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "both")
     var tHi = Double.MaxValue
     var tLo = Double.MaxValue
     (1 to rounds).foreach { r =>
-      tHi = math.min(tHi, measureLevel(mk(nHi), corpusPath, warmupPath, timedRuns = 1))
-      tLo = math.min(tLo, measureLevel(mk(nLo), corpusPath, warmupPath, timedRuns = 1))
+      if (levels != "lo")
+        tHi = math.min(tHi, measureLevel(mk(nHi), corpusPath, warmupPath, timedRuns = 1))
+      if (levels != "hi")
+        tLo = math.min(tLo, measureLevel(mk(nLo), corpusPath, warmupPath, timedRuns = 1))
       System.err.println(f"[scaling] round $r ($mode): best sec_$nHi=$tHi%.2f sec_$nLo=$tLo%.2f")
+    }
+    if (levels != "both") {
+      println(f"""{"level_only":"$levels%s","sec_hi":$tHi%.2f,"sec_lo":$tLo%.2f,"shuffle_parts":$shuffleParts}""")
+      return
     }
 
     val thrHi = nImages / tHi

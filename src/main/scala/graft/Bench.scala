@@ -98,7 +98,14 @@ object Bench {
   private def benchMain(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = session(cpus)
+    // 32 stays the right default HERE: the wave-packing fix that took the
+    // 535k-image multi-JVM scaling run from 0.723 to 0.854 (256 partitions;
+    // see BASELINE.md) was tried on this bench too and HURT it
+    // (pipeline_e2e 13.1 s → 20.8 s at 128): the 34k-image corpus's tasks
+    // are sub-second, so finer partitions just multiply per-task overhead.
+    // Partition granularity follows task CPU cost, not core count.
+    val spark = session(cpus,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "32").toInt)
 
     // Untimed warm-up: the first measured query otherwise absorbs all
     // JIT/codegen/parquet-reader initialization (measured: q_agg_pricing

@@ -67,6 +67,42 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("ST5: canonical state survives a stream RESTART (checkpoint recovery)") {
+    // the streaming twin of the batch engine's resume guarantee: stop the
+    // query, deliver a duplicate of an already-canonicalized key to a NEW
+    // query on the same checkpoint — the state store must restore the
+    // canonical choice, not re-elect the newcomer
+    val dir = java.nio.file.Files.createTempDirectory("st5restart").toString
+    val src = s"$dir/src"; val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "image_id string, caption string, phash bigint, ts timestamp")
+    def startQuery() = Streaming
+      .assignCanonicalStream(spark.readStream.schema(schema).parquet(src), "ts")
+      .toDF("image_id", "canonical_id", "is_dup")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    Seq(("a1", "same content", 7L, ts(1)), ("b1", "other", 9L, ts(1)))
+      .toDF("image_id", "caption", "phash", "ts")
+      .write.mode("append").parquet(src)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+
+    // a2 carries the SAME content key as a1 but arrives only after restart
+    Seq(("a2", "same content", 7L, ts(2)))
+      .toDF("image_id", "caption", "phash", "ts")
+      .write.mode("append").parquet(src)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(out)
+      .as[(String, String, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("a1", "a1", false), ("a2", "a1", true), ("b1", "b1", false)),
+      s"restart lost canonical state: ${got.toSeq}")
+  }
+
   test("ST5: custom-state canonical assignment emits lineage and evicts state") {
     implicit val sq = spark.sqlContext
     // (image_id, caption, phash, ts) — same caption+phash ⇒ same content key

@@ -75,6 +75,25 @@ class IdHashSpec extends SparkSpec {
       s"repair path must not shuffle the corpus:\n$some")
   }
 
+  test("stress: hundreds of colliders converge within the default round budget") {
+    // 20k ids into 2^20 buckets ≈ 190 expected colliding pairs (birthday:
+    // n²/2m) — the same ~percent-scale collision density the 10¹² target
+    // produces against 2^64, ~400 repaired ids instead of 2. Default
+    // maxRounds=8 must absorb it (expected ~3 rounds: each round
+    // re-scatters only the shrinking collider set).
+    val m = 1 << 20
+    val base: Column => Column = c => pmod(xxhash64(c), lit(m))
+    val salted: (Column, Column) => Column = (c, s) => pmod(xxhash64(c, s), lit(m))
+    val corpus = ids(20000)
+    val repairs = IdHash.buildRepairs(corpus, base = base, salted = salted)
+    assert(repairs.nonEmpty, "expected ~190 colliding pairs at this density")
+    val nRepaired = repairs.get.count()
+    assert(nRepaired < 2000, s"repaired set should be a small minority: $nRepaired")
+    val distinct = IdHash.withId(corpus, "image_id", "id", repairs, base, salted)
+      .select("id").distinct().count()
+    assert(distinct == 20000L, s"ids not injective after repair: $distinct")
+  }
+
   test("pipeline stages agree on repaired ids end-to-end") {
     // a REAL repair table flowing through signatures → verify → CC: fake
     // two colliding ids by building repairs under the narrow hash, then

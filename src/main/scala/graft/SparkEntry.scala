@@ -715,6 +715,64 @@ object SparkEntry {
       Ann.annTopK(corpus, queries, k = 5).orderBy("qid", "rk")
     }),
 
+    // similarity search, fully DuckDB-oracled: LSH ANN in exhaustive-probe
+    // mode — 4 planes (16 buckets), every query probes ALL buckets,
+    // bucketCap > corpus. Each corpus vector lives in exactly one bucket,
+    // so the search provably scans every (query, corpus) pair once and the
+    // result EQUALS the brute-force top-k under (round(cos,4) desc, id) —
+    // the oracle value-checks the whole LSH-ANN distributed machinery
+    // (hyperplane bucketing, bounded-cap aggregate, id re-join, probe
+    // explode, scoring, ranking) end-to-end, exactly as
+    // q_ann_ivf_exhaustive does for the IVF path. The approximate regime
+    // (q_ann_lsh) stays rows-only with its recall pinned in OpsSpec.
+    "q_ann_lsh_exhaustive" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.annTopK(corpus, queries, k = 5, nPlanes = 4,
+        bucketCap = Int.MaxValue, probeAll = true).orderBy("qid", "rk")
+    }),
+
+    // similarity search: measured recall of BOTH approximate ANN paths
+    // (LSH multi-probe, IVF) as a quantitative quality scalar in the
+    // scoreboard (rows-only by nature — the exact machinery itself is
+    // oracled by q_ann_lsh_exhaustive / q_ann_ivf_exhaustive). The driver
+    // embeddings are near-orthogonal random vectors (max pair cos ≈0.46,
+    // see q_emb_near_dup) — NO true near-neighbor structure exists, and
+    // "recall" of an arbitrary noise ranking only measures the fraction
+    // of corpus scanned. So the query PLANTS the structure it measures:
+    // each corpus vector gets a deterministic perturbed twin (cos ≈0.999,
+    // far above the 0.46 background), and recall = fraction of queries
+    // whose planted twin is retrieved in the top-k — the semantics ANN
+    // exists for, with ground truth known by construction.
+    "q_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val TwinOffset = 1000000L
+      // deterministic per-element ±2% perturbation (xxhash64 of id and
+      // element index): cos(vec, twin) ≈ 0.9999 — unambiguous true NN
+      val twins = base.select((col("id") + TwinOffset).as("id"),
+        zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
+          (x, i) => (x * (lit(1.0f) + lit(0.04f) *
+            ((pmod(xxhash64(col("id"), i), lit(1000)) / lit(1000.0f)) - 0.5f)))
+            .cast("float")).as("vec"))
+      val corpus = base.unionByName(twins)
+      val queries = base.where(col("id") < 100)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val nQueries = queries.count()
+      val k = 5
+      def recallOf(approx: DataFrame, method: String): DataFrame =
+        approx.where(col("id") === col("qid") + TwinOffset)
+          .groupBy().agg(count(lit(1)).as("hits"))
+          .select(lit(method).as("method"), lit(k).as("k"),
+            round(col("hits") / lit(nQueries.toDouble), 4).as("recall"))
+      recallOf(Ann.annTopK(corpus, queries, k), "lsh")
+        .unionByName(recallOf(
+          Ivf.ivfTopK(corpus, queries, k, nList = 16, nProbe = 4), "ivf"))
+        .orderBy("method")
+    }),
+
     // similarity search: IVF-Flat ANN (spherical k-means coarse quantizer,
     // nProbe cell search — the centroid-partitioned scale path; rows-only,
     // exactness pinned by IvfSpec's brute-force recall test)
@@ -1083,6 +1141,18 @@ object SparkEntry {
            SELECT e.b, w.rep FROM walk w JOIN edges e ON e.a = w.node)
          SELECT node AS doc_id, min(rep) AS cluster_id
          FROM walk GROUP BY node ORDER BY doc_id""",
+    "q_ann_lsh_exhaustive" ->
+      """SELECT qid, id, cos, rk FROM (
+           SELECT qid, id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+           FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS id,
+               round(list_dot_product(q.embedding, c.embedding) /
+                 (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                  sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cos
+             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id < 10))
+         WHERE rk <= 5 ORDER BY qid, rk""",
     "q_ann_ivf_exhaustive" ->
       """SELECT qid, id, cos, rk FROM (
            SELECT qid, id, cos,

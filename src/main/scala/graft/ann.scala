@@ -106,6 +106,13 @@ object Ann {
     * so only the top-cap rows per bucket are buffered), and the drop count
     * is surfaced through `census` (never silent; same W2 discipline as the
     * LSH text path).
+    *
+    * `corpus` is scanned more than once (count when nPlanes=0, the bucket
+    * keys projection, the vectors projection) — same contract as
+    * [[Ivf.ivfTopK]]: a NON-DETERMINISTIC upstream frame (sample/limit
+    * without persist) can desync bucket assignment from vectors, so
+    * callers with such a plan must persist it first; for a parquet-backed
+    * table the extra scans are pruned columnar reads.
     */
   def annTopK(
       corpus: DataFrame, // (id: long, vec: array<float>)
@@ -114,7 +121,8 @@ object Ann {
       nPlanes: Int = 0,
       seed: Long = 42L,
       bucketCap: Int = 4096,
-      census: Option[Observation] = None): DataFrame = {
+      census: Option[Observation] = None,
+      probeAll: Boolean = false): DataFrame = {
     val planes = if (nPlanes > 0) nPlanes else derivePlanes(corpus.count())
     val keys = corpus.select(
       bucketUdf(planes, seed)(col("vec")).as("gkey"), col("id"))
@@ -123,9 +131,23 @@ object Ann {
     val cb = capKeyed(keys, vecs, bucketCap, census, "max_bucket")
     // normalize BEFORE the explode so the norm is computed once per query,
     // not once per probed bucket
+    val probes =
+      if (probeAll) {
+        // EXHAUSTIVE-PROBE mode: every query probes all 2^planes buckets.
+        // Each corpus id lives in exactly one bucket, so with bucketCap >
+        // corpus size this scans every (query, corpus) pair exactly once —
+        // PROVABLY the brute-force top-k under the same (round(cos,4)
+        // desc, id) ranking, which makes the whole distributed machinery
+        // (bucket assignment, bounded cap aggregate, id re-join, probe
+        // explode, scoring, ranking) value-checkable against an
+        // independent exact oracle (q_ann_lsh_exhaustive). Only sane with
+        // small plane counts — the probe fan-out is 2^planes per query.
+        require(planes <= 12, s"probeAll with $planes planes would fan out ${1 << planes}×")
+        typedLit((0 until (1 << planes)).toArray)
+      } else probeUdf(planes, seed)(col("qvec"))
     val qb = queries
       .withColumn("qvecn", unitCol(col("qvec"), normCol(col("qvec"))))
-      .withColumn("gkey", explode(probeUdf(planes, seed)(col("qvec"))))
+      .withColumn("gkey", explode(probes))
       .drop("qvec")
     bucketSearch(cb, qb, k)
   }

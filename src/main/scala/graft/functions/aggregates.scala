@@ -67,7 +67,10 @@ final class BoundedMinIds(cap: Int)
     val size = b(0).toInt
     if (size < cap) {
       if (b.length < size + 3) {
-        val g = new Array[Long](math.min(cap + 2, math.max(6, b.length * 2)))
+        // long arithmetic: cap + 2 overflows Int at cap = Int.MaxValue
+        // (the exhaustive-probe "cap > corpus" configuration)
+        val g = new Array[Long](
+          math.min(cap.toLong + 2, math.max(6L, b.length * 2L)).toInt)
         System.arraycopy(b, 0, g, 0, size + 2)
         b = g
       }

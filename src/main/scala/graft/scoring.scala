@@ -100,8 +100,12 @@ object Scoring {
       .join(pb, "b")
       .withColumn(
         "psnr",
-        when(col("fmt_a") === "png" && col("fmt_b") === "png" && col("bytes_a") === col("bytes_b"),
-          lit(Imaging.PsnrExact)) // lossless byte-equal short-circuit: no decode
+        // byte-equal short-circuit for ANY format: identical bytes decode
+        // to identical pixels, so the pair is an exact dup without decoding
+        // either side. Byte-identical JPEGs are the most common exact-dup
+        // case in a crawl — the earlier png-only guard decoded those twice
+        // for nothing.
+        when(col("bytes_a") === col("bytes_b"), lit(Imaging.PsnrExact))
           .otherwise(psnrUdf(col("bytes_a"), col("bytes_b"))))
       .withColumn("caption_eq", col("cap_a") === col("cap_b"))
       .withColumn("is_dup", col("psnr") >= cfg.psnrThresholdDb)

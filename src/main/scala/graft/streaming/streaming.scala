@@ -68,8 +68,13 @@ object Streaming {
       .dropDuplicatesWithinWatermark("image_id")
 
   /** ST5 — CUSTOM-STATE streaming dedup (`flatMapGroupsWithState`):
-    * group arrivals by an exact content key (xxhash64 of caption+phash),
-    * keep the first-seen image_id per key as the canonical, and emit an
+    * group arrivals by an exact content key (md5 of caption|phash — a
+    * 128-bit digest, matching the batch twin q_dedup_exact; a 64-bit
+    * grouping key would silently merge unrelated images on a hash
+    * collision, the exact failure mode the batch IdHash REPAIR exists to
+    * prevent, and state keys never ride a width-critical shuffle so the
+    * narrower key bought nothing), keep the first-seen image_id per key
+    * as the canonical, and emit an
     * ASSIGNMENT row `(image_id, canonical_id, is_dup)` for every arrival
     * — the streaming twin of the batch exact-dedup operator
     * (q_dedup_exact), where ST3's `dropDuplicatesWithinWatermark` merely
@@ -94,8 +99,10 @@ object Streaming {
     corpusStream
       .withWatermark(tsCol, watermark)
       .select(col("image_id"), col(tsCol),
-        xxhash64(col("caption"), col("phash")).as("ckey"))
-      .as[(String, java.sql.Timestamp, Long)]
+        // phash is numeric (no '|'), so the trailing separator splits
+        // unambiguously — the digest input is injective in (caption, phash)
+        md5(concat_ws("|", col("caption"), col("phash")).cast("binary")).as("ckey"))
+      .as[(String, java.sql.Timestamp, String)]
       .groupByKey(_._3)
       .flatMapGroupsWithState[CanonicalState, (String, String, Boolean)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

@@ -89,12 +89,14 @@ object Pipeline {
     val lshObs = new Observation()
     val shObs = new Observation()
     val spanObs = new Observation()
+    val spanDocObs = new Observation()
     val candidates = ckpt("candidates") {
       val bandsDf = Lsh.bands(sigs, cfg)
       val lshPairs = Lsh.lshCandidates(bandsDf, cfg, dedup = false, census = Some(lshObs))
       val shPairs = Lsh.simhashCandidates(sigs, cfg, dedup = false, census = Some(shObs))
       val spanPairs = SuffixPass.spanCandidates(
-        sigs.select(col("id"), col("norm")), cfg, census = Some(spanObs))
+        sigs.select(col("id"), col("norm")), cfg, census = Some(spanObs),
+        docCensus = Some(spanDocObs))
       // Source provenance as a BIT MASK, not collect_set: bit_or is a
       // declarative aggregate, so the HIGHEST-VOLUME aggregation in the
       // engine (pair dedup over every emitted candidate) stays a codegen
@@ -156,10 +158,13 @@ object Pipeline {
         case _ => Map.empty
       }
       val m = Map("lsh" -> metrics(lshObs), "simhash" -> metrics(shObs),
-        "span" -> metrics(spanObs))
+        "span" -> (metrics(spanObs) ++ metrics(spanDocObs)))
       m.foreach { case (src, c) =>
         c.get("overflow_buckets").collect { case n: Long if n > 0 =>
           System.err.println(s"[graft] $src bucket cap overflow: $c")
+        }
+        c.get("oversized_docs").collect { case n: Long if n > 0 =>
+          System.err.println(s"[graft] $src oversized-doc drops: $c")
         }
       }
       m

@@ -199,10 +199,93 @@ object SuffixPass {
     best.iterator.map { case ((a, b), l) => (a, b, l) }
   }
 
+  // ---- kernel-size control ----
+
+  /** Per-chunk char budget (counting each doc as len+1 for its sentinel):
+    * a PAIR of chunks unions to ≤ 2·budget = 2,088,960 < 2^21 chars, so
+    * [[suffixArray]]'s packed-sort bound is unreachable from any query
+    * path — a hot fingerprint bucket of long documents degrades into
+    * chunked kernel calls, never an exception.
+    */
+  private[graft] val KernelChunkChars: Int = (1 << 20) - 4096
+
+  /** Max doc length admitted to the span path. The winnow-fingerprint
+    * explode necessarily replicates the doc payload once per fingerprint
+    * (~2·len/w fingerprints), so wire volume grows as O(len²/w): at 16 KB
+    * that is a bounded ~31 MB per doc; at 1 MB it would be ~120 GB per
+    * doc — a single long document OOMs the exchange regardless of any
+    * kernel-side cap (measured: a 1.1M-char doc killed the explode stage
+    * before the kernel ever ran). Docs longer than this are excluded
+    * BEFORE the explode and counted via the doc census (never silent) —
+    * the span operator's scale envelope is caption-class text
+    * (BASELINE.json:L6 "exact near-dup caption spans"; 16 KB ≈ 50× the
+    * longest realistic caption). Long-document near-dup routing belongs
+    * to the MinHash/LSH path, whose shingle-SET routing is O(len) not
+    * O(len²/w).
+    */
+  private[graft] val SpanDocChars: Int = 16384
+
+  /** [[spanPairs]] with deterministic group splitting (W2 "never silent,
+    * never fatal", applied to BYTES): buckets whose total payload exceeds
+    * the kernel's packed-sort bound are split — in ascending-id order, the
+    * order [[graft.functions.BoundedMinRows]] already emits — into chunks
+    * of ≤ `chunkChars`, and the SA+LCP kernel runs on every chunk and
+    * every chunk-PAIR union. Any two surviving docs still share some
+    * kernel call, so NO pair is lost to the split (cost: each doc is
+    * scanned once per chunk, O(c²) kernel calls for c chunks — paid only
+    * by the rare over-budget bucket, which the census flags).
+    *
+    * A byte-budget EVICTION inside the bounded aggregate was considered
+    * and rejected: evict-largest-id-while-over-budget keeps an
+    * order-DEPENDENT subset (which ids survive depends on merge order of
+    * partial states), making output non-deterministic under shuffle —
+    * the bug class this engine pins oracles against. Splitting keeps the
+    * aggregate's keep-smallest-ids semantics exact.
+    *
+    * Docs longer than a whole chunk are excluded here (they cannot pair
+    * within the bound) and counted upstream in the census — the only
+    * recall-affecting drop, logged, never silent.
+    */
+  private[graft] def spanPairsChunked(
+      docs: Seq[(Long, String)],
+      minSpan: Int,
+      chunkChars: Int = KernelChunkChars): Iterator[(Long, Long, Int)] = {
+    var total = 0L
+    docs.foreach(d => total += d._2.length + 1)
+    if (total <= chunkChars) return spanPairs(docs, minSpan) // common case: one kernel call
+    val kept = docs.filter(_._2.length + 1 <= chunkChars)
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String)]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var curLen = 0L
+    kept.foreach { d =>
+      val l = d._2.length + 1
+      if (curLen + l > chunkChars && cur.nonEmpty) {
+        chunks += cur.toVector; cur = scala.collection.mutable.ArrayBuffer.empty; curLen = 0L
+      }
+      cur += d; curLen += l
+    }
+    if (cur.nonEmpty) chunks += cur.toVector
+    val best = scala.collection.mutable.HashMap.empty[(Long, Long), Int]
+    var i = 0
+    while (i < chunks.length) {
+      var j = i
+      while (j < chunks.length) {
+        val group = if (i == j) chunks(i) else chunks(i) ++ chunks(j)
+        spanPairs(group, minSpan).foreach { case (a, b, l) =>
+          val key = (a, b)
+          if (l > best.getOrElse(key, 0)) best(key) = l
+        }
+        j += 1
+      }
+      i += 1
+    }
+    best.iterator.map { case ((a, b), l) => (a, b, l) }
+  }
+
   // ---- distributed assembly ----
 
   private val kernelUdf = udf { (ids: Seq[Long], norms: Seq[String], minSpan: Int) =>
-    spanPairs(ids.zip(norms), minSpan).toSeq
+    spanPairsChunked(ids.zip(norms), minSpan).toSeq
   }
 
   /** (id, norm) → candidate pairs (a, b, src="span", span_len).
@@ -223,10 +306,20 @@ object SuffixPass {
   def spanCandidates(
       normed: DataFrame,
       cfg: DedupConfig,
-      census: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      census: Option[org.apache.spark.sql.Observation] = None,
+      docCensus: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     graft.functions.GraftFunctions.register(normed.sparkSession)
-    val fps = normed
-      .where(length(col("norm")) >= cfg.saMinSpan)
+    val eligible = normed.where(length(col("norm")) >= cfg.saMinSpan)
+    // W2 applied to doc LENGTH: docs beyond the span path's O(len²/w)
+    // payload-amplification envelope (see SpanDocChars) are excluded
+    // before the explode, with the drop counted — logged, never silent,
+    // never fatal
+    val measured = docCensus.fold(eligible)(o => eligible.observe(o,
+      sum(when(length(col("norm")) > SpanDocChars, 1L).otherwise(0L))
+        .as("oversized_docs"),
+      max(length(col("norm"))).cast("long").as("max_doc_chars")))
+    val fps = measured
+      .where(length(col("norm")) <= SpanDocChars)
       .select(
         col("id"),
         col("norm"),

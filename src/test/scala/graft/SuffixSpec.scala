@@ -87,6 +87,95 @@ class SuffixSpec extends AnyFunSuite {
     assert(SuffixPass.spanPairs(docs, 10).nonEmpty)
   }
 
+  test("spanPairsChunked == spanPairs when forced to chunk (seeded property)") {
+    val rng = new java.util.SplittableRandom(17)
+    def randStr(n: Int) = {
+      val sb = new StringBuilder
+      (0 until n).foreach(_ => sb.append(('a' + rng.nextInt(26)).toChar))
+      sb.toString
+    }
+    (0 until 10).foreach { _ =>
+      val spanA = randStr(30)
+      val spanB = randStr(26)
+      val docs = (0 until 24).map { i =>
+        val body = randStr(40 + rng.nextInt(60))
+        val planted =
+          if (i % 3 == 0) spanA else if (i % 3 == 1) spanB else ""
+        i.toLong -> (body.take(20) + planted + body.drop(20))
+      }
+      val exact = SuffixPass.spanPairs(docs, 24).toVector
+      // chunkChars small enough that the 24 docs split into several chunks
+      val chunked = SuffixPass.spanPairsChunked(docs, 24, chunkChars = 300)
+        .toVector
+      // the PAIR SET is chunk-invariant (any two docs share some kernel
+      // call); the reported span_len is a run-min lower bound that can
+      // only TIGHTEN in a smaller group (fewer interleaving suffixes), so
+      // compare sets and check chunked >= exact per pair
+      assert(chunked.map(p => (p._1, p._2)).sorted ==
+        exact.map(p => (p._1, p._2)).sorted)
+      val exactLen = exact.map(p => (p._1, p._2) -> p._3).toMap
+      chunked.foreach { case (a, b, l) =>
+        assert(l >= 24 && l >= exactLen((a, b)))
+      }
+    }
+  }
+
+  test("stress: 256 x 16KB docs in one bucket completes via chunked kernel") {
+    // the round-2 engine hard-failed here: one hot winnow-fingerprint
+    // bucket of 256 long docs = ~4.2M chars > the 2^21 packed-sort bound,
+    // and suffixArray's require KILLED the job. The chunked kernel must
+    // complete and still find every pair (the shared span co-buckets all
+    // docs AND makes all 256*255/2 pairs true span pairs).
+    val spark = SparkTest.session
+    val rng = new java.util.SplittableRandom(23)
+    val shared = {
+      val sb = new StringBuilder
+      (0 until 40).foreach(_ => sb.append(('a' + rng.nextInt(26)).toChar))
+      sb.toString
+    }
+    val docs = (0 until 256).map { i =>
+      val sb = new StringBuilder
+      (0 until 16000).foreach(_ => sb.append(('a' + rng.nextInt(26)).toChar))
+      val body = sb.toString
+      (i.toLong, body.substring(0, 7000) + shared + body.substring(7000))
+    }
+    import spark.implicits._
+    val df = docs.toDF("id", "norm").repartition(8)
+    val obs = new org.apache.spark.sql.Observation()
+    val docObs = new org.apache.spark.sql.Observation()
+    val pairs = SuffixPass.spanCandidates(df, DedupConfig(), Some(obs), Some(docObs))
+    val n = pairs.count()
+    assert(n >= 256L * 255 / 2, s"expected all-pairs from the shared span, got $n")
+    assert(obs.get("max_bucket").asInstanceOf[Long] >= 256L)
+    assert(docObs.get("oversized_docs") == 0L)
+  }
+
+  test("oversized doc (> chunk budget) is dropped, censused, never fatal") {
+    val spark = SparkTest.session
+    val rng = new java.util.SplittableRandom(29)
+    def randStr(n: Int) = {
+      val sb = new StringBuilder
+      (0 until n).foreach(_ => sb.append(('a' + rng.nextInt(26)).toChar))
+      sb.toString
+    }
+    val shared = randStr(40)
+    // > SpanDocChars: would amplify to ~2·len²/w payload bytes on the
+    // fingerprint explode (the stage that OOMed before the envelope)
+    val giant = randStr(500000) + shared + randStr(600000)
+    val a = randStr(200) + shared + randStr(200)
+    val b = randStr(300) + shared + randStr(100)
+    import spark.implicits._
+    val df = Seq((1L, giant), (2L, a), (3L, b)).toDF("id", "norm")
+    val docObs = new org.apache.spark.sql.Observation()
+    val pairs = SuffixPass.spanCandidates(df, DedupConfig(), docCensus = Some(docObs))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // the giant doc is excluded at the envelope; the two normal docs
+    // still pair on the shared span
+    assert(pairs == Set((2L, 3L)))
+    assert(docObs.get("oversized_docs") == 1L)
+    assert(docObs.get("max_doc_chars").asInstanceOf[Long] == giant.length.toLong)
+  }
+
   test("winnowing guarantee: strings sharing a span >= L share a fingerprint") {
     val rng = new java.util.SplittableRandom(11)
     def randStr(n: Int) = {

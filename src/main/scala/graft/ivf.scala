@@ -154,6 +154,16 @@ object Ivf {
     * (duplicates are dead cells under first-of-equals assignment — a
     * degenerate codebook, never a crash). Empty cells keep their previous
     * centroid. Fully deterministic for a given sample.
+    *
+    * The ASSIGNMENT pass — O(n·k·dim), ≥94% of the iteration's flops at
+    * k ≥ 16 — runs in parallel over the sample (each element's nearest
+    * centroid is independent; no floating-point reduction crosses
+    * threads). The accumulation pass then runs SEQUENTIALLY in sample
+    * order off the precomputed assignment array, so centroid sums are
+    * added in a fixed order and the codebook is bit-identical regardless
+    * of thread scheduling — parallel-summing per thread and merging
+    * would make training non-deterministic (FP addition is not
+    * associative) and break resume/oracle stability.
     */
   private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "k-means needs at least one sample vector")
@@ -161,15 +171,21 @@ object Ivf {
       if (sample.length >= k) sample.take(k).map(_.clone())
       else Array.tabulate(k)(i => sample(i % sample.length).clone())
     val dim = centroids(0).length
+    val assign = new Array[Int](sample.length)
     var it = 0
     while (it < iters) {
+      val cs = centroids
+      java.util.stream.IntStream.range(0, sample.length).parallel()
+        .forEach(i => assign(i) = nearest(sample(i), cs))
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      sample.foreach { v =>
-        val c = nearest(v, centroids)
-        val s = sums(c); var i = 0
+      var j = 0
+      while (j < sample.length) {
+        val v = sample(j); val s = sums(assign(j))
+        var i = 0
         while (i < dim) { s(i) += v(i); i += 1 }
-        counts(c) += 1
+        counts(assign(j)) += 1
+        j += 1
       }
       centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0L) centroids(c) else normalize(sums(c))
@@ -179,20 +195,39 @@ object Ivf {
     centroids
   }
 
+  /** Default driver-side training-sample byte budget (512 MiB): the row
+    * bound alone is dimension-blind — 262,144 rows at dim 1536 is ~3.2 GB
+    * of boxed arrays on the driver, a memory hazard the engine's no-data-
+    * collect rule exists to prevent.
+    */
+  val DefaultSampleBytes: Long = 1L << 29
+
   /** Deterministic hash-ordered training sample (a seeded shuffle, so
     * initial centroids are spread across the corpus, not clustered by
-    * ingestion order); zero vectors are excluded.
+    * ingestion order); zero vectors are excluded. The collect is bounded
+    * in BYTES as well as rows: the embedding dimension is read from one
+    * corpus row, and the row bound is clipped to `maxBytes / rowBytes`
+    * (clips are logged — a clipped sample degrades codebook quality,
+    * never correctness).
     */
-  private def sampleVectors(
-      corpus: DataFrame, sampleN: Int, seed: Long): Array[Array[Double]] =
+  private[graft] def sampleVectors(
+      corpus: DataFrame, sampleN: Int, seed: Long,
+      maxBytes: Long = DefaultSampleBytes): Array[Array[Double]] = {
+    val dim = corpus.select(size(col("vec")).as("d")).head().getInt(0)
+    val rowBytes = 8L * dim + 64 // Array[Double] payload + object headers
+    val n = math.min(sampleN.toLong, math.max(1L, maxBytes / rowBytes)).toInt
+    if (n < sampleN)
+      System.err.println(s"[graft] IVF training sample clipped $sampleN -> $n " +
+        s"rows by the ${maxBytes >> 20} MiB driver budget (dim $dim)")
     corpus
       .select(col("id"), col("vec"))
       .orderBy(xxhash64(col("id"), lit(seed)))
-      .limit(sampleN)
+      .limit(n)
       .select(col("vec"))
       .collect()
       .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
       .filter(_.exists(_ != 0.0))
+  }
 
   /** Flat spherical k-means codebook (exposed for spec-level training
     * checks). Returns exactly `nList` unit-norm centroids.
@@ -216,9 +251,15 @@ object Ivf {
     val coarse = lloyd(sample, k1, iters)
     val parts = Array.fill(k1)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
     sample.foreach(v => parts(nearest(v, coarse)) += v)
-    val fine = Array.tabulate(k1) { c =>
-      if (parts(c).isEmpty) Array.fill(k2)(coarse(c).clone())
-      else lloyd(parts(c).toArray, k2, iters)
+    // branches train independently — parallel over branches (each branch's
+    // codebook depends only on its own deterministic sub-sample, so the
+    // result is thread-schedule-invariant); at the 2^16-cell ceiling this
+    // is 256 independent k-means runs that were previously serial
+    val fine = new Array[Array[Array[Double]]](k1)
+    java.util.stream.IntStream.range(0, k1).parallel().forEach { c =>
+      fine(c) =
+        if (parts(c).isEmpty) Array.fill(k2)(coarse(c).clone())
+        else lloyd(parts(c).toArray, k2, iters)
     }
     TwoLevelCodebook(coarse, fine)
   }
@@ -231,6 +272,13 @@ object Ivf {
     * sample, the assignment pass) — callers with an expensive upstream
     * plan should pass a persisted frame; for a parquet-backed table the
     * extra scans are pruned columnar reads.
+    *
+    * Broadcast lifetime: the codebook broadcast (~67 MB at the 2¹⁶-cell
+    * ceiling) stays referenced by the returned plan's UDF closures and is
+    * freed when the plan is garbage-collected — callers building MANY
+    * ivfTopK plans in one long-lived session should materialize and drop
+    * each plan rather than holding them all live, or broadcast blocks
+    * accumulate on the driver and executors.
     */
   def ivfTopK(
       corpus: DataFrame, // (id: long, vec: array<float>)
@@ -243,7 +291,8 @@ object Ivf {
       cellCap: Int = 65536,
       census: Option[Observation] = None,
       sampleN: Int = 0,
-      twoLevelFrom: Int = 4096): DataFrame = {
+      twoLevelFrom: Int = 4096,
+      sampleBytes: Long = DefaultSampleBytes): DataFrame = {
     val lists = if (nList > 0) nList else deriveNList(corpus.count())
     // auto-scale the training sample to the codebook (≥8 samples per cell
     // on average, capped at 256k): the earlier FIXED sampleN=32768 made
@@ -251,7 +300,7 @@ object Ivf {
     // samples than it would ever collect, so the documented 2¹⁶-cell
     // scale path threw unconditionally
     val n = if (sampleN > 0) sampleN else math.min(262144, math.max(32768, 8 * lists))
-    val sample = sampleVectors(corpus, n, seed)
+    val sample = sampleVectors(corpus, n, seed, sampleBytes)
     val cb: Codebook =
       if (lists <= twoLevelFrom) FlatCodebook(lloyd(sample, lists, iters))
       else trainTwoLevel(sample, lists, iters)

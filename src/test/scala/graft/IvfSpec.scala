@@ -109,6 +109,39 @@ class IvfSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("ivf: 2^16-cell two-level training completes, correct shape, deterministic") {
+    // the scale ceiling nList=65536 trains k1=256 coarse x k2=256 fine;
+    // per-branch fine training runs in parallel — the codebook must be
+    // bit-identical across runs (thread-schedule-invariant)
+    val rng = new java.util.SplittableRandom(31)
+    val sample = Array.fill(4096)(Array.fill(16)(rng.nextDouble() - 0.5))
+    val t0 = System.nanoTime()
+    val cb1 = Ivf.trainTwoLevel(sample, nList = 65536, iters = 2)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(cb1.nCells == 65536 && cb1.k1 == 256 && cb1.k2 == 256)
+    assert(sec < 120.0, f"2^16-cell training took $sec%.1f s")
+    val cb2 = Ivf.trainTwoLevel(sample, nList = 65536, iters = 2)
+    assert(cb1.coarse.zip(cb2.coarse).forall { case (a, b) => a.sameElements(b) })
+    (0 until cb1.k1).foreach { c =>
+      assert(cb1.fine(c).zip(cb2.fine(c)).forall { case (a, b) => a.sameElements(b) })
+    }
+  }
+
+  test("ivf: training-sample collect is byte-bounded, not just row-bounded") {
+    val rng = new java.util.SplittableRandom(37)
+    val all = (0 until 300).map { i =>
+      (i.toLong, Array.fill(12)(rng.nextDouble().toFloat - 0.5f))
+    }.toDF("id", "vec")
+    // dim 12 → rowBytes = 8*12+64 = 160; a 1600-byte budget admits 10 rows
+    val clipped = Ivf.sampleVectors(all, sampleN = 300, seed = 42L, maxBytes = 1600L)
+    assert(clipped.length == 10)
+    // and the same call under the default budget honors the row bound
+    val full = Ivf.sampleVectors(all, sampleN = 300, seed = 42L)
+    assert(full.length == 300)
+    // clipped prefix is the same deterministic hash order
+    assert(clipped.zip(full.take(10)).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("ivf: hot-cell cap drops are observable, never silent") {
     // constant vectors: every corpus row lands in ONE cell
     val all = (0 until 50).map(i => (i.toLong, Array.fill(8)(1.0f))).toDF("id", "vec")

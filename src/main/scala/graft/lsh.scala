@@ -112,7 +112,15 @@ object Lsh {
       sigs: DataFrame,
       cfg: DedupConfig,
       dedup: Boolean = true,
-      census: Option[Observation] = None): DataFrame = {
+      census: Option[Observation] = None): DataFrame =
+    emitPairs(simhashKeys(sigs, cfg), Seq("cid", "key"), "simhash", cfg, dedup, census)
+
+  /** The SimHash pigeonhole prefilter keys: (id, cid, key) rows, one per
+    * C(q, q−h) block subset. Exposed so the streaming path can equi-join
+    * a micro-batch's keys against the committed historical key table —
+    * the same retrieval rule as the batch self-join.
+    */
+  def simhashKeys(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val q = cfg.simhashBlocks
     val keep = q - cfg.simhashMaxHamming
     val bounds = (0 to q).map(i => i * 64 / q)
@@ -126,10 +134,9 @@ object Lsh {
     val keyCols = combos.map { case (idxs, cid) =>
       xxhash64((lit(cid) +: idxs.map(block)): _*)
     }
-    val exploded = sigs
+    sigs
       .select(col("id"), posexplode(array(keyCols: _*)))
       .toDF("id", "cid", "key")
-    emitPairs(exploded, Seq("cid", "key"), "simhash", cfg, dedup, census)
   }
 
   /** Skew census (A3): bucket-size distribution + overflow count for the

@@ -32,6 +32,35 @@ object Pipeline {
       bucketCensus: () => Map[String, Map[String, Any]],
       unpersist: () => Unit)
 
+  /** Union candidate-pair sources into canonical (a, b, src, span_len)
+    * rows. Source provenance rides as a BIT MASK (the Int per source),
+    * not collect_set: bit_or is a declarative aggregate, so the
+    * HIGHEST-VOLUME aggregation in the engine (pair dedup over every
+    * emitted candidate) stays a codegen HashAggregate — collect_set
+    * forced ObjectHashAggregate, whose 128-key sort-based fallback
+    * serialized buffers per row and TimSorted the whole pair relation per
+    * task (measured dominant in stage profiles). The readable src string
+    * is derived from the mask afterwards, row-local (and
+    * deterministically ordered, which collect_set's concat never was).
+    * Shared by the batch pipeline and the streaming micro-batch path.
+    */
+  private[graft] def mergeCandidates(sources: Seq[(DataFrame, Int)]): DataFrame = {
+    val tagged = sources.map { case (df, bit) =>
+      val withSpan =
+        if (df.columns.contains("span_len")) df.select(col("a"), col("b"), col("span_len"))
+        else df.select(col("a"), col("b")).withColumn("span_len", lit(0))
+      withSpan.withColumn("srcb", lit(bit))
+    }
+    tagged.reduce(_.unionByName(_))
+      .groupBy("a", "b")
+      .agg(expr("bit_or(srcb)").as("srcb"), max(col("span_len")).as("span_len"))
+      .withColumn("src", concat_ws("+", filter(array(
+        when(col("srcb").bitwiseAND(1) =!= 0, "lsh"),
+        when(col("srcb").bitwiseAND(2) =!= 0, "simhash"),
+        when(col("srcb").bitwiseAND(4) =!= 0, "span")), x => x.isNotNull)))
+      .drop("srcb")
+  }
+
   /** Run without checkpointing (tests / bench). */
   def run(corpus: DataFrame, cfg: DedupConfig): Result =
     runStaged(corpus, cfg, io = None)
@@ -97,25 +126,7 @@ object Pipeline {
       val spanPairs = SuffixPass.spanCandidates(
         sigs.select(col("id"), col("norm")), cfg, census = Some(spanObs),
         docCensus = Some(spanDocObs))
-      // Source provenance as a BIT MASK, not collect_set: bit_or is a
-      // declarative aggregate, so the HIGHEST-VOLUME aggregation in the
-      // engine (pair dedup over every emitted candidate) stays a codegen
-      // HashAggregate — collect_set forced ObjectHashAggregate, whose
-      // 128-key sort-based fallback serialized buffers per row and
-      // TimSorted the whole pair relation per task (measured dominant in
-      // stage profiles). The readable src string is derived from the mask
-      // afterwards, row-local (and deterministically ordered, which
-      // collect_set's concat never was).
-      lshPairs.drop("src").withColumn("span_len", lit(0)).withColumn("srcb", lit(1))
-        .unionByName(shPairs.drop("src").withColumn("span_len", lit(0)).withColumn("srcb", lit(2)))
-        .unionByName(spanPairs.select(col("a"), col("b"), col("span_len")).withColumn("srcb", lit(4)))
-        .groupBy("a", "b")
-        .agg(expr("bit_or(srcb)").as("srcb"), max(col("span_len")).as("span_len"))
-        .withColumn("src", concat_ws("+", filter(array(
-          when(col("srcb").bitwiseAND(1) =!= 0, "lsh"),
-          when(col("srcb").bitwiseAND(2) =!= 0, "simhash"),
-          when(col("srcb").bitwiseAND(4) =!= 0, "span")), x => x.isNotNull)))
-        .drop("srcb")
+      mergeCandidates(Seq(lshPairs -> 1, shPairs -> 2, spanPairs -> 4))
     }
 
     // stage 4: signature-space scoring + keep-rule + top-k. The signature

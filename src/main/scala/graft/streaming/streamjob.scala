@@ -1,0 +1,202 @@
+package graft.streaming
+
+import graft._
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Runnable streaming surface: continuous ingest of image+caption rows →
+  * incremental near-dup candidates against the committed historical index
+  * → score/verify → TableIO commit, all inside `foreachBatch` so every
+  * micro-batch reuses the BATCH operators unchanged (one code path,
+  * SURVEY.md §2.9; the stateful ST2/ST3/ST5 operators in [[Streaming]]
+  * cover the purely-streaming shapes).
+  *
+  * Retrieval completeness per batch: a micro-batch's rows pair
+  *  - with EACH OTHER via the same three batch candidate operators
+  *    (LSH bands, SimHash pigeonhole, winnow-fingerprint span pass), and
+  *  - with ALL COMMITTED HISTORY via equi-joins of the batch's routing
+  *    keys against three committed key tables ("bands", "simhash_keys",
+  *    "span_fps") — the committed-snapshot join ST4 described, with the
+  *    historical side of each hot key capped by the same
+  *    [[graft.functions.BoundedMinIds]] bounded aggregate as batch (W2).
+  * Committed-vs-committed pairs were evaluated by earlier batches, so
+  * after batch N the accumulated verified-pair set equals the batch run's
+  * on the same data (whenever no bucket cap / top-k gate binds — caps are
+  * censused in batch and the stream job inherits the same configuration).
+  *
+  * Exactly-once without a transaction log: every commit is tagged with
+  * the micro-batch id — [[TableIO.append]]/[[TableIO.replaceTagged]] make
+  * a replayed tag a no-op, and the corpus append runs LAST so a crashed
+  * batch replays deterministically from its anti-join against committed
+  * image_ids (recomputing identical snapshots into the same tag dirs).
+  *
+  * Scale notes: per batch, history is touched as (i) pruned columnar
+  * scans of the three key tables (i64 keys only — payloads and pixels
+  * never ride these joins), (ii) the signature re-join for scoring, and
+  * (iii) a CC re-run over accumulated DUP EDGES (≪ corpus; the
+  * exact-duplicate canonical assignment that doesn't need edges is the
+  * O(1)-state [[Streaming.assignCanonicalStream]]). Cross-batch i64-id
+  * collision repair assumes new collisions involve at least one new row
+  * ([[IdHash.buildRepairs]] re-checks the full accumulated id set each
+  * batch and fails fast otherwise).
+  */
+object StreamJob {
+
+  /** One micro-batch (foreachBatch body). Public so specs can drive it
+    * directly; the streaming wiring is [[runOnce]]/[[main]].
+    */
+  def processBatch(io: TableIO, cfg: DedupConfig)(batch: DataFrame, batchId: Long): Unit = {
+    val corpusHist = io.load("corpus")
+    // exact-dup suppression + replay guard: rows whose image_id is
+    // already committed (same id = same content upstream contract, as in
+    // ST3) are dropped; a crash-replayed batch therefore no-ops.
+    val newRows = corpusHist
+      .fold(batch)(h => batch.join(h.select("image_id"), Seq("image_id"), "left_anti"))
+      .localCheckpoint()
+    val nNew = newRows.count()
+    if (nNew == 0) return
+    val corpusAll = corpusHist.fold(newRows)(h => h.unionByName(newRows))
+
+    val repairs = IdHash.buildRepairs(corpusAll.select(col("image_id")))
+      .map(r => io.replaceTagged("id_repairs", r, s"b$batchId"))
+
+    val clean = newRows
+      .where(col("caption").isNotNull && length(col("caption")) > 0)
+      .where(col("w") > 0 && col("h") > 0)
+    val sigsNew = Signatures.signatures(clean, cfg, repairs).localCheckpoint()
+
+    // committed index tables are loaded BEFORE this batch's keys append
+    val sigsHist = io.load("signatures")
+    val bandsHist = io.load("bands")
+    val simKeysHist = io.load("simhash_keys")
+    val fpsHist = io.load("span_fps")
+
+    val bandsNew = Lsh.bands(sigsNew, cfg)
+    val simKeysNew = Lsh.simhashKeys(sigsNew, cfg)
+    val fpsNew = SuffixPass.fingerprintsOf(sigsNew.select(col("id"), col("norm")), cfg)
+
+    // within-batch candidates: the three batch operators verbatim
+    val within = Seq(
+      Lsh.lshCandidates(bandsNew, cfg, dedup = false) -> 1,
+      Lsh.simhashCandidates(sigsNew, cfg, dedup = false) -> 2,
+      SuffixPass.spanCandidates(sigsNew.select(col("id"), col("norm")), cfg) -> 4)
+
+    // cross candidates: batch keys equi-joined against committed history
+    val sigsAll = sigsHist.fold(sigsNew)(_.unionByName(sigsNew))
+    val cross: Seq[(DataFrame, Int)] =
+      (bandsHist, simKeysHist, fpsHist) match {
+        case (Some(bh), Some(sh), Some(fh)) =>
+          val norms = sigsAll.select(col("id"), col("norm"))
+          val spanIds = crossPairs(fpsNew, fh, Seq("fp"), cfg)
+          val spanScored = spanIds
+            .join(norms.select(col("id").as("a"), col("norm").as("na")), "a")
+            .join(norms.select(col("id").as("b"), col("norm").as("nb")), "b")
+            .withColumn("span_len",
+              SuffixPass.pairSpanUdf(col("na"), col("nb"), lit(cfg.saMinSpan)))
+            .where(col("span_len") >= cfg.saMinSpan)
+            .select(col("a"), col("b"), col("span_len"))
+          Seq(
+            crossPairs(bandsNew, bh, Seq("band", "band_hash"), cfg) -> 1,
+            crossPairs(simKeysNew, sh, Seq("cid", "key"), cfg) -> 2,
+            spanScored -> 4)
+        case _ => Seq.empty // first batch: no history
+      }
+    val candidates = Pipeline.mergeCandidates(within ++ cross)
+
+    val survivors = Scoring.filterAndTopK(
+      Scoring.score(candidates, sigsAll, cfg, sigsAll.count()), cfg)
+    val verifiedNew = Scoring.verify(survivors, corpusAll, cfg, repairs)
+
+    // commits: index tables + verified pairs appended, clusters replaced,
+    // corpus appended LAST (the batch's replay guard)
+    val tag = s"b$batchId"
+    io.append("signatures", sigsNew, tag)
+    io.append("bands", bandsNew, tag)
+    io.append("simhash_keys", simKeysNew, tag)
+    io.append("span_fps", fpsNew, tag)
+    val verifiedAll = io.append("verified", verifiedNew, tag)
+    val edges = verifiedAll.where(col("is_dup")).select(col("a"), col("b"))
+    val clusters = ConnectedComponents.clusterHashed(
+      edges, corpusAll.select(col("image_id")), repairs = repairs)
+    io.replaceTagged("clusters", clusters, tag)
+    io.append("corpus", newRows, tag)
+
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    println(s"""{"batch":$batchId,"new_rows":$nNew,"clusters":$nClusters,"run_id":"${io.runId}"}""")
+  }
+
+  /** New-vs-history pair generation for one routing-key family: the
+    * HISTORICAL side of each key is capped to the `bucketCap` smallest
+    * ids inside one bounded hash aggregation (map-side combine — the same
+    * W2 skew discipline as the batch self-join), then one equi-join emits
+    * canonical (a < b) pairs.
+    */
+  private def crossPairs(
+      newKeys: DataFrame, histKeys: DataFrame, keys: Seq[String],
+      cfg: DedupConfig): DataFrame = {
+    val capped = histKeys
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.GraftAggregates.boundedMinIds(cfg.bucketCap)(col("id")).as("b"))
+      .select((keys.map(col) :+ explode(col("b.ids")).as("hid")): _*)
+    newKeys.join(capped, keys)
+      .where(col("id") =!= col("hid"))
+      .select(least(col("id"), col("hid")).as("a"),
+        greatest(col("id"), col("hid")).as("b"))
+  }
+
+  /** Wire a parquet-directory file stream through [[processBatch]] and
+    * process everything currently available (Trigger.AvailableNow), then
+    * stop — restart-safe via the stream checkpoint + tagged commits.
+    */
+  def runOnce(
+      spark: SparkSession,
+      inputDir: String,
+      outDir: String,
+      checkpointDir: String,
+      runId: String,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val cfg = DedupConfig()
+    val io = new ParquetTableIO(spark, outDir, runId, cfg.configHash)
+    val stream = spark.readStream
+      .schema(Encoders.product[ImageRow].schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+    stream.writeStream
+      .foreachBatch(processBatch(io, cfg) _)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+  }
+
+  /** `graft.StreamJob --input <parquet dir> --out <table dir>
+    *  [--checkpoint <dir>] [--run-id <id>] [--max-files-per-trigger N]`
+    */
+  def main(args: Array[String]): Unit = {
+    val (argMap, _) = DedupJob.parseArgs(args)
+    val input = argMap.getOrElse("--input", sys.error("--input required"))
+    val out = argMap.getOrElse("--out", sys.error("--out required"))
+    val ckpt = argMap.getOrElse("--checkpoint", s"$out/_stream_checkpoint")
+    val runId = argMap.getOrElse("--run-id", "stream-" + System.currentTimeMillis())
+    val maxFiles = argMap.getOrElse("--max-files-per-trigger", "1").toInt
+
+    val builder = SparkSession.builder()
+      .appName("graft-stream")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = sys.props.get("spark.master")
+      .orElse(sys.env.get("SPARK_MASTER"))
+      .map(builder.master)
+      .getOrElse(builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    runOnce(spark, input, out, ckpt, runId, maxFiles)
+    spark.stop()
+  }
+}

@@ -288,6 +288,30 @@ object SuffixPass {
     spanPairsChunked(ids.zip(norms), minSpan).toSeq
   }
 
+  /** Winnow-fingerprint routing keys (id, fp) under the same doc-length
+    * envelope as [[spanCandidates]] — exposed so the streaming path can
+    * equi-join a micro-batch's fingerprints against the committed
+    * historical fingerprint table.
+    */
+  def fingerprintsOf(normed: DataFrame, cfg: DedupConfig): DataFrame = {
+    graft.functions.GraftFunctions.register(normed.sparkSession)
+    normed
+      .where(length(col("norm")).between(cfg.saMinSpan, SpanDocChars))
+      .select(col("id"),
+        explode(graft.functions.GraftFunctions
+          .winnowCol(col("norm"), cfg.saGramK, cfg.saMinSpan)).as("fp"))
+  }
+
+  /** Exact longest-common-substring length of ONE candidate pair (the
+    * two-doc SA+LCP kernel) — used by the streaming cross-batch span path
+    * where each (new, historical) pair is checked individually. Unlike
+    * the bucket kernel's run-min estimate, this is the exact pair span.
+    */
+  val pairSpanUdf = udf { (a: String, b: String, minSpan: Int) =>
+    spanPairsChunked(Seq((0L, a), (1L, b)), minSpan)
+      .map(_._3).maxOption.getOrElse(0)
+  }
+
   /** (id, norm) → candidate pairs (a, b, src="span", span_len).
     *
     * ONE exchange: fingerprint buckets are capped and assembled in a

@@ -44,6 +44,19 @@ trait TableIO {
     * on an existing manifest.
     */
   def replace(stage: String, df: DataFrame): DataFrame
+
+  /** APPEND `df` to a stage (Iceberg: append snapshot — the new live
+    * snapshot is the old one's files plus the batch's). `tag` makes the
+    * append IDEMPOTENT: re-appending an already-committed tag (a replayed
+    * micro-batch after a crash) is a no-op, so exactly-once stream commits
+    * need no external transaction log.
+    */
+  def append(stage: String, df: DataFrame, tag: String): DataFrame
+
+  /** [[replace]] with an idempotence tag: re-replacing a tag already at
+    * the manifest head is a no-op (crash-replay safety for streaming).
+    */
+  def replaceTagged(stage: String, df: DataFrame, tag: String): DataFrame
   def runId: String
 }
 
@@ -87,8 +100,12 @@ final class ParquetTableIO(
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** A manifest ENTRY is one live snapshot: either a single dir or a
+    * ';'-joined dir list (append snapshots share their ancestors' files,
+    * Iceberg-style — an append rewrites nothing).
+    */
   override def load(stage: String): Option[DataFrame] =
-    readManifest(stage).headOption.map(spark.read.parquet(_))
+    readManifest(stage).headOption.map(e => spark.read.parquet(e.split(';').toSeq: _*))
 
   override def history(stage: String): Seq[String] = readManifest(stage).reverse
 
@@ -100,9 +117,11 @@ final class ParquetTableIO(
   }
 
   private def writeSnapshot(
-      stage: String, df: DataFrame, partitionCols: Seq[String]): DataFrame = {
+      stage: String, df: DataFrame, partitionCols: Seq[String],
+      tag: Option[String] = None, appendTo: Option[String] = None): DataFrame = {
     val t0 = System.currentTimeMillis()
-    val snapshot = s"$root/$stage/snapshot-${System.nanoTime()}"
+    val name = tag.map(t => s"snapshot-$t").getOrElse(s"snapshot-${System.nanoTime()}")
+    val snapshot = s"$root/$stage/$name"
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(snapshot)
@@ -118,9 +137,10 @@ final class ParquetTableIO(
       .withColumn("stage", lit(stage))
       .withColumn("wall_ms", lit(System.currentTimeMillis() - t0))
     metrics.write.mode("append").parquet(s"$root/_metrics/rows")
-    // atomic commit point: prepend the new snapshot, keep history
-    writeManifest(stage, snapshot +: readManifest(stage))
-    committed
+    // atomic commit point: prepend the new live entry, keep history
+    val entry = appendTo.fold(snapshot)(prior => s"$prior;$snapshot")
+    writeManifest(stage, entry +: readManifest(stage))
+    if (appendTo.isEmpty) committed else load(stage).get
   }
 
   override def commit(stage: String, df: DataFrame): DataFrame =
@@ -138,6 +158,19 @@ final class ParquetTableIO(
 
   override def replace(stage: String, df: DataFrame): DataFrame =
     writeSnapshot(stage, df, Seq.empty)
+
+  override def append(stage: String, df: DataFrame, tag: String): DataFrame = {
+    val head = readManifest(stage).headOption
+    val dir = s"$root/$stage/snapshot-$tag"
+    if (head.exists(_.split(';').contains(dir))) load(stage).get // replayed batch: no-op
+    else writeSnapshot(stage, df, Seq.empty, Some(tag), appendTo = head)
+  }
+
+  override def replaceTagged(stage: String, df: DataFrame, tag: String): DataFrame = {
+    val dir = s"$root/$stage/snapshot-$tag"
+    if (readManifest(stage).headOption.contains(dir)) load(stage).get
+    else writeSnapshot(stage, df, Seq.empty, Some(tag))
+  }
 
   def metrics(): Option[DataFrame] = {
     val p = s"$root/_metrics/rows"

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.Streaming
+import graft.streaming.{StreamJob, Streaming}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
@@ -157,5 +157,68 @@ class StreamingSpec extends SparkSpec {
       .where(expr("substring(a_img, 5) = b_img"))
       .count()
     assert(found == 3, s"expected each new row to hit its historical twin")
+  }
+
+  // ---- StreamJob end-to-end ----
+
+  /** Write batches `from until until` of an `n`-way deterministic hash
+    * split of `corpus` as parquet files into `dir`, in batch order so the
+    * file stream ingests b0, b1, … .
+    */
+  private def writeBatchFiles(corpus: org.apache.spark.sql.DataFrame,
+      dir: java.nio.file.Path, n: Int, from: Int = 0, until: Int = -1): Unit = {
+    (from until (if (until < 0) n else until)).foreach { b =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"sj_tmp$b")
+      corpus.where(pmod(xxhash64(col("image_id")), lit(n)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        dir.resolve(f"batch$b%03d.parquet"))
+      Thread.sleep(5) // distinct mtimes → stable file-stream batch order
+    }
+  }
+
+  private def clusterSet(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    df.select("image_id", "cluster_id").as[(String, String)].collect().toSet
+
+  test("StreamJob e2e: multi-batch stream commits clusters identical to the batch run") {
+    val corpus = Fixtures.corpus(spark, 60).toDF().localCheckpoint()
+    val batchRef = Pipeline.run(corpus, DedupConfig())
+    val expected = clusterSet(batchRef.clusters)
+    batchRef.unpersist()
+
+    val in = java.nio.file.Files.createTempDirectory("sj_in")
+    val out = java.nio.file.Files.createTempDirectory("sj_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sj_ckpt").toString
+    writeBatchFiles(corpus, in, 3)
+    StreamJob.runOnce(spark, in.toString, out, ckpt, "sj1") // 3 micro-batches
+    val io = new ParquetTableIO(spark, out, "sj1", DedupConfig().configHash)
+    assert(clusterSet(io.load("clusters").get) == expected)
+    // the corpus table accumulated exactly the 3 appends
+    assert(io.load("corpus").get.count() == corpus.count())
+  }
+
+  test("StreamJob e2e: restart resumes from checkpoint and converges to the batch result") {
+    val corpus = Fixtures.corpus(spark, 40, seed = 7L).toDF().localCheckpoint()
+    val batchRef = Pipeline.run(corpus, DedupConfig())
+    val expected = clusterSet(batchRef.clusters)
+    batchRef.unpersist()
+
+    val in = java.nio.file.Files.createTempDirectory("sj2_in")
+    val out = java.nio.file.Files.createTempDirectory("sj2_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sj2_ckpt").toString
+    // first run sees only batches 0–1 of the 3-way split
+    writeBatchFiles(corpus, in, 3, until = 2)
+    StreamJob.runOnce(spark, in.toString, out, ckpt, "sj2")
+    val io = new ParquetTableIO(spark, out, "sj2", DedupConfig().configHash)
+    val afterTwo = io.load("corpus").get.count()
+    assert(afterTwo < corpus.count())
+    // RESTART: the third batch file arrives; the same checkpoint must
+    // skip the two committed batches and process only the new file
+    writeBatchFiles(corpus, in, 3, from = 2)
+    StreamJob.runOnce(spark, in.toString, out, ckpt, "sj2")
+    assert(clusterSet(io.load("clusters").get) == expected)
+    assert(io.load("corpus").get.count() == corpus.count())
   }
 }

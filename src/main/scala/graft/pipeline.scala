@@ -76,8 +76,10 @@ object Pipeline {
     // disk) when no TableIO materializes them; track what we persisted so
     // the caller can release it (cache hygiene in long-lived sessions).
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def ckpt(stage: String)(df: => DataFrame): DataFrame = io match {
-      case Some(t) => t.commit(stage, df)
+    def ckpt(stage: String, partitionBy: Seq[String] = Seq.empty)(df: => DataFrame): DataFrame = io match {
+      case Some(t) =>
+        if (partitionBy.nonEmpty) t.commitPartitioned(stage, df, partitionBy)
+        else t.commit(stage, df)
       case None =>
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         persisted += p
@@ -136,9 +138,20 @@ object Pipeline {
       Scoring.filterAndTopK(Scoring.score(candidates, sigs, cfg, sigs.count()), cfg)
     }
 
-    // stage 5: pixel verification (the only stage that touches bytes again)
-    val verified = ckpt("verified") {
+    // stage 5: pixel verification (the only stage that touches bytes
+    // again). Committed PARTITIONED on the dup verdict: the only
+    // downstream consumer (the CC stage) filters to is_dup rows, so a
+    // resumed run reads just the dup partition — at a realistic ~1–10%
+    // dup rate that skips ≥90% of the stage's bytes. `dup_part` is an
+    // int twin of is_dup because Spark's partition-column type inference
+    // reads boolean directory values back as strings (a silent schema
+    // change on resume); int round-trips. The candidates stage stays
+    // UNPARTITIONED deliberately: its one consumer (scoring) reads every
+    // row, so identity-partitioning it would buy no pruning and cost
+    // small-file fan-out.
+    val verified = ckpt("verified", Seq("dup_part")) {
       Scoring.verify(survivors, corpus, cfg, repairs)
+        .withColumn("dup_part", col("is_dup").cast("int"))
     }
 
     // stage 6–7: connected components over dup edges → stable cluster ids.
@@ -147,7 +160,9 @@ object Pipeline {
     // once at the end — see its scaladoc for the SortAggregate-per-round
     // hazard this avoids.
     val clusters = ckpt("clusters") {
-      val edges = verified.where(col("is_dup")).select(col("a"), col("b"))
+      // filter on the PARTITION column: a resumed run's scan of the
+      // committed verified table prunes to the dup_part=1 directories
+      val edges = verified.where(col("dup_part") === 1).select(col("a"), col("b"))
       ConnectedComponents.clusterHashed(edges, corpus.select(col("image_id")),
         repairs = repairs)
     }

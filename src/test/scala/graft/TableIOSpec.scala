@@ -55,6 +55,40 @@ class TableIOSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
   }
 
+  test("pipeline commits verified partitioned by dup verdict; resume prunes the scan") {
+    val root = tmpDir()
+    val corpus = Fixtures.corpus(spark, 25).toDF()
+    val io = new ParquetTableIO(spark, root, "runP", DedupConfig().configHash)
+    val r = Pipeline.runCheckpointed(corpus, DedupConfig(), io)
+    r.clusters.count()
+    r.unpersist()
+    // physical layout: verified split into dup_part=0/1 directories
+    val snap = io.history("verified").last
+    val dirs = new java.io.File(snap).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("dup_part=")), dirs.mkString(","))
+    // the CC stage's resumed read (dup edges only) prunes to dup_part=1
+    val plan = io.load("verified").get.where(col("dup_part") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dup_part"), plan)
+  }
+
+  test("append: tagged snapshots accumulate; a replayed tag is a no-op") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "run1", "cfgA")
+    io.append("t", Seq((1, "a")).toDF("k", "v"), "b0")
+    io.append("t", Seq((2, "b")).toDF("k", "v"), "b1")
+    assert(io.load("t").get.as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b")))
+    val before = io.history("t")
+    io.append("t", Seq((99, "zzz")).toDF("k", "v"), "b1") // crash replay
+    assert(io.load("t").get.count() == 2)
+    assert(io.history("t") == before)
+    // replaceTagged: same-tag replace is also a no-op
+    io.replaceTagged("c", Seq((1, "x")).toDF("k", "v"), "b0")
+    io.replaceTagged("c", Seq((9, "y")).toDF("k", "v"), "b0")
+    assert(io.load("c").get.as[(Int, String)].collect().toSeq == Seq((1, "x")))
+  }
+
   test("snapshot history + rollback restore an earlier snapshot atomically") {
     val root = tmpDir()
     val io = new ParquetTableIO(spark, root, "run1", "cfgA")

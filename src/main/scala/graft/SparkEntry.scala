@@ -687,10 +687,17 @@ object SparkEntry {
     }),
 
     // text analysis: n-gram language-ID heuristic, per-doc, with overlap
-    // score; the DuckDB oracle recomputes the full kernel (bigram counts →
-    // top-20 → profile overlap → argmax) from the same embedded profiles
+    // score; the DuckDB oracle recomputes the full kernel (script
+    // histogram pre-classifier → bigram counts → top-20 → profile overlap
+    // → argmax) from the same embedded profiles/script map. The driver
+    // documents are Latin-script, so deterministic non-Latin fixture rows
+    // (shared verbatim with the oracle's VALUES) exercise the script tier
+    // under the same oracle.
     "q_lang_id" -> ((s, d) => {
-      t(s, d, "documents")
+      import s.implicits._
+      val fixtures = langFixtures.toDF("doc_id", "text")
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fixtures)
         .select(col("doc_id"), TextOps.langIdScoredUdf(col("text")).as("r"))
         .select(col("doc_id"), col("r._1").as("lang_detected"),
           col("r._2").cast("long").as("overlap"))
@@ -991,19 +998,62 @@ object SparkEntry {
     }
   }
 
-  /** Full SQL recomputation of [[TextOps.detectLangScored]]: bigram counts
-    * → top-20 (count desc, bigram asc) → profile overlap → argmax
-    * (overlap desc, lang asc); zero overlap → 'und'. Profile VALUES are
-    * generated from the SAME embedded profiles the Scala kernel uses.
+  /** Non-Latin fixture docs exercising the script tier of the language-ID
+    * operator (doc_id ≥ 10⁶ keeps them clear of every driver SF). The
+    * exact same strings are embedded in the oracle's VALUES, so both
+    * engines classify identical inputs.
+    */
+  private[graft] val langFixtures: Seq[(Long, String)] = Seq(
+    (1000001L, "这是一份关于机器学习的中文测试文档"),
+    (1000002L, "これは機械学習についての日本語のテスト文書です"),
+    (1000003L, "이것은 기계 학습에 관한 한국어 테스트 문서입니다"),
+    (1000004L, "Это русский тестовый документ о машинном обучении"),
+    (1000005L, "هذه وثيقة اختبار باللغة العربية حول التعلم الآلي"),
+    (1000006L, "Αυτό είναι ένα ελληνικό έγγραφο δοκιμής μηχανικής μάθησης"),
+    (1000007L, "זהו מסמך בדיקה בעברית על למידת מכונה"),
+    (1000008L, "यह मशीन लर्निंग के बारे में एक हिंदी परीक्षण दस्तावेज़ है"),
+    (1000009L, "นี่คือเอกสารทดสอบภาษาไทยเกี่ยวกับการเรียนรู้ของเครื่อง"))
+
+  /** RE2 script classes for the oracle — same label map as
+    * [[TextOps.scriptLangs]]. Plain (non-interpolated) literal so the
+    * backslashes survive.
+    */
+  private val scriptPatternRows: String =
+    """('zh', '[\p{Han}]'), ('ja', '[\p{Hiragana}\p{Katakana}]'),
+       ('ko', '[\p{Hangul}]'), ('ru', '[\p{Cyrillic}]'),
+       ('ar', '[\p{Arabic}]'), ('el', '[\p{Greek}]'), ('he', '[\p{Hebrew}]'),
+       ('hi', '[\p{Devanagari}]'), ('th', '[\p{Thai}]')"""
+
+  /** Full SQL recomputation of [[TextOps.detectLangScored]]: script
+    * histogram pre-classifier (≥ ScriptMinChars chars of one non-Latin
+    * script → that label, score min(n, 20)), else bigram counts → top-20
+    * (count desc, bigram asc) → profile overlap → argmax (overlap desc,
+    * lang asc); zero overlap → 'und'. Profile VALUES are generated from
+    * the SAME embedded profiles the Scala kernel uses; the doc source is
+    * documents ∪ the non-Latin fixtures.
     */
   private def langIdOracleSql: String = {
     val profileRows = TextOps.profiles.toSeq.sortBy(_._1).flatMap { case (l, bgs) =>
       bgs.toSeq.sorted.map(bg => s"('$l', '$bg')")
     }.mkString(", ")
+    val fixtureRows = langFixtures
+      .map { case (id, txt) => s"($id, '$txt')" }.mkString(", ")
     s"""WITH profiles(lang, bg) AS (VALUES $profileRows),
+       scripts(slang, pat) AS (VALUES $scriptPatternRows),
+       src AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT * FROM (VALUES $fixtureRows) AS v(doc_id, text)),
+       scnt AS (
+         SELECT doc_id, slang,
+           length(text) - length(regexp_replace(text, pat, '', 'g')) AS n
+         FROM src CROSS JOIN scripts),
+       sbest AS (
+         SELECT doc_id, slang, n FROM (
+           SELECT doc_id, slang, n,
+             row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, slang) AS rk
+           FROM scnt) WHERE rk = 1 AND n >= ${TextOps.ScriptMinChars}),
        bigrams AS (
          SELECT doc_id, substr(lower(text), CAST(i AS INT), 2) AS bg
-         FROM documents, unnest(generate_series(1, length(text) - 1)) AS t(i)
+         FROM src, unnest(generate_series(1, length(text) - 1)) AS t(i)
          WHERE length(text) >= 2),
        counts AS (
          SELECT doc_id, bg, count(*) AS n FROM bigrams
@@ -1022,9 +1072,15 @@ object SparkEntry {
            SELECT doc_id, lang, overlap,
              row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, lang) AS rk
            FROM ovl) WHERE rk = 1)
-       SELECT d.doc_id AS doc_id, coalesce(b.lang, 'und') AS lang_detected,
-         CAST(coalesce(b.overlap, 0) AS BIGINT) AS overlap
-       FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+       SELECT d.doc_id AS doc_id,
+         coalesce(s.slang, b.lang, 'und') AS lang_detected,
+         -- CASE, not coalesce(least(...)): DuckDB's least() SKIPS nulls,
+         -- so least(NULL, 20) = 20 and would mask the bigram fallback
+         CAST(CASE WHEN s.slang IS NOT NULL THEN least(s.n, 20)
+                   ELSE coalesce(b.overlap, 0) END AS BIGINT) AS overlap
+       FROM src d
+       LEFT JOIN sbest s ON d.doc_id = s.doc_id
+       LEFT JOIN best b ON d.doc_id = b.doc_id
        ORDER BY 1"""
   }
 

@@ -35,11 +35,46 @@ object TextOps {
       "aa", "in", "el", "ar", "ng", "at", "ve", "he", "st", "on")
   )
 
+  /** Script-level pre-classifier (round-2 VERDICT: the bigram profiles
+    * are Latin-script only, so CJK/Cyrillic/Arabic text fell through to
+    * 'und'). Unicode scripts map to a language-level label — 'zh' for Han
+    * is a simplification (Han also carries Japanese kanji; Hiragana/
+    * Katakana presence outvotes it for Japanese text), the same
+    * script≈language collapse fastText-class identifiers make for their
+    * coarse tier. Chosen over per-script bigram profiles because every
+    * rule here is recomputable in ANSI-ish SQL (RE2 \p{Script} classes in
+    * the DuckDB oracle match Java's Character.UnicodeScript on these
+    * mainstream ranges), keeping the operator fully oracle-checked.
+    */
+  private[graft] val scriptLangs: Seq[(String, Character.UnicodeScript)] = {
+    import Character.UnicodeScript._
+    Seq("zh" -> HAN, "ja" -> HIRAGANA, "ja" -> KATAKANA, "ko" -> HANGUL,
+      "ru" -> CYRILLIC, "ar" -> ARABIC, "el" -> GREEK, "he" -> HEBREW,
+      "hi" -> DEVANAGARI, "th" -> THAI)
+  }
+
+  /** Min chars of one non-Latin script for the script verdict to fire. */
+  private[graft] val ScriptMinChars = 8
+
   /** (language, overlap score ∈ [0, 20]); ("und", 0) when no letter
-    * bigrams exist or no profile overlaps at all.
+    * bigrams exist or no profile overlaps at all. Non-Latin scripts are
+    * classified FIRST: the label with the most script chars wins (ties →
+    * lexicographically smaller label) when it has ≥ [[ScriptMinChars]];
+    * its score is min(count, 20), the bigram scale's ceiling.
     */
   def detectLangScored(text: String): (String, Int) = {
     if (text == null || text.isEmpty) return ("und", 0)
+    val byScript = scala.collection.mutable.HashMap.empty[String, Int]
+    text.codePoints().forEach { cp =>
+      val sc = Character.UnicodeScript.of(cp)
+      scriptLangs.foreach { case (lang, s) =>
+        if (s == sc) byScript(lang) = byScript.getOrElse(lang, 0) + 1
+      }
+    }
+    if (byScript.nonEmpty) {
+      val (lang, n) = byScript.toSeq.minBy { case (l, c) => (-c, l) }
+      if (n >= ScriptMinChars) return (lang, math.min(n, 20))
+    }
     val counts = scala.collection.mutable.HashMap.empty[String, Int]
     val t = text.toLowerCase
     var i = 0

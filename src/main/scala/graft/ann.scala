@@ -122,8 +122,13 @@ object Ann {
       seed: Long = 42L,
       bucketCap: Int = 4096,
       census: Option[Observation] = None,
-      probeAll: Boolean = false): DataFrame = {
-    val planes = if (nPlanes > 0) nPlanes else derivePlanes(corpus.count())
+      probeAll: Boolean = false,
+      corpusCount: Long = -1L): DataFrame = {
+    // corpusCount: callers invoking annTopK AND ivfTopK on one corpus can
+    // pass the count once instead of paying a count job per call
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else derivePlanes(if (corpusCount >= 0) corpusCount else corpus.count())
     val keys = corpus.select(
       bucketUdf(planes, seed)(col("vec")).as("gkey"), col("id"))
     val vecs = corpus.select(

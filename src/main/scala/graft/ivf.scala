@@ -292,8 +292,13 @@ object Ivf {
       census: Option[Observation] = None,
       sampleN: Int = 0,
       twoLevelFrom: Int = 4096,
-      sampleBytes: Long = DefaultSampleBytes): DataFrame = {
-    val lists = if (nList > 0) nList else deriveNList(corpus.count())
+      sampleBytes: Long = DefaultSampleBytes,
+      corpusCount: Long = -1L): DataFrame = {
+    // corpusCount: same contract as Ann.annTopK — avoids a duplicate
+    // count job when a caller sizes both indexes over one corpus
+    val lists =
+      if (nList > 0) nList
+      else deriveNList(if (corpusCount >= 0) corpusCount else corpus.count())
     // auto-scale the training sample to the codebook (≥8 samples per cell
     // on average, capped at 256k): the earlier FIXED sampleN=32768 made
     // any nList above it impossible — trainCentroids required more

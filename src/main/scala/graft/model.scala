@@ -87,6 +87,10 @@ final case class DedupConfig(
     //   O(cap) state per key) — explicit salt fan-out config was removed
     //   with the salted-window caps it parameterized.
     topKPerImage: Int = 50, // top-k candidate pairs kept per image (W1)
+    sigBuckets: Int = 32, // bucket count for the committed signature table
+    //   (Iceberg bucket transform): scoring equi-joins on id then read an
+    //   exchange-free signature side. Sized to the cluster's shuffle
+    //   parallelism in production (thousands); 32 matches the sandbox.
     broadcastSigRows: Long = 4000000L, // sigs ≤ this → broadcast scoring join
     seed: Long = 42L
 ) {

@@ -99,12 +99,26 @@ object Pipeline {
     val repairs = IdHash.buildRepairs(corpus.select(col("image_id")))
       .map(r => io.fold(r)(t => t.commit("id_repairs", r)))
 
-    // stage 0–1: filters + signatures (row-local, one codegen stage)
-    val sigs = ckpt("signatures") {
-      val clean = corpus
-        .where(col("caption").isNotNull && length(col("caption")) > 0)
-        .where(col("w") > 0 && col("h") > 0)
-      Signatures.signatures(clean, cfg, repairs)
+    // stage 0–1: filters + signatures (row-local, one codegen stage).
+    // Committed BUCKETED by the i64 id (Iceberg bucket transform): the
+    // signature table is the build side of the engine's widest joins
+    // (scoring attaches both endpoints' signatures to every candidate
+    // pair) and at 10¹² rows it cannot broadcast — the bucketed scan
+    // reports HashPartitioning(id), so those joins shuffle only the pair
+    // side, within this run and on resume in a fresh JVM.
+    val sigs = io match {
+      case Some(t) => t.commitBucketed("signatures", {
+        val clean = corpus
+          .where(col("caption").isNotNull && length(col("caption")) > 0)
+          .where(col("w") > 0 && col("h") > 0)
+        Signatures.signatures(clean, cfg, repairs)
+      }, "id", cfg.sigBuckets)
+      case None => ckpt("signatures") {
+        val clean = corpus
+          .where(col("caption").isNotNull && length(col("caption")) > 0)
+          .where(col("w") > 0 && col("h") > 0)
+        Signatures.signatures(clean, cfg, repairs)
+      }
     }
 
     // skew census (A3): checkpointed runs record the bucket-size

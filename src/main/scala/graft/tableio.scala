@@ -25,6 +25,18 @@ trait TableIO {
     * equi-joins/aggregations on those columns read pruned subsets.
     */
   def commitPartitioned(stage: String, df: DataFrame, partitionCols: Seq[String]): DataFrame
+
+  /** Like [[commit]] but BUCKETED by `bucketCol` into `nBuckets`
+    * (Iceberg: bucket transform): the committed scan reports
+    * `HashPartitioning(bucketCol, nBuckets)`, so every downstream
+    * equi-join or aggregation on that key skips the bucketed side's
+    * exchange — within the committing run AND on resume in a fresh JVM
+    * (the bucket spec is persisted beside the manifest and re-registered
+    * on load). The payoff is the widest join in the engine: at 10¹² rows
+    * the signature table cannot broadcast into scoring, and without
+    * bucketing it would shuffle twice per run.
+    */
+  def commitBucketed(stage: String, df: DataFrame, bucketCol: String, nBuckets: Int): DataFrame
   def load(stage: String): Option[DataFrame]
 
   /** Snapshot directories for a stage, oldest → newest (Iceberg: snapshot
@@ -100,12 +112,38 @@ final class ParquetTableIO(
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private def bucketSpecPath(stage: String): Path =
+    rootPath.resolve(s"_manifest/$stage.bucketspec")
+
+  /** Session-catalog name for a bucketed snapshot. Bucket metadata lives
+    * in the catalog, not the parquet files, so resumed sessions must
+    * re-register the table (CREATE TABLE … CLUSTERED BY … LOCATION) to
+    * get the exchange-free scan back — a plain `read.parquet` of the same
+    * files is correct but loses the bucketing.
+    */
+  private def bucketTableName(stage: String, dir: String): String =
+    s"graft_${stage}_${java.lang.Long.toHexString(Hashing.hashString(dir))}"
+
+  private def bucketedTable(stage: String, dir: String): DataFrame = {
+    val Array(bcol, n) = Files.readString(bucketSpecPath(stage)).trim.split(',')
+    val tbl = bucketTableName(stage, dir)
+    if (!spark.catalog.tableExists(tbl)) {
+      val ddlSchema = spark.read.parquet(dir).schema.toDDL
+      spark.sql(s"CREATE TABLE $tbl ($ddlSchema) USING parquet " +
+        s"CLUSTERED BY ($bcol) INTO $n BUCKETS LOCATION '$dir'")
+    }
+    spark.table(tbl)
+  }
+
   /** A manifest ENTRY is one live snapshot: either a single dir or a
     * ';'-joined dir list (append snapshots share their ancestors' files,
     * Iceberg-style — an append rewrites nothing).
     */
   override def load(stage: String): Option[DataFrame] =
-    readManifest(stage).headOption.map(e => spark.read.parquet(e.split(';').toSeq: _*))
+    readManifest(stage).headOption.map { e =>
+      if (!e.contains(';') && Files.exists(bucketSpecPath(stage))) bucketedTable(stage, e)
+      else spark.read.parquet(e.split(';').toSeq: _*)
+    }
 
   override def history(stage: String): Seq[String] = readManifest(stage).reverse
 
@@ -158,6 +196,37 @@ final class ParquetTableIO(
 
   override def replace(stage: String, df: DataFrame): DataFrame =
     writeSnapshot(stage, df, Seq.empty)
+
+  override def commitBucketed(
+      stage: String, df: DataFrame, bucketCol: String, nBuckets: Int): DataFrame =
+    load(stage) match {
+      case Some(cached) => cached
+      case None =>
+        val t0 = System.currentTimeMillis()
+        val snapshot = s"$root/$stage/snapshot-${System.nanoTime()}"
+        // repartition on the SAME murmur3 hash bucketBy uses → each write
+        // task holds exactly one bucket → nBuckets files, not
+        // tasks×buckets small files
+        df.repartition(nBuckets, col(bucketCol))
+          .write.mode("overwrite")
+          .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+          .option("path", snapshot)
+          .format("parquet")
+          .saveAsTable(bucketTableName(stage, snapshot))
+        Files.writeString(bucketSpecPath(stage), s"$bucketCol,$nBuckets")
+        val committed = bucketedTable(stage, snapshot)
+        val metrics = committed
+          .select(spark_partition_id().as("partition_id"),
+            input_file_name().as("file"))
+          .groupBy("partition_id", "file")
+          .agg(count(lit(1)).as("rows"))
+          .withColumn("run_id", lit(runId))
+          .withColumn("stage", lit(stage))
+          .withColumn("wall_ms", lit(System.currentTimeMillis() - t0))
+        metrics.write.mode("append").parquet(s"$root/_metrics/rows")
+        writeManifest(stage, snapshot +: readManifest(stage))
+        committed
+    }
 
   override def append(stage: String, df: DataFrame, tag: String): DataFrame = {
     val head = readManifest(stage).headOption

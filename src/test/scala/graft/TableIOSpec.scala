@@ -72,6 +72,33 @@ class TableIOSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(dup_part"), plan)
   }
 
+  test("bucketed commit: the committed side joins with NO exchange of its own") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "runB", "cfgA")
+    val sigs = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    io.commitBucketed("sigs", sigs, "id", 8)
+    val pairsSide = (0 until 500).map(i => (i.toLong, i * 2)).toDF("id", "w")
+    def joinPlan: String = io.load("sigs").get
+      .join(pairsSide.hint("SHUFFLE_HASH"), "id")
+      .queryExecution.executedPlan.toString
+    val plan = joinPlan
+    // the bucketed scan feeds the join directly; only the pair side
+    // shuffles — the exact shape the 10^12-row scoring join needs
+    assert(plan.contains("Bucketed: true"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    // resume in a FRESH catalog (bucket metadata is catalog state, not
+    // parquet state): drop the registered table; load must re-register
+    // from the persisted bucket spec and keep the exchange-free shape
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_sigs_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val resumed = joinPlan
+    assert(resumed.contains("Bucketed: true"), resumed)
+    assert("Exchange hashpartitioning".r.findAllIn(resumed).size == 1, resumed)
+    // data round-trips
+    assert(io.load("sigs").get.count() == 1000)
+  }
+
   test("append: tagged snapshots accumulate; a replayed tag is a no-op") {
     val root = tmpDir()
     val io = new ParquetTableIO(spark, root, "run1", "cfgA")

@@ -181,6 +181,23 @@ object PlanDump {
         "No window, no collect_*, nothing driver-side.",
       ConnectedComponents.clusterHashed(edgesPub, corpus.select(col("image_id"))))
 
+    {
+      // round 3: checkpointed signatures commit BUCKETED by id — the
+      // resume-path scoring join shape
+      val io = new ParquetTableIO(spark, s"$dir/ckpt", "plandump", cfg.configHash)
+      io.commitBucketed("signatures", sigsP, "id", cfg.sigBuckets)
+      val sigsB = io.load("signatures").get
+      dump("stage 4 (resume path) — scoring join over the BUCKETED signature commit",
+        "The committed signature table is bucketed by id (Iceberg bucket " +
+          "transform; TableIO.commitBucketed), so this scan reports " +
+          "HashPartitioning(id, n): with the SHUFFLE_HASH shape the " +
+          "10^12-row regime uses, ONLY the pair side exchanges — check " +
+          "`Bucketed: true` on both signature scans and the absence of an " +
+          "Exchange above them. Without bucketing the signature relation " +
+          "would shuffle twice per run (once per endpoint join).",
+        Scoring.score(cand, sigsB, cfg, Long.MaxValue))
+    }
+
     // deterministic synthetic embeddings (hash-derived; no RNG state)
     val emb = spark.range(0, 500).select(col("id"),
       transform(sequence(lit(1), lit(16)),

@@ -601,6 +601,37 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // J3 SimHash block-prefilter JOIN, fully DuckDB-oracled end-to-end.
+    // This runs the engine's real pigeonhole candidate machinery
+    // (Lsh.simhashKeys → bounded buckets → in-bucket pair expansion) in a
+    // provably-exact configuration: with q=6 blocks and h=5, any pair at
+    // Hamming <= 5 agrees on >= 1 block and therefore shares one of the
+    // C(6,1) single-block keys; with bucketCap >= corpus no bucket drops.
+    // So {prefilter candidates} ∩ {hamming <= 5} == the all-pairs answer,
+    // and the DuckDB oracle recomputes that all-pairs set from raw text —
+    // value-checking the key derivation, the bounded bucket aggregate,
+    // the codegen pair expansion, AND the distance re-check, the same
+    // exhaustive-twin pattern as q_ann_ivf_exhaustive / q_ann_lsh_exhaustive.
+    "q_simhash_prefilter_pairs" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val cfg = DedupConfig(simhashMaxHamming = 5, bucketCap = 8192)
+      val sigs = t(s, d, "documents").where(col("doc_id") < 500)
+        .withColumn("norm", Text.normalizeCol(col("text")))
+        .select(col("doc_id").as("id"),
+          graft.functions.GraftFunctions.simhashCol(col("norm"), lit(0L))
+            .as("simhash"))
+        .localCheckpoint() // consumed by key derivation + two payload joins
+      val cands = Lsh.simhashCandidates(sigs, cfg)
+      cands
+        .join(sigs.select(col("id").as("a"), col("simhash").as("sha")), "a")
+        .join(sigs.select(col("id").as("b"), col("simhash").as("shb")), "b")
+        .withColumn("hamming",
+          bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
+        .where(col("hamming") <= cfg.simhashMaxHamming)
+        .select(col("a"), col("b"), col("hamming"))
+        .orderBy("a", "b")
+    }),
+
     // training-data dedup: MinHash+LSH near-dup pairs on documents,
     // re-scored with EXACT 5-gram Jaccard (built-ins) and gated at 0.7.
     // DuckDB-oracled: the oracle recomputes the exact >=0.7 pair set from
@@ -1112,6 +1143,18 @@ object SparkEntry {
            CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
          FROM sims x JOIN sims y ON x.doc_id < y.doc_id
          WHERE bit_count(xor(x.simhash, y.simhash)) <= 12
+         ORDER BY a, b""",
+    // all-pairs ground truth for the pigeonhole prefilter twin: exactness
+    // of the Spark side is the pigeonhole argument (q=6, h=5, cap>=corpus),
+    // so the two relations must be value-identical.
+    "q_simhash_prefilter_pairs" ->
+      s"""WITH sims AS (
+           SELECT * FROM (${simhashOracleSql(
+             "(SELECT * FROM documents WHERE doc_id < 500) dd")}))
+         SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.simhash, y.simhash)) <= 5
          ORDER BY a, b""",
     "q_levenshtein" ->
       """SELECT doc_id, levenshtein(substr(text, 1, 10), 'spark data') AS dist

@@ -96,6 +96,83 @@ object IdHash {
     require(dupIds.isEmpty,
       s"duplicate image_ids in corpus (no hashing scheme can repair): " +
         dupIds.mkString(", "))
+    repairRounds(pending, baseHashes, maxRounds, salted)
+  }
+
+  /** Incremental repair for the streaming path: detect and repair ONLY
+    * collisions introduced by a new micro-batch, against the already-
+    * committed id space. The batch [[buildRepairs]] re-aggregates the FULL
+    * accumulated id set — a corpus-wide shuffle per micro-batch, which is
+    * exactly the cost model a 10¹²-row stream cannot pay. Here the
+    * committed side is touched only as `committedIds` (the i64 id column
+    * of the committed signatures table — one narrow pruned columnar scan,
+    * no shuffle, no aggregation): a new row needs repair iff its base
+    * hash hits a committed id or another new row's base hash. Repairs
+    * never touch committed rows (their ids are already final in committed
+    * tables); only new rows are salted, and salted candidates are checked
+    * against committed ids ∪ the batch's base hashes ∪ accepted salted
+    * hashes — so the COMBINED map (committedRepairs ∪ result) is
+    * injective over the accumulated corpus.
+    *
+    * Preconditions: `newIds` are distinct and disjoint from committed
+    * image_ids (the stream's anti-join replay guard establishes both);
+    * `committedIds` are post-repair (injective among themselves).
+    * Returns the combined repair set to pass to every id-derivation site.
+    */
+  def buildRepairsIncremental(
+      newIds: DataFrame, // single column: image_id (new rows only)
+      committedIds: Option[DataFrame], // single column: id (i64, post-repair)
+      committedRepairs: Option[DataFrame], // (image_id, salt)
+      maxRounds: Int = 8,
+      base: Column => Column = defaultBase,
+      salted: (Column, Column) => Column = defaultSalted): Option[DataFrame] = {
+    val newHashes = newIds.select(col("image_id"), base(col("image_id")).as("h"))
+    // within-batch duplicates: a batch-local aggregation (new rows only)
+    val dupNew = newHashes.groupBy(col("h")).count()
+      .where(col("count") > 1).select(col("h"))
+    // hits on the committed id space: scan ⋈ broadcast(batch hashes) —
+    // shuffle-free on the committed side
+    val histHits = committedIds.fold(dupNew.limit(0)) { hist =>
+      hist.select(col("id").as("h")).distinct()
+        .join(broadcast(newHashes.select(col("h"))), Seq("h"), "left_semi")
+    }
+    val pending = newHashes
+      .join(broadcast(dupNew.union(histHits).distinct()), Seq("h"), "left_semi")
+      .select(col("image_id"))
+      .localCheckpoint()
+    val dupIds = pending.groupBy(col("image_id")).count()
+      .where(col("count") > 1).limit(5)
+      .collect().map(_.getString(0))
+    require(dupIds.isEmpty,
+      s"duplicate image_ids in micro-batch (no hashing scheme can repair): " +
+        dupIds.mkString(", "))
+    // occupied space for salted candidates: committed ids + ALL of this
+    // batch's base hashes (conservative — abandoned base hashes of
+    // re-salted rows still count, as in the batch path)
+    val occupied = committedIds.fold(newHashes.select(col("h")))(hist =>
+      hist.select(col("id").as("h")).unionByName(newHashes.select(col("h"))))
+    val newRepairs =
+      if (pending.isEmpty) None
+      else repairRounds(pending, occupied, maxRounds, salted)
+    (committedRepairs, newRepairs) match {
+      case (None, n) => n
+      case (h, None) => h
+      case (Some(h), Some(n)) => Some(h.unionByName(n))
+    }
+  }
+
+  /** The repair loop shared by the batch and incremental paths: re-salt
+    * `pending` rows until their hashes miss `occupied` (col `h` — every
+    * hash value that must not be hit), previously accepted salted hashes,
+    * and round-mates. Loop state is O(|pending|); `occupied` is only ever
+    * scanned against a BROADCAST candidate set (shuffle-free).
+    */
+  private def repairRounds(
+      pending0: DataFrame, // single column: image_id
+      occupied: DataFrame, // single column: h
+      maxRounds: Int,
+      salted: (Column, Column) => Column): Option[DataFrame] = {
+    var pending = pending0
     var resolved: Option[DataFrame] = None // (image_id, salt, h)
     var round = 1L
     while (!pending.isEmpty) {
@@ -105,8 +182,8 @@ object IdHash {
       val attempt = pending
         .withColumn("salt", lit(round))
         .withColumn("h", salted(col("image_id"), col("salt")))
-      // (a) shuffle-free corpus pass: base-hash values the candidates hit
-      val corpusHits = baseHashes
+      // (a) shuffle-free occupied-space pass: hash values the candidates hit
+      val corpusHits = occupied
         .join(broadcast(attempt.select(col("h"))), Seq("h"), "left_semi")
         .distinct()
       // (b) previously accepted salted hashes the candidates hit

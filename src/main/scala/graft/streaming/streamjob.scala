@@ -37,16 +37,19 @@ import org.apache.spark.sql.streaming.Trigger
   * (iii) a CC re-run over accumulated DUP EDGES (≪ corpus; the
   * exact-duplicate canonical assignment that doesn't need edges is the
   * O(1)-state [[Streaming.assignCanonicalStream]]). Cross-batch i64-id
-  * collision repair assumes new collisions involve at least one new row
-  * ([[IdHash.buildRepairs]] re-checks the full accumulated id set each
-  * batch and fails fast otherwise).
+  * collision repair is INCREMENTAL ([[IdHash.buildRepairsIncremental]]):
+  * only the batch's base hashes are checked, against the committed
+  * signature ids via a shuffle-free scan ⋈ broadcast semi-join — new
+  * collisions necessarily involve a new row, because the committed id
+  * space is already injective.
   */
 object StreamJob {
 
   /** One micro-batch (foreachBatch body). Public so specs can drive it
     * directly; the streaming wiring is [[runOnce]]/[[main]].
     */
-  def processBatch(io: TableIO, cfg: DedupConfig)(batch: DataFrame, batchId: Long): Unit = {
+  def processBatch(io: TableIO, cfg: DedupConfig, verbose: Boolean = true)(
+      batch: DataFrame, batchId: Long): Unit = {
     val corpusHist = io.load("corpus")
     // exact-dup suppression + replay guard: rows whose image_id is
     // already committed (same id = same content upstream contract, as in
@@ -58,19 +61,34 @@ object StreamJob {
     if (nNew == 0) return
     val corpusAll = corpusHist.fold(newRows)(h => h.unionByName(newRows))
 
-    val repairs = IdHash.buildRepairs(corpusAll.select(col("image_id")))
+    // committed index tables are loaded BEFORE this batch's keys append
+    val sigsHist = io.load("signatures")
+    val bandsHist = io.load("bands")
+    val simKeysHist = io.load("simhash_keys")
+    val fpsHist = io.load("span_fps")
+
+    // Incremental id-collision repair: only the new rows are checked —
+    // against the committed id space (one narrow scan of the signature
+    // table's id column), never by re-aggregating the full accumulated
+    // corpus per batch (the batch buildRepairs cost model, prohibitive at
+    // stream scale). Replay guard: a crashed batch may have committed its
+    // signatures/id_repairs before the corpus append, so the committed
+    // side is anti-joined down to the PRE-batch space first — the replay
+    // then re-derives byte-identical repairs and every tagged commit
+    // no-ops.
+    val newIds = newRows.select(col("image_id"))
+    val preBatch = (df: DataFrame) =>
+      df.join(broadcast(newIds), Seq("image_id"), "left_anti")
+    val repairs = IdHash.buildRepairsIncremental(
+        newIds,
+        sigsHist.map(h => preBatch(h).select(col("id"))),
+        io.load("id_repairs").map(preBatch))
       .map(r => io.replaceTagged("id_repairs", r, s"b$batchId"))
 
     val clean = newRows
       .where(col("caption").isNotNull && length(col("caption")) > 0)
       .where(col("w") > 0 && col("h") > 0)
     val sigsNew = Signatures.signatures(clean, cfg, repairs).localCheckpoint()
-
-    // committed index tables are loaded BEFORE this batch's keys append
-    val sigsHist = io.load("signatures")
-    val bandsHist = io.load("bands")
-    val simKeysHist = io.load("simhash_keys")
-    val fpsHist = io.load("span_fps")
 
     val bandsNew = Lsh.bands(sigsNew, cfg)
     val simKeysNew = Lsh.simhashKeys(sigsNew, cfg)
@@ -88,7 +106,14 @@ object StreamJob {
       (bandsHist, simKeysHist, fpsHist) match {
         case (Some(bh), Some(sh), Some(fh)) =>
           val norms = sigsAll.select(col("id"), col("norm"))
+          // dedup BEFORE the span kernel: crossPairs emits one row per
+          // (pair, shared fingerprint), and cluster-mates share most of
+          // their ~|caption| fingerprints — running the per-pair
+          // suffix-array UDF on every duplicate multiplied the batch's
+          // most expensive stage ~50× (measured: the verified commit
+          // dominated micro-batch wall time before this dedup)
           val spanIds = crossPairs(fpsNew, fh, Seq("fp"), cfg)
+            .dropDuplicates("a", "b")
           val spanScored = spanIds
             .join(norms.select(col("id").as("a"), col("norm").as("na")), "a")
             .join(norms.select(col("id").as("b"), col("norm").as("nb")), "b")
@@ -122,8 +147,10 @@ object StreamJob {
     io.replaceTagged("clusters", clusters, tag)
     io.append("corpus", newRows, tag)
 
-    val nClusters = clusters.select("cluster_id").distinct().count()
-    println(s"""{"batch":$batchId,"new_rows":$nNew,"clusters":$nClusters,"run_id":"${io.runId}"}""")
+    if (verbose) {
+      val nClusters = clusters.select("cluster_id").distinct().count()
+      println(s"""{"batch":$batchId,"new_rows":$nNew,"clusters":$nClusters,"run_id":"${io.runId}"}""")
+    }
   }
 
   /** New-vs-history pair generation for one routing-key family: the
@@ -155,7 +182,8 @@ object StreamJob {
       outDir: String,
       checkpointDir: String,
       runId: String,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1,
+      verbose: Boolean = true): Unit = {
     val cfg = DedupConfig()
     val io = new ParquetTableIO(spark, outDir, runId, cfg.configHash)
     val stream = spark.readStream
@@ -163,7 +191,7 @@ object StreamJob {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputDir)
     stream.writeStream
-      .foreachBatch(processBatch(io, cfg) _)
+      .foreachBatch(processBatch(io, cfg, verbose) _)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

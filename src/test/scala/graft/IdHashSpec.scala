@@ -94,6 +94,62 @@ class IdHashSpec extends SparkSpec {
     assert(distinct == 20000L, s"ids not injective after repair: $distinct")
   }
 
+  test("incremental: new-batch collisions repaired against the committed space") {
+    // committed corpus of 30 ids under the narrow hash (repaired to an
+    // injective 30-id space), then a 10-id batch arrives: birthday at
+    // 40/64 guarantees hits both within the batch and against history
+    val hist = ids(30)
+    val histRepairs = IdHash.buildRepairs(hist, maxRounds = 16, narrowBase, narrowSalted)
+    val histIds = IdHash.withId(hist, "image_id", "id", histRepairs, narrowBase, narrowSalted)
+      .select("id")
+    val batch = (30 until 40).map(i => f"img$i%04d").toDF("image_id")
+    val combined = IdHash.buildRepairsIncremental(
+      batch, Some(histIds), histRepairs, maxRounds = 16, narrowBase, narrowSalted)
+    // repairs only ever touch NEW rows: committed ids must not change
+    val histSet = hist.as[String].collect().toSet
+    val newlyRepaired = combined.toSeq.flatMap(_.as[(String, Long)].collect())
+      .filterNot(r => histRepairs.toSeq.flatMap(_.as[(String, Long)].collect()).contains(r))
+    assert(newlyRepaired.forall(r => !histSet.contains(r._1)),
+      s"incremental repair salted a committed row: $newlyRepaired")
+    // the combined map is injective over the accumulated corpus
+    val all = hist.union(batch)
+    val n = IdHash.withId(all, "image_id", "id", combined, narrowBase, narrowSalted)
+      .select("id").distinct().count()
+    assert(n == 40L, s"ids not injective after incremental repair: $n distinct of 40")
+  }
+
+  test("incremental: no collisions ⇒ committed repairs pass through unchanged") {
+    val hist = ids(100)
+    val histIds = IdHash.withId(hist, "image_id", "id", None).select("id")
+    val batch = (100 until 120).map(i => f"img$i%04d").toDF("image_id")
+    // full-width hash: nothing collides; no committed repairs → None
+    assert(IdHash.buildRepairsIncremental(batch, Some(histIds), None).isEmpty)
+    // committed repairs ride through untouched when the batch is clean
+    val prior = Some(ids(2).withColumn("salt", lit(3L)))
+    val out = IdHash.buildRepairsIncremental(batch, Some(histIds), prior)
+    assert(out.get.orderBy("image_id").as[(String, Long)].collect().toSeq ==
+      prior.get.orderBy("image_id").as[(String, Long)].collect().toSeq)
+  }
+
+  test("incremental == batch on the same accumulated corpus (injectivity)") {
+    // the two paths may salt different victims of a colliding pair, but
+    // both must yield an injective map over the same 40-id corpus
+    val hist = ids(25)
+    val batch = (25 until 40).map(i => f"img$i%04d").toDF("image_id")
+    val all = hist.union(batch)
+    val batchRepairs = IdHash.buildRepairs(all, maxRounds = 16, narrowBase, narrowSalted)
+    val histRepairs = IdHash.buildRepairs(hist, maxRounds = 16, narrowBase, narrowSalted)
+    val histIds = IdHash.withId(hist, "image_id", "id", histRepairs, narrowBase, narrowSalted)
+      .select("id")
+    val incRepairs = IdHash.buildRepairsIncremental(
+      batch, Some(histIds), histRepairs, maxRounds = 16, narrowBase, narrowSalted)
+    for ((label, r) <- Seq("batch" -> batchRepairs, "incremental" -> incRepairs)) {
+      val n = IdHash.withId(all, "image_id", "id", r, narrowBase, narrowSalted)
+        .select("id").distinct().count()
+      assert(n == 40L, s"$label path not injective: $n distinct of 40")
+    }
+  }
+
   test("pipeline stages agree on repaired ids end-to-end") {
     // a REAL repair table flowing through signatures → verify → CC: fake
     // two colliding ids by building repairs under the narrow hash, then

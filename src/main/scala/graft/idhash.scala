@@ -132,8 +132,11 @@ object IdHash {
       .where(col("count") > 1).select(col("h"))
     // hits on the committed id space: scan ⋈ broadcast(batch hashes) —
     // shuffle-free on the committed side
+    // no distinct on the committed side: its ids are injective by the
+    // precondition, and a distinct would be exactly the corpus-wide
+    // shuffle this path exists to avoid (the tiny union below dedups)
     val histHits = committedIds.fold(dupNew.limit(0)) { hist =>
-      hist.select(col("id").as("h")).distinct()
+      hist.select(col("id").as("h"))
         .join(broadcast(newHashes.select(col("h"))), Seq("h"), "left_semi")
     }
     val pending = newHashes

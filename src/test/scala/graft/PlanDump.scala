@@ -218,6 +218,25 @@ object PlanDump {
       Ann.annTopK(emb, embQ, k = 5,
         census = Some(new org.apache.spark.sql.Observation())))
 
+    {
+      // same construction as IdHash.buildRepairsIncremental's detection
+      // (idhash.scala): committed signature ids vs a micro-batch's base
+      // hashes
+      val histIds = corpus.select(xxhash64(col("image_id")).as("id"))
+      val newHashes = corpus.limit(50)
+        .select(col("image_id"), xxhash64(col("image_id")).as("h"))
+      dump("stream — incremental id-collision detection (IdHash.buildRepairsIncremental)",
+        "Per micro-batch the committed side is touched as ONE pruned " +
+          "columnar scan of the signature table's i64 id column feeding a " +
+          "BroadcastHashJoin LeftSemi against the batch's base hashes — " +
+          "no Exchange, no aggregation of committed data (the batch " +
+          "buildRepairs pays a corpus-wide groupBy per call, which a " +
+          "stream cannot). The batch side (dupNew/broadcast) is the only " +
+          "shuffled relation and is micro-batch-sized.",
+        histIds.select(col("id").as("h"))
+          .join(broadcast(newHashes.select(col("h"))), Seq("h"), "left_semi"))
+    }
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${sb.length} chars)")
     spark.stop()

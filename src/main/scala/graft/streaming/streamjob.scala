@@ -140,10 +140,44 @@ object StreamJob {
     io.append("bands", bandsNew, tag)
     io.append("simhash_keys", simKeysNew, tag)
     io.append("span_fps", fpsNew, tag)
-    val verifiedAll = io.append("verified", verifiedNew, tag)
-    val edges = verifiedAll.where(col("is_dup")).select(col("a"), col("b"))
-    val clusters = ConnectedComponents.clusterHashed(
-      edges, corpusAll.select(col("image_id")), repairs = repairs)
+    io.append("verified", verifiedNew, tag)
+    // Incremental connected components: re-clustering over ALL accumulated
+    // dup edges per batch reads a table that grows without bound (dup
+    // pairs are superlinear in dup-heavy streams). Instead, history is
+    // compressed into the committed ASSIGNMENT's star edges — image_id →
+    // cluster_id has exactly the same connected components as the full
+    // historical edge set — and only clusters actually touched by this
+    // batch's edges are re-clustered (every new edge has a new-row
+    // endpoint, so untouched clusters cannot change). Per-batch CC cost is
+    // O(|new edges| + |rows of affected clusters|), independent of the
+    // accumulated pair count. The endpoint/affected relations are
+    // batch-bounded, so they ride as broadcasts into pruned semi-joins of
+    // the committed assignment.
+    val newEdges = io.loadTagged("verified", tag).get
+      .where(col("is_dup")).select(col("a"), col("b"))
+    val clusters = io.load("clusters") match {
+      case None => // first batch: plain CC over the batch
+        ConnectedComponents.clusterHashed(
+          newEdges, corpusAll.select(col("image_id")), repairs = repairs)
+      case Some(ch) =>
+        val endpoints = newEdges.select(col("a").as("image_id"))
+          .union(newEdges.select(col("b").as("image_id"))).distinct()
+        val affected = ch
+          .join(broadcast(endpoints), Seq("image_id"), "left_semi")
+          .select(col("cluster_id")).distinct()
+        val affRows = ch.join(broadcast(affected), Seq("cluster_id"), "left_semi")
+        // the representative is itself a member, so rep vertices survive in
+        // `verts`; self-edges are dropped (CC treats them as no-ops anyway)
+        val starEdges = affRows.where(col("image_id") =!= col("cluster_id"))
+          .select(col("image_id").as("a"), col("cluster_id").as("b"))
+        val verts = affRows.select(col("image_id"))
+          .unionByName(newRows.select(col("image_id"))) // disjoint: replay guard
+        val sub = ConnectedComponents.clusterHashed(
+          starEdges.unionByName(newEdges), verts, repairs = repairs)
+        ch.join(broadcast(affected), Seq("cluster_id"), "left_anti")
+          .select(col("image_id"), col("cluster_id"))
+          .unionByName(sub.select(col("image_id"), col("cluster_id")))
+    }
     io.replaceTagged("clusters", clusters, tag)
     io.append("corpus", newRows, tag)
 

@@ -69,6 +69,12 @@ trait TableIO {
     * the manifest head is a no-op (crash-replay safety for streaming).
     */
   def replaceTagged(stage: String, df: DataFrame, tag: String): DataFrame
+
+  /** Read ONE tagged snapshot's rows (Iceberg: incremental read of a
+    * single append snapshot) — the stream's way to get "this batch's
+    * committed rows" without scanning the accumulated table.
+    */
+  def loadTagged(stage: String, tag: String): Option[DataFrame]
   def runId: String
 }
 
@@ -239,6 +245,14 @@ final class ParquetTableIO(
     val dir = s"$root/$stage/snapshot-$tag"
     if (readManifest(stage).headOption.contains(dir)) load(stage).get
     else writeSnapshot(stage, df, Seq.empty, Some(tag))
+  }
+
+  override def loadTagged(stage: String, tag: String): Option[DataFrame] = {
+    val dir = s"$root/$stage/snapshot-$tag"
+    // only snapshots reachable from the manifest are committed (a crashed
+    // write can leave an orphan dir whose files are incomplete)
+    val committed = readManifest(stage).exists(_.split(';').contains(dir))
+    if (committed) Some(spark.read.parquet(dir)) else None
   }
 
   def metrics(): Option[DataFrame] = {

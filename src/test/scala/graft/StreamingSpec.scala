@@ -199,6 +199,59 @@ class StreamingSpec extends SparkSpec {
     assert(io.load("corpus").get.count() == corpus.count())
   }
 
+  test("StreamJob e2e: incremental CC merges two clusters committed in different batches") {
+    // the adversarial incremental-CC case: rows A (batch 0) and B (batch 1)
+    // are committed as SEPARATE clusters — disjoint-alphabet captions, so
+    // no candidate path links them — then bridge row C (batch 2) shares a
+    // long caption span AND pixels with BOTH, so batch 2's new edges must
+    // merge two previously-committed clusters. A control cluster (D1, D2)
+    // is never touched after batch 0 and must keep its assignment.
+    val capA = (0 until 30).map(i => s"alba${('a' + i % 13).toChar}med").mkString(" ")
+    val capB = (0 until 30).map(i => s"zorn${('n' + i % 13).toChar}qux").mkString(" ")
+    val base = Imaging.encodePng(Fixtures.renderBase(99L, 64, 48))
+    val noisy = Imaging.encodePng(Fixtures.renderBase(99L, 64, 48)) // identical render
+    val dImg = Imaging.encodePng(Fixtures.renderBase(123L, 64, 48))
+    def row(id: String, bytes: Array[Byte], cap: String) =
+      ImageRow(id, bytes, 64, 48, "png", cap, Imaging.phash(bytes))
+    val batches = Seq(
+      Seq(row("bridge_a", base, capA),
+        row("ctl_d1", dImg, "quiet harbor boats resting at golden dusk water"),
+        row("ctl_d2", dImg, "quiet harbor boats resting at golden dusk water")),
+      Seq(row("bridge_b", noisy, capB)),
+      Seq(row("bridge_c", base, capA + " " + capB)))
+
+    val in = java.nio.file.Files.createTempDirectory("sj3_in")
+    val out = java.nio.file.Files.createTempDirectory("sj3_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sj3_ckpt").toString
+    def writeBatch(b: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"sj3_tmp$b")
+      spark.createDataset(batches(b)).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        in.resolve(f"batch$b%03d.parquet"))
+      Thread.sleep(5)
+    }
+    writeBatch(0); writeBatch(1)
+    StreamJob.runOnce(spark, in.toString, out, ckpt, "sj3")
+    val io = new ParquetTableIO(spark, out, "sj3", DedupConfig().configHash)
+    val mid = io.load("clusters").get.select("image_id", "cluster_id")
+      .as[(String, String)].collect().toMap
+    assert(mid("bridge_a") != mid("bridge_b"),
+      "precondition: A and B must be separate committed clusters before the bridge")
+    assert(mid("ctl_d1") == mid("ctl_d2"))
+
+    writeBatch(2)
+    StreamJob.runOnce(spark, in.toString, out, ckpt, "sj3")
+    val fin = io.load("clusters").get.select("image_id", "cluster_id")
+      .as[(String, String)].collect().toMap
+    assert(fin("bridge_a") == fin("bridge_c") && fin("bridge_b") == fin("bridge_c"),
+      s"bridge row must merge both committed clusters: $fin")
+    assert(fin("bridge_a") == "bridge_a", "cluster_id must be the min member id")
+    assert(fin("ctl_d1") == mid("ctl_d1") && fin("ctl_d2") == mid("ctl_d2"),
+      "untouched committed cluster must keep its assignment")
+  }
+
   test("StreamJob e2e: restart resumes from checkpoint and converges to the batch result") {
     val corpus = Fixtures.corpus(spark, 40, seed = 7L).toDF().localCheckpoint()
     val batchRef = Pipeline.run(corpus, DedupConfig())

@@ -41,7 +41,13 @@ import org.apache.spark.sql.streaming.Trigger
   * only the batch's base hashes are checked, against the committed
   * signature ids via a shuffle-free scan ⋈ broadcast semi-join — new
   * collisions necessarily involve a new row, because the committed id
-  * space is already injective.
+  * space is already injective. Clustering is likewise incremental (see
+  * the CC block in [[processBatch]]); its one non-incremental residual
+  * is the clusters SINK — replaceTagged rewrites the full assignment
+  * table per batch because the parquet TableIO has no partition-level
+  * overwrite. On real Iceberg this is a MERGE INTO (or partition
+  * overwrite of the affected cluster_id partitions); the COMPUTE side
+  * is already bounded by the batch.
   */
 object StreamJob {
 

@@ -19,10 +19,13 @@ object NearDupProbe3 {
     graft.functions.GraftFunctions.register(spark)
 
     for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
-      val t0 = System.nanoTime()
-      val rows = SparkEntry.queries("q_doc_near_dup_lsh")(spark, sf).collect()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] $sf%s rows=${rows.length}%d in $sec%.2f s")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q_doc_near_dup_lsh")(spark, sf).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up
+      println(f"[probe] $sf%s min-of-2 warm: ${math.min(once(), once())}%.2f s")
     }
     spark.stop()
   }

@@ -135,9 +135,30 @@ object StreamJob {
       }
     val candidates = Pipeline.mergeCandidates(within ++ cross)
 
+    // Scoring/verify touch committed history ONLY through batch-bounded
+    // pruned slices: candidate endpoints are batch-bounded (new-row
+    // endpoints × bounded caps), so they broadcast into shuffle-free
+    // semi-joins that cut the signature and payload relations down BEFORE
+    // the scoring joins. Without this, score's SHUFFLE_HASH regime would
+    // shuffle the full committed signature table per micro-batch, and the
+    // payload join could put committed pixel bytes on a shuffle — the
+    // pruned payload side stays broadcast-sized, so bytes never leave
+    // their scan tasks (the stream twin of the batch path's
+    // payload-pruning discipline).
+    val endpointIds = candidates.select(col("a").as("id"))
+      .unionByName(candidates.select(col("b").as("id")))
+      .dropDuplicates("id").localCheckpoint()
+    val sigsTouched = sigsAll
+      .join(broadcast(endpointIds), Seq("id"), "left_semi").localCheckpoint()
     val survivors = Scoring.filterAndTopK(
-      Scoring.score(candidates, sigsAll, cfg, sigsAll.count()), cfg)
-    val verifiedNew = Scoring.verify(survivors, corpusAll, cfg, repairs)
+      Scoring.score(candidates, sigsTouched, cfg, sigsTouched.count()), cfg)
+      .localCheckpoint() // consumed by the id projection AND verify
+    val survIds = survivors.select(col("a").as("id"))
+      .unionByName(survivors.select(col("b").as("id"))).dropDuplicates("id")
+    val corpusTouched = IdHash.withId(corpusAll, "image_id", "id", repairs)
+      .join(broadcast(survIds), Seq("id"), "left_semi")
+      .drop("id")
+    val verifiedNew = Scoring.verify(survivors, corpusTouched, cfg, repairs)
 
     // commits: index tables + verified pairs appended, clusters replaced,
     // corpus appended LAST (the batch's replay guard)
@@ -194,15 +215,23 @@ object StreamJob {
   }
 
   /** New-vs-history pair generation for one routing-key family: the
-    * HISTORICAL side of each key is capped to the `bucketCap` smallest
-    * ids inside one bounded hash aggregation (map-side combine — the same
-    * W2 skew discipline as the batch self-join), then one equi-join emits
-    * canonical (a < b) pairs.
+    * committed side is first pruned to the keys this batch actually
+    * touches — a shuffle-free scan ⋈ broadcast(batch keys) semi-join
+    * (keys absent from the batch can produce no pairs, so this is
+    * lossless) — and only then capped to the `bucketCap` smallest ids
+    * per key inside one bounded hash aggregation (map-side combine, the
+    * same W2 skew discipline as the batch self-join). Without the prune
+    * the bounded aggregation ran over the FULL committed key table every
+    * micro-batch — a corpus-wide shuffle per batch, the same cost model
+    * the incremental repair/CC steps exist to avoid. One equi-join then
+    * emits canonical (a < b) pairs.
     */
   private def crossPairs(
       newKeys: DataFrame, histKeys: DataFrame, keys: Seq[String],
       cfg: DedupConfig): DataFrame = {
-    val capped = histKeys
+    val wanted = newKeys.select(keys.map(col): _*).dropDuplicates(keys)
+    val touched = histKeys.join(broadcast(wanted), keys, "left_semi")
+    val capped = touched
       .groupBy(keys.map(col): _*)
       .agg(graft.functions.GraftAggregates.boundedMinIds(cfg.bucketCap)(col("id")).as("b"))
       .select((keys.map(col) :+ explode(col("b.ids")).as("hid")): _*)

@@ -164,7 +164,10 @@ object Pipeline {
     // row, so identity-partitioning it would buy no pruning and cost
     // small-file fan-out.
     val verified = ckpt("verified", Seq("dup_part")) {
-      Scoring.verify(survivors, corpus, cfg, repairs)
+      // the survivor count (cheap: the scored stage is materialized)
+      // drives verify's join discipline — broadcast-pairs + semi-pruned
+      // payloads when bounded, SHUFFLE_HASH otherwise
+      Scoring.verify(survivors, corpus, cfg, repairs, survivors.count())
         .withColumn("dup_part", col("is_dup").cast("int"))
     }
 

@@ -78,26 +78,59 @@ object Scoring {
     * cross the wire (the join keys prune). `is_dup` per
     * BASELINE.json:L15: decoded-pixel allclose — exact for lossless,
     * PSNR ≥ 40 dB for lossy.
+    *
+    * Join discipline — the inverse of [[score]]'s, because here the BYTES
+    * side must not move: when the survivor count is known and bounded
+    * (≤ broadcastSigRows; pair rows are ~10× narrower than signature
+    * rows), the PAIR side broadcasts, so payload bytes never leave their
+    * scan tasks — AQE left to itself at sandbox scale broadcasts the
+    * (small) payload side instead, which ships every byte to every
+    * executor and inverts at scale. Beyond the bound, SHUFFLE_HASH built
+    * from the pair side: bytes do ride that exchange once — the
+    * exchange-free regime at 10¹² is the id-bucketed corpus commit
+    * (TableIO.commitBucketed), which makes the payload side
+    * pre-partitioned on the join key.
     */
   def verify(
       survivors: DataFrame,
       corpus: DataFrame,
       cfg: DedupConfig,
-      repairs: Option[DataFrame] = None): DataFrame = {
+      repairs: Option[DataFrame] = None,
+      survivorRows: Long = -1L): DataFrame = {
+    val pairsSmall = survivorRows >= 0 && survivorRows <= cfg.broadcastSigRows
     // survivors carry i64 ids; the payload join translates them back to
     // public image_ids (the payload side derives the same repaired id, so
     // no extra mapping table is needed).
     val payload = IdHash.withId(corpus, "image_id", "id", repairs)
       .select(col("id"), col("image_id"), col("bytes"), col("fmt"), col("caption"))
-    val pa = payload.select(
+    // pairsSmall regime: payload sides are first SEMI-PRUNED to survivor
+    // endpoints (scan ⋈ broadcast ids — map-side, bytes stay in their
+    // scan tasks), then the bare pair side broadcasts into the first
+    // payload join — corpus bytes never move; every relation is
+    // survivor-bounded and AQE's byte-aware sizing finishes the second
+    // join. Large regime: SHUFFLE_HASH with the hash map built from the
+    // NARROW side (pairs for the first join, the single-payload side for
+    // the second) — never a sort-merge, which would SORT byte rows;
+    // payload bytes ride one exchange each, or none when the corpus
+    // commit is id-bucketed (TableIO.commitBucketed pre-partitions the
+    // scan on the join key).
+    def prune(p: DataFrame, side: String) =
+      if (pairsSmall)
+        p.join(broadcast(survivors.select(col(side)).dropDuplicates(side)),
+          Seq(side), "left_semi")
+      else p
+    val pa = prune(payload.select(
       col("id").as("a"), col("image_id").as("a_img"), col("bytes").as("bytes_a"),
-      col("fmt").as("fmt_a"), col("caption").as("cap_a"))
-    val pb = payload.select(
+      col("fmt").as("fmt_a"), col("caption").as("cap_a")), "a")
+    val pb = prune(payload.select(
       col("id").as("b"), col("image_id").as("b_img"), col("bytes").as("bytes_b"),
-      col("fmt").as("fmt_b"), col("caption").as("cap_b"))
-    survivors
+      col("fmt").as("fmt_b"), col("caption").as("cap_b")), "b")
+    val pairs0 =
+      if (pairsSmall) broadcast(survivors)
+      else survivors.hint("SHUFFLE_HASH")
+    pairs0
       .join(pa, "a")
-      .join(pb, "b")
+      .join(if (pairsSmall) pb else pb.hint("SHUFFLE_HASH"), "b")
       .withColumn(
         "psnr",
         // byte-equal short-circuit for ANY format: identical bytes decode

@@ -158,7 +158,8 @@ object StreamJob {
     val corpusTouched = IdHash.withId(corpusAll, "image_id", "id", repairs)
       .join(broadcast(survIds), Seq("id"), "left_semi")
       .drop("id")
-    val verifiedNew = Scoring.verify(survivors, corpusTouched, cfg, repairs)
+    val verifiedNew =
+      Scoring.verify(survivors, corpusTouched, cfg, repairs, survivors.count())
 
     // commits: index tables + verified pairs appended, clusters replaced,
     // corpus appended LAST (the batch's replay guard)

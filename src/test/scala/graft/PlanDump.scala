@@ -113,11 +113,27 @@ object PlanDump {
       Scoring.score(cand, sigsP, cfg, sigsP.count()))
 
     val surv = Scoring.filterAndTopK(Scoring.score(cand, sigsP, cfg, sigsP.count()), cfg)
-    dump("stage 5 — pixel verification",
+      .persist()
+    dump("stage 5 — pixel verification (bounded survivors: pair side broadcasts)",
       "Payload joins read ONLY (image_id, bytes, fmt, caption) — check " +
         "ReadSchema; w/h/phash are pruned. The PSNR UDF sits above the " +
-        "join, after the byte-equality short-circuit.",
-      Scoring.verify(surv, corpus, cfg))
+        "join, after the byte-equality short-circuit. Join discipline " +
+        "(inverse of stage 4's, because here the BYTES side must not " +
+        "move): each payload side is semi-pruned to survivor endpoints " +
+        "(BroadcastHashJoin LeftSemi directly over the scan — map-side, " +
+        "bytes stay in their scan tasks), then the bare pair side " +
+        "broadcasts. AQE left alone would broadcast the PAYLOAD side, " +
+        "shipping every pixel byte to every executor.",
+      Scoring.verify(surv, corpus, cfg, None, surv.count()))
+
+    dump("stage 5 — pixel verification (10^12 regime: SHUFFLE_HASH, no byte sorts)",
+      "Beyond the pair-broadcast bound the same code plans ShuffledHashJoin " +
+        "with the hash map built from the NARROW side — never sort-merge, " +
+        "which would SORT the byte rows. Payload bytes ride one exchange " +
+        "each; the exchange-free regime is the id-bucketed corpus commit " +
+        "(TableIO.commitBucketed), which pre-partitions the scan on the " +
+        "join key exactly like the bucketed-signature stage-4 dump below.",
+      Scoring.verify(surv, corpus, cfg, None, Long.MaxValue))
 
     dump("stage 3b — suffix-array span pass",
       "ONE exchange for the whole pass: winnow-fingerprint explode " +

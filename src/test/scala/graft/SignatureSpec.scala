@@ -124,6 +124,27 @@ class SignatureSpec extends SparkSpec {
       "fingerprint stage must not contain UDF boundaries:\n" + belowAgg)
   }
 
+  test("plan shape: verify join discipline — pairs broadcast when bounded, SHUFFLE_HASH beyond") {
+    val corpus = spark.read.parquet(parquetCorpusDir)
+    val survivors = Seq((1L, 2L, "lsh", 0, 1.0, 0))
+      .toDF("a", "b", "src", "span_len", "jaccard_sig", "hamming")
+    // bounded regime: payload sides are semi-pruned map-side (LeftSemi
+    // against broadcast survivor ids) and the bare pair side broadcasts —
+    // corpus bytes never leave their scan tasks
+    val small = Scoring.verify(survivors, corpus, cfg, None, survivorRows = 1L)
+      .queryExecution.executedPlan.toString
+    assert(small.contains("BroadcastHashJoin") && small.contains("LeftSemi"), small)
+    assert(!small.contains("SortMergeJoin"),
+      "bounded verify must not sort byte rows:\n" + small)
+    // unbounded regime: ShuffledHashJoin (build side = the narrow relation),
+    // never a sort-merge — SMJ would SORT the byte rows
+    val large = Scoring.verify(survivors, corpus, cfg, None, survivorRows = Long.MaxValue)
+      .queryExecution.executedPlan.toString
+    assert(large.contains("ShuffledHashJoin"), large)
+    assert(!large.contains("SortMergeJoin"),
+      "unbounded verify must not sort byte rows:\n" + large)
+  }
+
   test("plan shape: verify scan reads only the payload columns") {
     val corpus = spark.read.parquet(parquetCorpusDir)
     val survivors = Seq(("img00000000", "img00000001", "lsh", 0, 1.0, 0))

@@ -80,16 +80,25 @@ object Scoring {
     * PSNR ≥ 40 dB for lossy.
     *
     * Join discipline — the inverse of [[score]]'s, because here the BYTES
-    * side must not move: when the survivor count is known and bounded
-    * (≤ broadcastSigRows; pair rows are ~10× narrower than signature
-    * rows), the PAIR side broadcasts, so payload bytes never leave their
-    * scan tasks — AQE left to itself at sandbox scale broadcasts the
-    * (small) payload side instead, which ships every byte to every
-    * executor and inverts at scale. Beyond the bound, SHUFFLE_HASH built
-    * from the pair side: bytes do ride that exchange once — the
-    * exchange-free regime at 10¹² is the id-bucketed corpus commit
-    * (TableIO.commitBucketed), which makes the payload side
-    * pre-partitioned on the join key.
+    * side must not be the build side: when the survivor count is known
+    * and bounded (≤ broadcastSigRows; pair rows are ~10× narrower than
+    * signature rows), the PAIR side is PINNED as the broadcast side —
+    * payload bytes are filtered map-side at the probe, never ride the
+    * broadcast, and the pin holds even when the pair side reports no
+    * size statistics (a localCheckpointed stream micro-batch; the same
+    * stats gap that flipped the estimate-gate joins to sort-merge). AQE
+    * finishes the second join on runtime sizes; the byte volume it can
+    * sort or shuffle there is bounded by the regime's survivor bound. A
+    * semi-prune of the payload sides before the joins was measured 3×
+    * SLOWER here (its dedup shuffles + broadcast builds serialize ahead
+    * of the scan, and the broadcast inner probe already filters bytes
+    * map-side), and hinting the second join SHUFFLE_HASH was 2.7× slower
+    * (the hash map builds from byte rows; the sort it avoids is bounded).
+    * Beyond the bound, SHUFFLE_HASH everywhere, built from the pair /
+    * single-payload side: unbounded byte relations are never sorted,
+    * bytes ride one exchange each — or none when the corpus commit is
+    * id-bucketed (TableIO.commitBucketed pre-partitions the scan on the
+    * join key).
     */
   def verify(
       survivors: DataFrame,
@@ -103,28 +112,12 @@ object Scoring {
     // no extra mapping table is needed).
     val payload = IdHash.withId(corpus, "image_id", "id", repairs)
       .select(col("id"), col("image_id"), col("bytes"), col("fmt"), col("caption"))
-    // pairsSmall regime: payload sides are first SEMI-PRUNED to survivor
-    // endpoints (scan ⋈ broadcast ids — map-side, bytes stay in their
-    // scan tasks), then the bare pair side broadcasts into the first
-    // payload join — corpus bytes never move; every relation is
-    // survivor-bounded and AQE's byte-aware sizing finishes the second
-    // join. Large regime: SHUFFLE_HASH with the hash map built from the
-    // NARROW side (pairs for the first join, the single-payload side for
-    // the second) — never a sort-merge, which would SORT byte rows;
-    // payload bytes ride one exchange each, or none when the corpus
-    // commit is id-bucketed (TableIO.commitBucketed pre-partitions the
-    // scan on the join key).
-    def prune(p: DataFrame, side: String) =
-      if (pairsSmall)
-        p.join(broadcast(survivors.select(col(side)).dropDuplicates(side)),
-          Seq(side), "left_semi")
-      else p
-    val pa = prune(payload.select(
+    val pa = payload.select(
       col("id").as("a"), col("image_id").as("a_img"), col("bytes").as("bytes_a"),
-      col("fmt").as("fmt_a"), col("caption").as("cap_a")), "a")
-    val pb = prune(payload.select(
+      col("fmt").as("fmt_a"), col("caption").as("cap_a"))
+    val pb = payload.select(
       col("id").as("b"), col("image_id").as("b_img"), col("bytes").as("bytes_b"),
-      col("fmt").as("fmt_b"), col("caption").as("cap_b")), "b")
+      col("fmt").as("fmt_b"), col("caption").as("cap_b"))
     val pairs0 =
       if (pairsSmall) broadcast(survivors)
       else survivors.hint("SHUFFLE_HASH")

@@ -114,25 +114,32 @@ object PlanDump {
 
     val surv = Scoring.filterAndTopK(Scoring.score(cand, sigsP, cfg, sigsP.count()), cfg)
       .persist()
-    dump("stage 5 — pixel verification (bounded survivors: pair side broadcasts)",
+    dump("stage 5 — pixel verification (bounded survivors: pair side pinned broadcast)",
       "Payload joins read ONLY (image_id, bytes, fmt, caption) — check " +
         "ReadSchema; w/h/phash are pruned. The PSNR UDF sits above the " +
         "join, after the byte-equality short-circuit. Join discipline " +
-        "(inverse of stage 4's, because here the BYTES side must not " +
-        "move): each payload side is semi-pruned to survivor endpoints " +
-        "(BroadcastHashJoin LeftSemi directly over the scan — map-side, " +
-        "bytes stay in their scan tasks), then the bare pair side " +
-        "broadcasts. AQE left alone would broadcast the PAYLOAD side, " +
-        "shipping every pixel byte to every executor.",
+        "(inverse of stage 4's — the BYTES side must not be the build " +
+        "side): the pair side is PINNED broadcast, independent of size " +
+        "statistics (a checkpointed stream micro-batch reports none), so " +
+        "payload bytes are filtered at the probe, map-side; AQE finishes " +
+        "the second join on runtime sizes, with the byte volume it can " +
+        "sort there bounded by the regime's survivor bound. Two " +
+        "alternatives were measured SLOWER on the 34k bench corpus and " +
+        "rejected (VerifyProbe): semi-pruning the payload sides first " +
+        "(3× — its dedup shuffles + broadcast builds serialize ahead of " +
+        "the scan, and the broadcast probe already filters map-side) and " +
+        "hinting the second join SHUFFLE_HASH (2.7× — builds the hash " +
+        "map from byte rows to avoid a bounded sort).",
       Scoring.verify(surv, corpus, cfg, None, surv.count()))
 
     dump("stage 5 — pixel verification (10^12 regime: SHUFFLE_HASH, no byte sorts)",
       "Beyond the pair-broadcast bound the same code plans ShuffledHashJoin " +
-        "with the hash map built from the NARROW side — never sort-merge, " +
-        "which would SORT the byte rows. Payload bytes ride one exchange " +
-        "each; the exchange-free regime is the id-bucketed corpus commit " +
-        "(TableIO.commitBucketed), which pre-partitions the scan on the " +
-        "join key exactly like the bucketed-signature stage-4 dump below.",
+        "built from the pair / single-payload side — never sort-merge, " +
+        "which would SORT an UNBOUNDED byte relation. Payload bytes ride " +
+        "one exchange each; the exchange-free regime is the id-bucketed " +
+        "corpus commit (TableIO.commitBucketed), which pre-partitions the " +
+        "scan on the join key exactly like the bucketed-signature stage-4 " +
+        "dump below.",
       Scoring.verify(surv, corpus, cfg, None, Long.MaxValue))
 
     dump("stage 3b — suffix-array span pass",

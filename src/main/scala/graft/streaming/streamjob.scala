@@ -133,7 +133,11 @@ object StreamJob {
             spanScored -> 4)
         case _ => Seq.empty // first batch: no history
       }
-    val candidates = Pipeline.mergeCandidates(within ++ cross)
+    // ONE materialization of the candidate DAG (span kernel + cross-key
+    // joins — the batch's most expensive derivation): it feeds both the
+    // endpoint projection and the scoring join, which without the
+    // checkpoint re-executed the whole DAG each.
+    val candidates = Pipeline.mergeCandidates(within ++ cross).localCheckpoint()
 
     // Scoring/verify touch committed history ONLY through batch-bounded
     // pruned slices: candidate endpoints are batch-bounded (new-row
@@ -147,7 +151,7 @@ object StreamJob {
     // payload-pruning discipline).
     val endpointIds = candidates.select(col("a").as("id"))
       .unionByName(candidates.select(col("b").as("id")))
-      .dropDuplicates("id").localCheckpoint()
+      .dropDuplicates("id")
     val sigsTouched = sigsAll
       .join(broadcast(endpointIds), Seq("id"), "left_semi").localCheckpoint()
     val survivors = Scoring.filterAndTopK(
@@ -155,9 +159,15 @@ object StreamJob {
       .localCheckpoint() // consumed by the id projection AND verify
     val survIds = survivors.select(col("a").as("id"))
       .unionByName(survivors.select(col("b").as("id"))).dropDuplicates("id")
+    // checkpointed: verify builds BOTH payload sides from this slice, so
+    // without the checkpoint the committed-corpus byte scan (+ id
+    // projection + semi-join) executed twice per batch — and the
+    // checkpointed slice is survivor-bounded, so the verify joins run
+    // over batch-sized relations regardless of accumulated history.
     val corpusTouched = IdHash.withId(corpusAll, "image_id", "id", repairs)
       .join(broadcast(survIds), Seq("id"), "left_semi")
       .drop("id")
+      .localCheckpoint()
     val verifiedNew =
       Scoring.verify(survivors, corpusTouched, cfg, repairs, survivors.count())
 

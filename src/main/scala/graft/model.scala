@@ -92,6 +92,11 @@ final case class DedupConfig(
     //   exchange-free signature side. Sized to the cluster's shuffle
     //   parallelism in production (thousands); 32 matches the sandbox.
     broadcastSigRows: Long = 4000000L, // sigs ≤ this → broadcast scoring join
+    streamCompactEvery: Int = 8, // stream cluster sink: max delta snapshots
+    //   before the merge-on-read view is compacted into a full base
+    //   snapshot (Iceberg compaction cadence twin). Bounds both the
+    //   read-side delta chain and the amortized write cost:
+    //   O(corpus/K + churn) per batch instead of O(corpus).
     seed: Long = 42L
 ) {
   require(bands * rowsPerBand <= numPerms, "b*r must fit in numPerms")

@@ -42,12 +42,15 @@ import org.apache.spark.sql.streaming.Trigger
   * signature ids via a shuffle-free scan ⋈ broadcast semi-join — new
   * collisions necessarily involve a new row, because the committed id
   * space is already injective. Clustering is likewise incremental (see
-  * the CC block in [[processBatch]]); its one non-incremental residual
-  * is the clusters SINK — replaceTagged rewrites the full assignment
-  * table per batch because the parquet TableIO has no partition-level
-  * overwrite. On real Iceberg this is a MERGE INTO (or partition
-  * overwrite of the affected cluster_id partitions); the COMPUTE side
-  * is already bounded by the batch.
+  * the CC block in [[processBatch]]), and so is its SINK: per batch only
+  * the re-clustered rows are appended to a delta log
+  * ("cluster_deltas"), merged with the base assignment on read
+  * ([[liveClusters]]) and folded into a fresh base snapshot every
+  * `streamCompactEvery` batches and at end-of-stream
+  * ([[compactClusters]]) — the Iceberg MERGE INTO + compaction shape,
+  * expressed in the snapshot/manifest TableIO. Per-batch write cost is
+  * O(churn + corpus/compactEvery) instead of the O(corpus)
+  * full-assignment rewrite.
   */
 object StreamJob {
 
@@ -193,10 +196,11 @@ object StreamJob {
     // the committed assignment.
     val newEdges = io.loadTagged("verified", tag).get
       .where(col("is_dup")).select(col("a"), col("b"))
-    val clusters = io.load("clusters") match {
-      case None => // first batch: plain CC over the batch
-        ConnectedComponents.clusterHashed(
+    val clusters = liveClusters(io) match {
+      case None => // first batch: plain CC, committed as the base snapshot
+        val cc = ConnectedComponents.clusterHashed(
           newEdges, corpusAll.select(col("image_id")), repairs = repairs)
+        io.replaceTagged("clusters", cc, tag)
       case Some(ch) =>
         val endpoints = newEdges.select(col("a").as("image_id"))
           .union(newEdges.select(col("b").as("image_id"))).distinct()
@@ -209,14 +213,39 @@ object StreamJob {
         val starEdges = affRows.where(col("image_id") =!= col("cluster_id"))
           .select(col("image_id").as("a"), col("cluster_id").as("b"))
         val verts = affRows.select(col("image_id"))
-          .unionByName(newRows.select(col("image_id"))) // disjoint: replay guard
+          .unionByName(newRows.select(col("image_id")))
+          // replay hygiene: a crashed batch may have committed its cluster
+          // delta before the corpus append, so the batch's rows can already
+          // sit in affRows — dedup instead of assuming disjointness
+          .dropDuplicates("image_id")
         val sub = ConnectedComponents.clusterHashed(
           starEdges.unionByName(newEdges), verts, repairs = repairs)
-        ch.join(broadcast(affected), Seq("cluster_id"), "left_anti")
+        // MERGE-ON-READ cluster sink (Iceberg MERGE INTO / equality-delete
+        // twin): only the re-clustered rows are WRITTEN per batch — the
+        // full-assignment rewrite was the stream's one remaining
+        // O(corpus)-per-batch cost (every other per-batch computation is
+        // batch-bounded). Readers merge base + delta log via
+        // [[liveClusters]]; the log is folded into a fresh base snapshot
+        // every `streamCompactEvery` batches and at end-of-stream
+        // ([[compactClusters]]), so the at-rest table stays a complete
+        // assignment for external readers.
+        io.append("cluster_deltas",
+          sub.select(col("image_id"), col("cluster_id"))
+            .withColumn("delta_batch", lit(batchId)), tag)
+        val liveNow = ch
+          .join(broadcast(affected), Seq("cluster_id"), "left_anti")
+          // same replay window as `verts`: rows re-derived in `sub` must
+          // not ALSO survive on the history side (no-op in the normal
+          // path — new rows aren't committed yet)
+          .join(broadcast(newIds), Seq("image_id"), "left_anti")
           .select(col("image_id"), col("cluster_id"))
           .unionByName(sub.select(col("image_id"), col("cluster_id")))
+        if (io.appendChainLength("cluster_deltas") >= cfg.streamCompactEvery) {
+          io.replaceTagged("clusters", liveNow, tag)
+          io.resetStage("cluster_deltas")
+        }
+        liveNow
     }
-    io.replaceTagged("clusters", clusters, tag)
     io.append("corpus", newRows, tag)
 
     if (verbose) {
@@ -224,6 +253,41 @@ object StreamJob {
       println(s"""{"batch":$batchId,"new_rows":$nNew,"clusters":$nClusters,"run_id":"${io.runId}"}""")
     }
   }
+
+  /** Live cluster assignment = base snapshot merged with the delta log
+    * (Iceberg merge-on-read): delta keys win over base (anti-join), the
+    * newest delta wins per key. Both delta-side relations are bounded by
+    * churn since the last compaction (≤ `streamCompactEvery` batches of
+    * re-clustered rows), so they ride as broadcasts — the base assignment
+    * is never shuffled to read it.
+    */
+  private[graft] def liveClusters(io: TableIO): Option[DataFrame] =
+    io.load("clusters").map { base =>
+      io.load("cluster_deltas") match {
+        case None => base.select(col("image_id"), col("cluster_id"))
+        case Some(d) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("image_id")).orderBy(col("delta_batch").desc)
+          val lww = d.withColumn("rk", row_number().over(w))
+            .where(col("rk") === 1).select(col("image_id"), col("cluster_id"))
+          base
+            .join(broadcast(d.select(col("image_id")).dropDuplicates("image_id")),
+              Seq("image_id"), "left_anti")
+            .select(col("image_id"), col("cluster_id"))
+            .unionByName(lww)
+      }
+    }
+
+  /** Fold the cluster delta log into a full base snapshot (Iceberg table
+    * compaction). The tag derives from the newest delta batch, so a
+    * replayed compaction no-ops; the reset is manifest-level and atomic.
+    */
+  private[graft] def compactClusters(io: TableIO): Unit =
+    for (d <- io.load("cluster_deltas"); live <- liveClusters(io)) {
+      val maxBatch = d.agg(max(col("delta_batch"))).head.getLong(0)
+      io.replaceTagged("clusters", live, s"compact-b$maxBatch")
+      io.resetStage("cluster_deltas")
+    }
 
   /** New-vs-history pair generation for one routing-key family: the
     * committed side is first pruned to the keys this batch actually
@@ -276,6 +340,10 @@ object StreamJob {
       .trigger(Trigger.AvailableNow())
       .start()
       .awaitTermination()
+    // end-of-stream compaction: the at-rest `clusters` table is always the
+    // complete assignment, so external readers (duckdb over the snapshot
+    // dir, the batch CC resume path) need no merge-on-read logic
+    compactClusters(io)
   }
 
   /** `graft.StreamJob --input <parquet dir> --out <table dir>

@@ -75,6 +75,19 @@ trait TableIO {
     * committed rows" without scanning the accumulated table.
     */
   def loadTagged(stage: String, tag: String): Option[DataFrame]
+
+  /** Snapshot count of the live entry's append chain (1 = a single
+    * snapshot, no appends yet; 0 = stage never committed). The stream's
+    * compaction trigger reads this instead of counting rows.
+    */
+  def appendChainLength(stage: String): Int
+
+  /** Drop the stage's live view — load() returns None afterwards
+    * (manifest-level, atomic; snapshot files stay on disk for audit,
+    * matching [[rollback]]'s non-deleting contract). Used to clear a
+    * delta log once compaction has folded it into a base snapshot.
+    */
+  def resetStage(stage: String): Unit
   def runId: String
 }
 
@@ -254,6 +267,12 @@ final class ParquetTableIO(
     val committed = readManifest(stage).exists(_.split(';').contains(dir))
     if (committed) Some(spark.read.parquet(dir)) else None
   }
+
+  override def appendChainLength(stage: String): Int =
+    readManifest(stage).headOption.map(_.split(';').length).getOrElse(0)
+
+  override def resetStage(stage: String): Unit =
+    writeManifest(stage, Seq.empty)
 
   def metrics(): Option[DataFrame] = {
     val p = s"$root/_metrics/rows"

@@ -252,6 +252,42 @@ class StreamingSpec extends SparkSpec {
       "untouched committed cluster must keep its assignment")
   }
 
+  test("StreamJob merge-on-read cluster sink: delta log + compaction converge to the batch result") {
+    val corpus = Fixtures.corpus(spark, 50, seed = 11L).toDF().localCheckpoint()
+    val batchRef = Pipeline.run(corpus, DedupConfig())
+    val expected = clusterSet(batchRef.clusters)
+    batchRef.unpersist()
+
+    val out = java.nio.file.Files.createTempDirectory("sjc_out").toString
+    val cfg = DedupConfig(streamCompactEvery = 2) // force mid-stream compactions
+    val io = new ParquetTableIO(spark, out, "sjc", cfg.configHash)
+    val n = 5
+    (0 until n).foreach { b =>
+      val part = corpus.where(pmod(xxhash64(col("image_id")), lit(n)) === b)
+      StreamJob.processBatch(io, cfg, verbose = false)(part, b)
+      // the delta chain stays bounded by the compaction cadence at every
+      // point in the stream — the write cost the sink exists to bound
+      assert(io.appendChainLength("cluster_deltas") < cfg.streamCompactEvery,
+        s"delta chain must compact at $b")
+      // the merged view is correct mid-stream, deltas pending or not
+      val liveIds = StreamJob.liveClusters(io).get.select("image_id")
+      assert(liveIds.count() == liveIds.distinct().count(), s"dup assignment rows at $b")
+    }
+    assert(clusterSet(StreamJob.liveClusters(io).get) == expected)
+
+    // end-of-stream compaction folds any pending log: the at-rest table is
+    // the complete assignment, no merge logic needed by external readers
+    StreamJob.compactClusters(io)
+    assert(io.load("cluster_deltas").isEmpty, "compaction must clear the delta log")
+    assert(clusterSet(io.load("clusters").get) == expected)
+
+    // crash-replayed batch after compaction: corpus rows already committed
+    // → no-op, view unchanged
+    val replay = corpus.where(pmod(xxhash64(col("image_id")), lit(n)) === (n - 1))
+    StreamJob.processBatch(io, cfg, verbose = false)(replay, n - 1)
+    assert(clusterSet(StreamJob.liveClusters(io).get) == expected)
+  }
+
   test("StreamJob e2e: restart resumes from checkpoint and converges to the batch result") {
     val corpus = Fixtures.corpus(spark, 40, seed = 7L).toDF().localCheckpoint()
     val batchRef = Pipeline.run(corpus, DedupConfig())

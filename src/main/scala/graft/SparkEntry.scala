@@ -477,6 +477,57 @@ object SparkEntry {
   // ---- extra breadth: text analysis, dedup family, ANN, multimodal ----
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T19: deterministic train/val/test split. Content-keyed (mix64 of the
+    // id), NOT row-position-keyed: the assignment survives repartitioning,
+    // re-ingestion, and cluster-size changes — the property a 100 TB
+    // held-out split actually needs — and runs as one codegen projection
+    // (no shuffle, no sort; the orderBy is driver-output canonicalization).
+    "q_hash_split" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "documents")
+        .withColumn("bucket",
+          pmod(graft.functions.GraftFunctions.mix64Col(col("doc_id")), lit(10L)))
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val").otherwise("test"))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // T20: per-group deterministic sample (crawl-curation "cap K docs per
+    // domain"). Hash-ordered rank, so the kept set is reproducible across
+    // runs and independent of input order; ONE shuffle on the group key
+    // (the window), rank filter map-side after it. mix64 is injective on
+    // i64, so the hash order has no ties to break nondeterministically.
+    "q_group_sample" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("h", graft.functions.GraftFunctions.mix64Col(col("doc_id")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy("source", "rk")
+    }),
+
+    // A9: exact grouped percentiles (continuous interpolation). Exact, not
+    // approx_percentile: the sketch's merge order is nondeterministic
+    // across engines, while the exact definition (index p·(n−1), linear
+    // interpolation) is shared with DuckDB's quantile_cont — double-cast
+    // inputs + round(4) at the output boundary per the driver contract.
+    "q_percentiles" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(cast(l_quantity as double), 0.25)"), 4).as("p25"),
+          round(expr("percentile(cast(l_quantity as double), 0.5)"), 4).as("p50"),
+          round(expr("percentile(cast(l_quantity as double), 0.75)"), 4).as("p75"),
+          round(expr("percentile(cast(l_extendedprice as double), 0.9)"), 4).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // P9: edit distance
     "q_levenshtein" -> ((s, d) => {
       t(s, d, "documents")
@@ -1124,6 +1175,44 @@ object SparkEntry {
   }
 
   private def extraOracles: Map[String, String] = Map(
+    // T19: the oracle recomputes mix64(doc_id) via the HUGEINT SQL twin,
+    // converts to SIGNED i64 (Spark's Long), and applies the same pmod —
+    // the split assignment itself is value-checked, not just its shape.
+    "q_hash_split" ->
+      s"""WITH src AS (SELECT doc_id, doc_id::HUGEINT AS zc0 FROM documents),
+         ${mix64Ctes("src", "sp")},
+         sb AS (SELECT doc_id,
+           ((CASE WHEN h >= 9223372036854775808::HUGEINT
+              THEN h - $Mod64::HUGEINT ELSE h END) % 10 + 10) % 10 AS bucket
+          FROM sp5)
+         SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+         FROM sb ORDER BY doc_id""",
+    // T20: same signed-mix64 twin, ranked per group in SQL — checks hash
+    // values, the per-group order, AND the cap cut, end-to-end.
+    "q_group_sample" ->
+      s"""WITH src AS (SELECT doc_id, source, doc_id::HUGEINT AS zc0 FROM documents),
+         ${mix64Ctes("src", "gs").replace("SELECT doc_id,", "SELECT doc_id, source,")},
+         sg AS (SELECT doc_id, source,
+           CASE WHEN h >= 9223372036854775808::HUGEINT
+             THEN h - $Mod64::HUGEINT ELSE h END AS hs
+          FROM gs5),
+         rk AS (SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY hs, doc_id) AS rk
+          FROM sg)
+         SELECT source, rk, doc_id FROM rk WHERE rk <= 5 ORDER BY source, rk""",
+    // A9: exact continuous-interpolation quantiles — Spark `percentile`
+    // and DuckDB `quantile_cont` share the definition (index p·(n−1),
+    // linear interpolation); double-cast + round(4) bound FP divergence.
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS p25,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS p50,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 4) AS p75,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90_price,
+           count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_doc_fingerprints" ->
       s"""WITH hs AS (
            SELECT doc_id, i, ${polyHashSqlExpr} AS h, length(text) - 7 AS ngrams

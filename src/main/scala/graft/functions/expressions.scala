@@ -113,6 +113,28 @@ case class WinnowExpr(child: Expression, k: Int, minSpan: Int)
     copy(child = newChild)
 }
 
+/** 64-bit splitmix64 finalizer over a long — the engine's id-space mixer
+  * ([[graft.Hashing.mix64]]) exposed as a column. Powers the deterministic
+  * sampling/split family (SURVEY.md §2.11 T19/T20): reproducible
+  * train/val/test assignment and per-group caps must hash the CONTENT KEY,
+  * not row position, or the split changes under repartitioning — and the
+  * same kernel has a byte-exact DuckDB SQL twin (mix64Ctes), so the split
+  * is oracle-checkable end-to-end.
+  */
+case class Mix64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_mix64"
+
+  override def nullSafeEval(input: Any): Any =
+    Hashing.mix64(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Hashing.mix64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Mix64Expr =
+    copy(child = newChild)
+}
+
 object SimHashExpr {
   /** whitespace-token 64-bit hashes of a normalized caption. */
   def tokenHashes(s: String): Array[Long] = {
@@ -153,6 +175,10 @@ object GraftFunctions {
       "graft_winnow",
       es => WinnowExpr(es.head, litInt(es(1)), litInt(es(2))),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_mix64",
+      es => Mix64Expr(es.head),
+      "built-in")
   }
 
   private def litInt(e: Expression): Int = e.eval() match {
@@ -169,4 +195,6 @@ object GraftFunctions {
     call_function("graft_simhash", normCaption, phash, lit(phashWeight))
   def winnowCol(normCaption: Column, k: Int, minSpan: Int): Column =
     call_function("graft_winnow", normCaption, lit(k), lit(minSpan))
+  def mix64Col(id: Column): Column =
+    call_function("graft_mix64", id)
 }

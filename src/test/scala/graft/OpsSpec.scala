@@ -258,4 +258,50 @@ class OpsSpec extends SparkSpec {
     val dist = math.sqrt(lo.zip(hi).map { case (x, y) => (x - y) * (x - y) }.sum)
     assert(dist > 1.0, s"MFCC distance $dist too small between 300 Hz and 2.5 kHz")
   }
+
+  test("mix64Col: matches the scala kernel and stays in whole-stage codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    val ids = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue)
+    val got = ids.toDF("id")
+      .select(graft.functions.GraftFunctions.mix64Col(col("id")).as("h"))
+      .as[Long].collect()
+    assert(got.sameElements(ids.map(Hashing.mix64)))
+    // a local Seq folds to LocalTableScan before codegen; range() doesn't
+    val plan = spark.range(100)
+      .select(graft.functions.GraftFunctions.mix64Col(col("id")))
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"), plan)
+  }
+
+  test("hash split: assignment is invariant under partitioning and input order") {
+    graft.functions.GraftFunctions.register(spark)
+    def split(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("bucket",
+        pmod(graft.functions.GraftFunctions.mix64Col(col("id")), lit(10L)))
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    val base = (0L until 1000L).toDF("id")
+    val a = split(base)
+    val b = split(base.repartition(17).sortWithinPartitions(col("id").desc))
+    assert(a == b, "split must be a pure function of the content key")
+    // 8/1/1 target: each bucket is ~uniform under mix64 (loose bound)
+    val counts = a.values.groupBy(identity).view.mapValues(_.size)
+    assert((0L until 10L).forall(k => counts.getOrElse(k, 0) > 50),
+      s"badly skewed buckets: $counts")
+  }
+
+  test("group sample: per-group cap holds and the kept set ignores input order") {
+    graft.functions.GraftFunctions.register(spark)
+    def sample(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("h"), col("id"))
+      df.withColumn("h", graft.functions.GraftFunctions.mix64Col(col("id")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("g", "id").as[(Long, Long)].collect().toSet
+    }
+    val base = (0L until 400L).map(i => (i % 20, i)).toDF("g", "id")
+    val kept = sample(base)
+    assert(kept.size == 60, s"20 groups x cap 3, got ${kept.size}")
+    assert(kept == sample(base.repartition(13).sortWithinPartitions(col("id").desc)))
+  }
 }

@@ -511,6 +511,36 @@ object SparkEntry {
         .orderBy("source", "rk")
     }),
 
+    // T21: repetition/duplication quality signals (the Gopher/RefinedWeb
+    // filter family): duplicate n-gram fractions + top-token concentration
+    // per doc. n-gram fractions are row-local HOFs (no shuffle); the
+    // max-term-frequency goes through explode → two hash-aggs, NOT an
+    // O(distinct·n) per-row filter scan — the per-row form degrades
+    // quadratically on 100 KB docs while the agg form is linear with
+    // map-side partial combine.
+    "q_doc_repetition" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("g2", when(size(col("toks")) >= 2,
+          expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+        .withColumn("g3", when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+      def dupFrac(g: Column): Column = when(size(g) === 0, lit(0.0))
+        .otherwise(round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 4))
+      val maxTf = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("max_tf"))
+      docs.join(maxTf, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          dupFrac(col("g2")).as("frac_dup_2grams"),
+          dupFrac(col("g3")).as("frac_dup_3grams"),
+          round(col("max_tf").cast("double") / col("n_tokens"), 4).as("top_token_frac"))
+        .orderBy("doc_id")
+    }),
+
     // A9: exact grouped percentiles (continuous interpolation). Exact, not
     // approx_percentile: the sketch's merge order is nondeterministic
     // across engines, while the exact definition (index p·(n−1), linear
@@ -1202,6 +1232,35 @@ object SparkEntry {
            row_number() OVER (PARTITION BY source ORDER BY hs, doc_id) AS rk
           FROM sg)
          SELECT source, rk, doc_id FROM rk WHERE rk <= 5 ORDER BY source, rk""",
+    // T21: same tokenization twin as q_token_counts (regexp_split_to_array
+    // == Spark split on \s+); DuckDB lists are 1-indexed and its
+    // generate_series(1,0) is empty, so no short-doc guard is needed on
+    // the n-gram builders there.
+    "q_doc_repetition" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         gg AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             list_transform(generate_series(1, len(toks)-1),
+               i -> toks[i] || ' ' || toks[i+1]) AS g2,
+             list_transform(generate_series(1, len(toks)-2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3,
+             toks
+           FROM tk),
+         mx AS (
+           SELECT doc_id, max(c) AS max_tf FROM (
+             SELECT doc_id, tok, count(*) AS c
+             FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY 1, 2)
+           GROUP BY 1)
+         SELECT g.doc_id AS doc_id, g.n_tokens AS n_tokens,
+           CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4) END AS frac_dup_2grams,
+           CASE WHEN len(g3) = 0 THEN 0.0
+             ELSE round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4) END AS frac_dup_3grams,
+           round(CAST(mx.max_tf AS DOUBLE) / g.n_tokens, 4) AS top_token_frac
+         FROM gg g JOIN mx ON g.doc_id = mx.doc_id
+         ORDER BY doc_id""",
     // A9: exact continuous-interpolation quantiles — Spark `percentile`
     // and DuckDB `quantile_cont` share the definition (index p·(n−1),
     // linear interpolation); double-cast + round(4) bound FP divergence.

@@ -260,6 +260,31 @@ object PlanDump {
           .join(broadcast(newHashes.select(col("h"))), Seq("h"), "left_semi"))
     }
 
+    {
+      // round 3: deterministic split/sample family (T19/T20)
+      graft.functions.GraftFunctions.register(spark)
+      val docs = spark.range(0, 1000).select(col("id").as("doc_id"),
+        pmod(col("id"), lit(20)).cast("string").as("source"))
+      dump("T19 — deterministic hash split (content-keyed train/val/test)",
+        "A pure codegen projection over the scan — NO Exchange, no sort: " +
+          "the assignment is a function of mix64(doc_id) alone, so it is " +
+          "identical under any partitioning/ingestion order and costs one " +
+          "pass at any corpus size.",
+        docs.withColumn("bucket",
+          pmod(graft.functions.GraftFunctions.mix64Col(col("doc_id")), lit(10L)))
+          .withColumn("split", when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val").otherwise("test")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      dump("T20 — per-group deterministic cap-K sample",
+        "ONE Exchange on the group key feeding the rank window; the rk " +
+          "filter sits directly above row_number so WindowGroupLimit " +
+          "prunes each group to K rows BEFORE the sort materializes a " +
+          "full per-group ordering.",
+        docs.withColumn("h", graft.functions.GraftFunctions.mix64Col(col("doc_id")))
+          .withColumn("rk", row_number().over(w)).where(col("rk") <= 5))
+    }
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${sb.length} chars)")
     spark.stop()

@@ -477,6 +477,59 @@ object SparkEntry {
   // ---- extra breadth: text analysis, dedup family, ANN, multimodal ----
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T22: SemDeDup semantic dedup, exact configuration (nList=1 ⇒ one
+    // cell ⇒ every pair compared ⇒ SQL-expressible), on the same bounded
+    // slice + τ as q_emb_near_dup. The scale regime is
+    // q_semantic_dedup_clustered below; SemDedupSpec proves the clustered
+    // prune set is a no-false-prune subset of this exact one.
+    "q_semantic_dedup" -> ((s, d) => {
+      val e = t(s, d, "embeddings").where(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SemDedup.prune(e, tau = 0.35, nList = 1)
+        .select(col("id").as("vec_id"), col("dup_of"), col("keep"))
+        .orderBy("vec_id")
+    }),
+
+    // T22 scale regime: k-means cells bound pair work to O(Σ|cell|²);
+    // rows-only by nature (cross-cell pairs are misses, like q_ann_lsh /
+    // q_ann_ivf approximate regimes) — the exact twin above is the oracle
+    // for the machinery, SemDedupSpec pins subset/planted-twin recall.
+    "q_semantic_dedup_clustered" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SemDedup.prune(e, tau = 0.35, nList = 8)
+        .select(col("id").as("vec_id"), col("dup_of"), col("keep"))
+        .orderBy("vec_id")
+    }),
+
+    // T23: per-doc top TF-IDF terms (training-data curation: surface the
+    // terms that characterize a document against the corpus). Tokenization
+    // shared verbatim with q_doc_repetition's twin (\s+ split of trimmed
+    // text). Plan: explode → (doc,term) hash-agg → term hash-agg for df
+    // (both with map-side partial combine) → join on term (vocab-sized
+    // side, AQE picks broadcast when it fits — at web scale it shuffles
+    // on term, which is the right co-location) → per-doc window. Ranking
+    // uses the ROUNDED score + term tiebreak so rank order is
+    // FP-divergence-proof across engines.
+    "q_tfidf_top_terms" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.select(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + lit(1.0)), 4))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("tfidf"))
+        .orderBy("doc_id", "rk")
+    }),
+
     // T19: deterministic train/val/test split. Content-keyed (mix64 of the
     // id), NOT row-position-keyed: the assignment survives repartitioning,
     // re-ingestion, and cluster-size changes — the property a 100 TB
@@ -1205,6 +1258,44 @@ object SparkEntry {
   }
 
   private def extraOracles: Map[String, String] = Map(
+    // T22 exact configuration: the oracle recomputes every pair cosine
+    // with the same FP sequence (double dot / product of root self-dots,
+    // rounded to 4) and the same prune rule (min lower-id neighbor ≥ τ).
+    "q_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+         p AS (
+           SELECT e1.vec_id AS i, min(e2.vec_id) AS dup_of
+           FROM e e1 JOIN e e2 ON e2.vec_id < e1.vec_id
+           WHERE round(list_dot_product(e1.embedding, e2.embedding) /
+             (sqrt(list_dot_product(e1.embedding, e1.embedding)) *
+              sqrt(list_dot_product(e2.embedding, e2.embedding))), 4) >= 0.35
+           GROUP BY 1)
+         SELECT e.vec_id AS vec_id, p.dup_of AS dup_of,
+           CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS keep
+         FROM e LEFT JOIN p ON e.vec_id = p.i
+         ORDER BY vec_id""",
+
+    // T23: same \s+ tokenization twin as q_doc_repetition; idf is the
+    // smoothed ln((N+1)/(df+1))+1; rank on the ROUNDED score with a term
+    // tiebreak, mirroring the Spark window exactly.
+    "q_tfidf_top_terms" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (
+           SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df.df + 1)) + 1.0), 4) AS tfidf
+           FROM tf JOIN df ON tf.term = df.term, nd),
+         rk AS (
+           SELECT doc_id, term, tf, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+           FROM sc)
+         SELECT doc_id, rk, term, tf, tfidf FROM rk
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
+
     // T19: the oracle recomputes mix64(doc_id) via the HUGEINT SQL twin,
     // converts to SIGNED i64 (Spark's Long), and applies the same pmod —
     // the split assignment itself is value-checked, not just its shape.

@@ -55,7 +55,7 @@ object Ivf {
     math.max(16, math.min(65536, needed)).toInt
   }
 
-  private def normalize(v: Array[Double]): Array[Double] = {
+  private[graft] def normalize(v: Array[Double]): Array[Double] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
     val inv = if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
@@ -165,7 +165,7 @@ object Ivf {
     * would make training non-deterministic (FP addition is not
     * associative) and break resume/oracle stability.
     */
-  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+  private[graft] def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "k-means needs at least one sample vector")
     var centroids =
       if (sample.length >= k) sample.take(k).map(_.clone())

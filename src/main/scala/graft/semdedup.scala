@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication over an embedding column
+  * (Abbas, Tirumala, Simig, Ganguli, Morcos, "SemDeDup: Data-efficient
+  * learning at web-scale through semantic deduplication",
+  * arXiv:2303.09540): partition the embedding space with the spherical
+  * k-means quantizer from [[Ivf]], then within each cell prune every
+  * vector whose cosine to a LOWER-id cell-mate reaches `tau`. The rule is
+  * deterministic and order-free — prune i iff ∃ j < i in i's cell with
+  * round(cos(i,j), 4) ≥ tau; `dup_of` records the MINIMUM such j — so the
+  * survivor set is a pure function of the input, independent of partition
+  * layout and scheduling.
+  *
+  * Two regimes share one code path:
+  *  - `nList = 1` is the provably-EXACT configuration: one cell means
+  *    every pair is compared, so the output is SQL-expressible and
+  *    DuckDB-oracled end-to-end (q_semantic_dedup). Pair volume is
+  *    O(n²) — callers bound the slice, exactly like q_emb_near_dup.
+  *  - `nList > 1` (or 0 → derived from the corpus count, ~1k vectors per
+  *    cell) is the scale regime: pair work drops from O(n²) to
+  *    O(Σ |cell|²) ≈ O(n · targetCell), and hot cells are capped at
+  *    `cellCap` through the same bounded-min-ids aggregation as the ANN
+  *    paths (drops censused, never silent). Clustered pruning can only
+  *    MISS relative to the exact rule, never false-prune: a capped-out or
+  *    cross-cell vector appears on neither side of the pair join, so
+  *    every emitted (i, dup_of) pair still satisfies the cosine
+  *    predicate (asserted in SemDedupSpec against brute force).
+  *
+  * Cosine uses the same FP sequence as q_emb_near_dup's oracle —
+  * Σ(aᵢ·bᵢ) / (√Σaᵢ² · √Σbᵢ²) on double-cast elements, rounded to 4 —
+  * with per-side norms computed ONCE in the row projection, so a pair
+  * costs one dot product instead of three.
+  *
+  * Like [[Ivf.ivfTopK]], the clustered regime scans `emb` more than once
+  * (count when nList=0, the training sample, keys + vectors projections):
+  * callers with an expensive upstream plan should persist; parquet-backed
+  * tables get pruned columnar re-reads.
+  */
+object SemDedup {
+
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Semantic-dedup verdict per input row: (id, dup_of, keep).
+    * `keep` is int 1/0 (not boolean) so the verdict can partition a
+    * commit — boolean partition columns read back as strings — and
+    * hash-compare stably across engines.
+    *
+    * @param emb    (id: long, vec: array&lt;float&gt;)
+    * @param tau    cosine threshold on the ROUNDED (4 dp) score
+    * @param nList  1 = exact all-pairs; 0 = derive from corpus count;
+    *               else explicit cell count
+    */
+  def prune(
+      emb: DataFrame,
+      tau: Double,
+      nList: Int = 0,
+      iters: Int = 8,
+      seed: Long = 42L,
+      cellCap: Int = 65536,
+      census: Option[Observation] = None,
+      corpusCount: Long = -1L): DataFrame = {
+    val lists =
+      if (nList > 0) nList
+      else Ivf.deriveNList(if (corpusCount >= 0) corpusCount else emb.count())
+
+    val withNorm = emb.select(col("id"), col("vec"),
+      sqrt(dot(col("vec"), col("vec"))).as("nrm"))
+
+    // shared pair → verdict tail: score, threshold on the rounded value,
+    // min earlier neighbor per pruned id — one hash aggregation
+    def dupOf(pairs: DataFrame): DataFrame =
+      pairs
+        .withColumn("cos",
+          round(dot(col("vi"), col("vj")) / (col("ni") * col("nj")), 4))
+        .where(col("cos") >= tau)
+        .groupBy(col("i")).agg(min(col("j")).as("dup_of"))
+
+    val dup: DataFrame =
+      if (lists <= 1) {
+        // exact configuration — bounded-slice semantics, broadcast the
+        // lower-id side rather than shuffling on a constant cell key
+        val l = withNorm.select(
+          col("id").as("i"), col("vec").as("vi"), col("nrm").as("ni"))
+        val r = withNorm.select(
+          col("id").as("j"), col("vec").as("vj"), col("nrm").as("nj"))
+        dupOf(l.join(broadcast(r), col("j") < col("i")))
+      } else {
+        val n = math.min(262144, math.max(32768, 8 * lists))
+        val sample = Ivf.sampleVectors(emb, n, seed)
+        val cb: Ivf.Codebook =
+          if (lists <= 4096) Ivf.FlatCodebook(Ivf.lloyd(sample, lists, iters))
+          else Ivf.trainTwoLevel(sample, lists, iters)
+        val bc = emb.sparkSession.sparkContext.broadcast(cb)
+        val cellU = udf((v: Seq[Float]) =>
+          bc.value.cellOf(Ivf.normalize(v.map(_.toDouble).toArray)))
+        // keys/vecs split as in Ann.capKeyed: only (cell, id) rides the
+        // bounding aggregation's shuffle; vectors move once, via the id
+        // join. The struct payload passes through capKeyed untouched.
+        val keys = emb.select(cellU(col("vec")).as("gkey"), col("id"))
+        val vecs = withNorm.select(
+          col("id"), struct(col("vec"), col("nrm")).as("vecn"))
+        val cells = Ann.capKeyed(keys, vecs, cellCap, census, "max_cell")
+        val l = cells.select(col("gkey"), col("id").as("i"),
+          col("vecn.vec").as("vi"), col("vecn.nrm").as("ni"))
+        val r = cells.select(col("gkey"), col("id").as("j"),
+          col("vecn.vec").as("vj"), col("vecn.nrm").as("nj"))
+        dupOf(l.join(r, Seq("gkey")).where(col("j") < col("i")))
+      }
+
+    // verdict join: dup holds only pruned ids (≤ n rows, usually ≪),
+    // AQE picks broadcast when it is small; ids-only on the left side
+    emb.select(col("id"))
+      .join(dup, col("id") === col("i"), "left")
+      .select(col("id"), col("dup_of"),
+        when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
+  }
+}

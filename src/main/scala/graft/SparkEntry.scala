@@ -530,6 +530,55 @@ object SparkEntry {
         .orderBy("doc_id", "rk")
     }),
 
+    // T24: sequence packing (the standard concat-and-chunk assignment an
+    // LLM training pipeline runs before writing shards): docs ordered by
+    // content hash inside a hash shard, packed into fixed token budgets;
+    // pack_id/offset are pure arithmetic over the running token count, so
+    // the layout is deterministic and input-order-independent. ONE
+    // shuffle (the shard window); shards pack independently, which is
+    // exactly how 100 TB packs in parallel — the budget cumsum never
+    // crosses shard boundaries.
+    "q_seq_packing" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val budget = 256L
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+        .withColumn("h", graft.functions.GraftFunctions.mix64Col(col("doc_id")))
+        .withColumn("shard", pmod(col("h"), lit(4L)))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("pack_id", floor(col("cum_before") / budget))
+        .withColumn("pack_offset", col("cum_before") % budget)
+        .select(col("doc_id"), col("shard"), col("pack_id"),
+          col("pack_offset"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // T25: deterministic quality-weighted sample (Efraimidis–Spirakis,
+    // IPL 2006: top-k by u^(1/w), ranked here in log form ln(u)/w). The
+    // uniform u comes from the TOP 32 BITS of mix64(doc_id) plus ½, over
+    // 2³², so u is exactly representable and bit-identical across engines
+    // (no 64-bit-to-double rounding ambiguity); weight = doc length.
+    // orderBy+limit physicalizes as TakeOrderedAndProject — per-partition
+    // top-k then a k-row driver merge, the correct 100 TB shape (rk is
+    // stamped after the limit, a 50-row window).
+    "q_weighted_sample" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, d, "documents")
+        .withColumn("h", graft.functions.GraftFunctions.mix64Col(col("doc_id")))
+        .withColumn("u",
+          (shiftrightunsigned(col("h"), 32).cast("double") + lit(0.5)) /
+            lit(4294967296.0))
+        .withColumn("es_key",
+          round(log(col("u")) / greatest(col("n_chars"), lit(1L)).cast("double"), 9))
+      docs.orderBy(col("es_key").desc, col("doc_id")).limit(50)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("es_key").desc, col("doc_id"))))
+        .select(col("rk"), col("doc_id"), col("n_chars"), col("es_key"))
+        .orderBy("rk")
+    }),
+
     // T19: deterministic train/val/test split. Content-keyed (mix64 of the
     // id), NOT row-position-keyed: the assignment survives repartitioning,
     // re-ingestion, and cluster-size changes — the property a 100 TB
@@ -1295,6 +1344,43 @@ object SparkEntry {
            FROM sc)
          SELECT doc_id, rk, term, tf, tfidf FROM rk
          WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    // T24: the oracle recomputes the hash (HUGEINT mix64 twin), the
+    // signed shard pmod, the shard-windowed running token count, and the
+    // budget arithmetic — the pack layout itself is value-checked.
+    "q_seq_packing" ->
+      s"""WITH src AS (SELECT doc_id, doc_id::HUGEINT AS zc0 FROM documents),
+         ${mix64Ctes("src", "pk")},
+         hs AS (SELECT doc_id,
+           CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+             THEN h - $Mod64::HUGEINT ELSE h END AS BIGINT) AS h
+          FROM pk5),
+         tk AS (SELECT d.doc_id, hs.h, ((hs.h % 4 + 4) % 4) AS shard,
+           CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
+          FROM documents d JOIN hs ON d.doc_id = hs.doc_id),
+         cm AS (SELECT doc_id, shard, n_tokens,
+           COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM tk)
+         SELECT doc_id, shard,
+           CAST(floor(cum_before / 256.0) AS BIGINT) AS pack_id,
+           CAST(cum_before % 256 AS BIGINT) AS pack_offset, n_tokens
+         FROM cm ORDER BY doc_id""",
+
+    // T25: u is reconstructed from the UNSIGNED hash's top 32 bits
+    // (integer division, no sign conversion), so both engines score
+    // ln(u)/w from bit-identical inputs; rank on the rounded key + doc_id
+    // tiebreak mirrors the Spark TakeOrderedAndProject exactly.
+    "q_weighted_sample" ->
+      s"""WITH src AS (SELECT doc_id, doc_id::HUGEINT AS zc0 FROM documents),
+         ${mix64Ctes("src", "ws")},
+         es AS (SELECT d.doc_id, d.n_chars,
+           round(ln((CAST(h // 4294967296 AS DOUBLE) + 0.5) / 4294967296.0) /
+             CAST(greatest(d.n_chars, 1) AS DOUBLE), 9) AS es_key
+          FROM documents d JOIN ws5 ON d.doc_id = ws5.doc_id)
+         SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INT) AS rk,
+           doc_id, n_chars, es_key
+         FROM es ORDER BY es_key DESC, doc_id LIMIT 50""",
 
     // T19: the oracle recomputes mix64(doc_id) via the HUGEINT SQL twin,
     // converts to SIGNED i64 (Spark's Long), and applies the same pmod —

@@ -285,6 +285,69 @@ object PlanDump {
           .withColumn("rk", row_number().over(w)).where(col("rk") <= 5))
     }
 
+    {
+      // round 3: curation family (T22 semantic dedup, T23 tf-idf,
+      // T24 packing, T25 weighted sample)
+      graft.functions.GraftFunctions.register(spark)
+      val emb = spark.range(0, 400).select(col("id"),
+        expr("transform(sequence(0, 11), i -> cast(pmod(id * (i + 7), 97) / 97.0 as float))")
+          .as("vec"))
+      dump("T22 — semantic dedup, clustered regime (SemDedup.prune nList>1)",
+        "Only (cell, id) rides the bounding aggregation's Exchange — the " +
+          "vectors join back by id and move ONCE. The pair join is a " +
+          "same-cell equi-join (never a cartesian), the verdict is one " +
+          "hash-agg min plus a left join; pair work is O(Σ|cell|²) with " +
+          "capped, censused cells.",
+        SemDedup.prune(emb, tau = 0.6, nList = 4))
+      val tdocs = spark.range(0, 500).select(col("id").as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(0, cast(pmod(id, 30) as int) + 5), " +
+          "j -> concat('w', pmod(id * j, 50))))").as("text"))
+        .withColumn("n_chars", length(col("text")))
+      val tf = tdocs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df2 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val wTf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      dump("T23 — per-doc top TF-IDF terms",
+        "Two partial-combining HashAggregates (doc×term tf, then term df " +
+          "— NO sort-based aggregation), a term-keyed join for idf, and a " +
+          "per-doc rank window with the rk filter directly above " +
+          "row_number so WindowGroupLimit cuts to top-3 per doc before a " +
+          "full per-doc sort.",
+        tf.join(df2, "term")
+          .crossJoin(broadcast(tdocs.select(count(lit(1)).as("n_docs"))))
+          .withColumn("tfidf", round(col("tf") *
+            (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + lit(1.0)), 4))
+          .withColumn("rk", row_number().over(wTf))
+          .where(col("rk") <= 3))
+      val wPk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      dump("T24 — sequence packing (concat-and-chunk layout)",
+        "ONE Exchange (the shard window); every pack/offset column is " +
+          "codegen arithmetic over the running token count. Shards are " +
+          "independent, so 100 TB packs in parallel with no global sort.",
+        tdocs
+          .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+          .withColumn("h", graft.functions.GraftFunctions.mix64Col(col("doc_id")))
+          .withColumn("shard", pmod(col("h"), lit(4L)))
+          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(wPk), lit(0L)))
+          .withColumn("pack_id", floor(col("cum_before") / 256L)))
+      dump("T25 — weighted deterministic sample (Efraimidis–Spirakis top-k)",
+        "MUST physicalize as TakeOrderedAndProject — per-partition top-k " +
+          "and a k-row driver merge, never a global Sort/Window over the " +
+          "corpus. The score is a codegen projection off the content hash.",
+        tdocs
+          .withColumn("h", graft.functions.GraftFunctions.mix64Col(col("doc_id")))
+          .withColumn("u",
+            (shiftrightunsigned(col("h"), 32).cast("double") + lit(0.5)) /
+              lit(4294967296.0))
+          .withColumn("es_key",
+            round(log(col("u")) / greatest(col("n_chars"), lit(1L)).cast("double"), 9))
+          .orderBy(col("es_key").desc, col("doc_id")).limit(50))
+    }
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${sb.length} chars)")
     spark.stop()

@@ -579,6 +579,35 @@ object SparkEntry {
         .orderBy("rk")
     }),
 
+    // T26: train/eval decontamination (the GPT-3-appendix protocol: flag
+    // training docs sharing a long n-gram with a held-out doc). The split
+    // is T19's content-keyed buckets (train <8, eval ≥8); grams are the
+    // engine's char-24-gram FNV+mix64 shingle hashes — the join runs on
+    // i64 hashes, never strings, which is the 100 TB shape. Grams in >64
+    // docs are dropped first: boilerplate signals nothing AND is exactly
+    // the hot key that skews the gram join at scale (published practice
+    // drops overly-common n-grams for the same reason).
+    "q_decontamination" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val grams = t(s, d, "documents")
+        .withColumn("bucket",
+          pmod(graft.functions.GraftFunctions.mix64Col(col("doc_id")), lit(10L)))
+        .withColumn("norm", Text.normalizeCol(col("text")))
+        .select(col("doc_id"), col("bucket"),
+          explode(array_distinct(
+            graft.functions.GraftFunctions.shinglesCol(col("norm"), 24))).as("h"))
+      val common = grams.groupBy("h").agg(count(lit(1)).as("nd"))
+        .where(col("nd") > 64).select("h")
+      val kept = grams.join(common, Seq("h"), "left_anti")
+      val train = kept.where(col("bucket") < 8)
+        .select(col("h"), col("doc_id").as("train_doc"))
+      val eval_ = kept.where(col("bucket") >= 8)
+        .select(col("h"), col("doc_id").as("eval_doc"))
+      train.join(eval_, "h")
+        .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("n_shared"))
+        .orderBy("train_doc", "eval_doc")
+    }),
+
     // T19: deterministic train/val/test split. Content-keyed (mix64 of the
     // id), NOT row-position-keyed: the assignment survives repartitioning,
     // re-ingestion, and cluster-size changes — the property a 100 TB
@@ -1344,6 +1373,33 @@ object SparkEntry {
            FROM sc)
          SELECT doc_id, rk, term, tf, tfidf FROM rk
          WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    // T26: full recomputation — normalization twin, char-24-gram
+    // FNV+mix64 hashes, the T19 split buckets, the >64-doc common-gram
+    // drop, and the cross-side shared-gram counts.
+    "q_decontamination" ->
+      s"""WITH norm AS (${normSql("documents")}),
+         gsrc AS (
+           SELECT doc_id, ${fnvFoldSql("substr(s, CAST(i AS INT), 24)")} AS zc0
+           FROM norm, unnest(generate_series(1, length(s) - 23)) AS t(i)),
+         ${mix64Ctes("gsrc", "dg")},
+         sh AS (SELECT DISTINCT doc_id, h FROM dg5),
+         bsrc AS (SELECT doc_id, doc_id::HUGEINT AS zc0 FROM documents),
+         ${mix64Ctes("bsrc", "db")},
+         bk AS (SELECT doc_id,
+           ((CASE WHEN h >= 9223372036854775808::HUGEINT
+              THEN h - $Mod64::HUGEINT ELSE h END) % 10 + 10) % 10 AS bucket
+          FROM db5),
+         keep AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 64),
+         tr AS (SELECT sh.doc_id AS train_doc, sh.h
+                FROM sh JOIN bk ON sh.doc_id = bk.doc_id
+                JOIN keep ON sh.h = keep.h WHERE bk.bucket < 8),
+         ev AS (SELECT sh.doc_id AS eval_doc, sh.h
+                FROM sh JOIN bk ON sh.doc_id = bk.doc_id
+                JOIN keep ON sh.h = keep.h WHERE bk.bucket >= 8)
+         SELECT train_doc, eval_doc, count(*) AS n_shared
+         FROM tr JOIN ev ON tr.h = ev.h
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // T24: the oracle recomputes the hash (HUGEINT mix64 twin), the
     // signed shard pmod, the shard-windowed running token count, and the

@@ -608,6 +608,40 @@ object SparkEntry {
         .orderBy("train_doc", "eval_doc")
     }),
 
+    // T27: source-mixture reweighting (downsample-only): per-lang keep
+    // probability p = ratio/max(ratio) with ratio = target/actual, keep
+    // iff the T25 content-hash uniform u < p — so the thinned corpus
+    // approaches the uniform 0.2-per-lang target mixture and the kept
+    // set is deterministic and input-order-independent. Every p is built
+    // from correctly-rounded double ops on identical inputs, so the
+    // u < p cut is bit-identical across engines (rounding happens only
+    // at the output boundary). Scale shape: one hash-agg for the stats,
+    // a 5-row broadcast back onto the corpus, one final agg.
+    "q_mixture_reweight" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, d, "documents")
+        .withColumn("u",
+          (shiftrightunsigned(
+            graft.functions.GraftFunctions.mix64Col(col("doc_id")), 32)
+            .cast("double") + lit(0.5)) / lit(4294967296.0))
+      val stats = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val total = docs.select(count(lit(1)).as("n_total"))
+      val ps = stats.crossJoin(broadcast(total))
+        .withColumn("ratio", lit(0.2) * col("n_total") / col("n_docs"))
+      val rmax = ps.select(max(col("ratio")).as("rmax"))
+      val withP = ps.crossJoin(broadcast(rmax))
+        .withColumn("keep_p", least(lit(1.0), col("ratio") / col("rmax")))
+        .select(col("lang"), col("n_docs"), col("ratio"), col("keep_p"))
+      docs.join(broadcast(withP), "lang")
+        .withColumn("kept", (col("u") < col("keep_p")).cast("long"))
+        .groupBy(col("lang"), col("n_docs"), col("ratio"), col("keep_p"))
+        .agg(sum(col("kept")).as("n_kept"))
+        .select(col("lang"), col("n_docs"),
+          round(col("ratio"), 6).as("weight"),
+          round(col("keep_p"), 6).as("keep_p"), col("n_kept"))
+        .orderBy("lang")
+    }),
+
     // T19: deterministic train/val/test split. Content-keyed (mix64 of the
     // id), NOT row-position-keyed: the assignment survives repartitioning,
     // re-ingestion, and cluster-size changes — the property a 100 TB
@@ -1400,6 +1434,30 @@ object SparkEntry {
          SELECT train_doc, eval_doc, count(*) AS n_shared
          FROM tr JOIN ev ON tr.h = ev.h
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // T27: the oracle recomputes u, the per-lang ratios (explicit DOUBLE
+    // casts — DuckDB parses bare decimals as DECIMAL, which would round
+    // differently from Spark's double literals), the max-normalized keep
+    // probability, and the deterministic cut.
+    "q_mixture_reweight" ->
+      s"""WITH src AS (SELECT doc_id, doc_id::HUGEINT AS zc0 FROM documents),
+         ${mix64Ctes("src", "mw")},
+         uu AS (SELECT doc_id,
+           (CAST(h // 4294967296 AS DOUBLE) + 0.5) / 4294967296.0 AS u FROM mw5),
+         st AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         tt AS (SELECT count(*) AS n_total FROM documents),
+         wr AS (SELECT lang, n_docs,
+           CAST(0.2 AS DOUBLE) * n_total / n_docs AS ratio FROM st, tt),
+         mx AS (SELECT max(ratio) AS rmax FROM wr),
+         ps AS (SELECT lang, n_docs, ratio,
+           least(CAST(1.0 AS DOUBLE), ratio / rmax) AS keep_p FROM wr, mx),
+         j AS (SELECT d.lang, ps.n_docs, ps.ratio, ps.keep_p,
+           CASE WHEN uu.u < ps.keep_p THEN 1 ELSE 0 END AS kept
+          FROM documents d JOIN uu ON d.doc_id = uu.doc_id
+          JOIN ps ON d.lang = ps.lang)
+         SELECT lang, n_docs, round(ratio, 6) AS weight,
+           round(keep_p, 6) AS keep_p, CAST(sum(kept) AS BIGINT) AS n_kept
+         FROM j GROUP BY lang, n_docs, ratio, keep_p ORDER BY lang""",
 
     // T24: the oracle recomputes the hash (HUGEINT mix64 twin), the
     // signed shard pmod, the shard-windowed running token count, and the

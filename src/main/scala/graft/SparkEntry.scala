@@ -476,6 +476,36 @@ object SparkEntry {
 
   // ---- extra breadth: text analysis, dedup family, ANN, multimodal ----
 
+  /** Shared by q_doc_clusters / q_cluster_report: exact 5-shingle Jaccard
+    * pairs (J ≥ 0.5) over the doc_id < 60 slice, clustered with the
+    * engine's large/small-star CC. Numeric ids straight through: min over
+    * i64 keeps every CC-round aggregate hash-based (min over STRING would
+    * plan SortAggregate and rank "10" < "9" — see
+    * ConnectedComponents.clusterHashed scaladoc). Returns
+    * (doc_id, cluster_id).
+    */
+  private def docClusterSlice(s: SparkSession, d: String,
+      lim: Int = 60, tau: Double = 0.5): DataFrame = {
+    val docs = t(s, d, "documents").where(col("doc_id") < lim)
+      .select(col("doc_id"), col("text"))
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+        i => col("text").substr(i, lit(5))))).as("shingle"))
+    val na = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(na.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(na.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .where(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= tau)
+      .select(col("a"), col("b"))
+    val nodes = docs.select(col("doc_id").as("image_id"))
+    ConnectedComponents.cluster(pairs, nodes)
+      .select(col("image_id").as("doc_id"), col("cluster_id"))
+  }
+
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T22: SemDeDup semantic dedup, exact configuration (nList=1 ⇒ one
     // cell ⇒ every pair compared ⇒ SQL-expressible), on the same bounded
@@ -774,30 +804,22 @@ object SparkEntry {
 
     // O5 + dedup family: exact connected components over an n-gram
     // jaccard edge set (DuckDB oracle = recursive-CTE transitive closure)
-    "q_doc_clusters" -> ((s, d) => {
-      val docs = t(s, d, "documents").where(col("doc_id") < 60)
-        .select(col("doc_id"), col("text"))
-      val sh = docs.select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
-          i => col("text").substr(i, lit(5))))).as("shingle"))
-      val na = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val pairs = sh.as("x").join(sh.as("y"),
-          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("inter"))
-        .join(na.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
-        .join(na.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
-        .where(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.5)
-        .select(col("a"), col("b"))
-      // numeric ids straight through: min over i64 keeps every CC-round
-      // aggregate hash-based (min over STRING would plan SortAggregate and
-      // rank "10" < "9" — see ConnectedComponents.clusterHashed scaladoc)
-      val nodes = docs.select(col("doc_id").as("image_id"))
-      ConnectedComponents.cluster(pairs, nodes)
-        .select(col("image_id").as("doc_id"), col("cluster_id"))
-        .orderBy("doc_id")
-    }),
+    "q_doc_clusters" -> ((s, d) =>
+      docClusterSlice(s, d).orderBy("doc_id")),
+
+    // T28: dedup reporting — the cluster-size histogram an operator reads
+    // after a run (how much of the corpus is duplicated, at what cluster
+    // granularity). Composes the same exact-Jaccard + CC path as
+    // q_doc_clusters, then two hash-aggs; the oracle extends the
+    // recursive-CTE union-find twin with the same aggregation.
+    "q_cluster_report" -> ((s, d) =>
+      // wider slice + looser τ than q_doc_clusters so the histogram has
+      // multi-doc clusters at every SF (the <60/0.5 slice is singleton-only)
+      docClusterSlice(s, d, lim = 500, tau = 0.3)
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+        .orderBy("cluster_size")),
 
     // training-data dedup: MinHash signatures over documents (rows-only)
     "q_doc_minhash" -> ((s, d) => {
@@ -1687,6 +1709,33 @@ object SparkEntry {
            SELECT e.b, w.rep FROM walk w JOIN edges e ON e.a = w.node)
          SELECT node AS doc_id, min(rep) AS cluster_id
          FROM walk GROUP BY node ORDER BY doc_id""",
+    // T28: the same recursive-CTE union-find, aggregated to the
+    // cluster-size histogram.
+    "q_cluster_report" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         sh AS (
+           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           FROM docs, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         edges0 AS (
+           SELECT a, b FROM pairs
+           JOIN counts ca ON pairs.a = ca.doc_id
+           JOIN counts cb ON pairs.b = cb.doc_id
+           WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.3),
+         edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+         walk(node, rep) AS (
+           SELECT doc_id, doc_id FROM docs
+           UNION
+           SELECT e.b, w.rep FROM walk w JOIN edges e ON e.a = w.node),
+         cl AS (SELECT node, min(rep) AS cluster_id FROM walk GROUP BY node),
+         szs AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1)
+         SELECT sz AS cluster_size, count(*) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+         FROM szs GROUP BY 1 ORDER BY 1""",
     "q_ann_lsh_exhaustive" ->
       """SELECT qid, id, cos, rk FROM (
            SELECT qid, id, cos,

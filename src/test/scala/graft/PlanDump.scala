@@ -346,6 +346,50 @@ object PlanDump {
           .withColumn("es_key",
             round(log(col("u")) / greatest(col("n_chars"), lit(1L)).cast("double"), 9))
           .orderBy(col("es_key").desc, col("doc_id")).limit(50))
+      // T26 decontamination: the gram join must run on i64 hashes with
+      // the common-gram drop upstream of it
+      val grams = tdocs
+        .withColumn("bucket",
+          pmod(graft.functions.GraftFunctions.mix64Col(col("doc_id")), lit(10L)))
+        .select(col("doc_id"), col("bucket"),
+          explode(array_distinct(
+            graft.functions.GraftFunctions.shinglesCol(lower(col("text")), 24))).as("h"))
+      val common = grams.groupBy("h").agg(count(lit(1)).as("nd"))
+        .where(col("nd") > 64).select("h")
+      val kept2 = grams.join(common, Seq("h"), "left_anti")
+      dump("T26 — train/eval decontamination (cross-split gram-hash join)",
+        "The contamination join is an i64 equi-join on gram HASHES — " +
+          "strings never ride the shuffle — and the >64-doc common-gram " +
+          "anti-join drops boilerplate (the hot keys) BEFORE the " +
+          "cross-side join, so no bucket explodes at scale.",
+        kept2.where(col("bucket") < 8)
+          .select(col("h"), col("doc_id").as("train_doc"))
+          .join(kept2.where(col("bucket") >= 8)
+            .select(col("h"), col("doc_id").as("eval_doc")), "h")
+          .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("n_shared")))
+      // T27 mixture reweighting: stats agg + tiny broadcast back
+      val docsU = tdocs
+        .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5))))
+        .withColumn("u",
+          (shiftrightunsigned(
+            graft.functions.GraftFunctions.mix64Col(col("doc_id")), 32)
+            .cast("double") + lit(0.5)) / lit(4294967296.0))
+      val stats27 = docsU.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val ps27 = stats27
+        .crossJoin(broadcast(docsU.select(count(lit(1)).as("n_total"))))
+        .withColumn("ratio", lit(0.2) * col("n_total") / col("n_docs"))
+      val withP27 = ps27
+        .crossJoin(broadcast(ps27.select(max(col("ratio")).as("rmax"))))
+        .withColumn("keep_p", least(lit(1.0), col("ratio") / col("rmax")))
+        .select(col("lang"), col("n_docs"), col("ratio"), col("keep_p"))
+      dump("T27 — source-mixture reweighting (downsample to target mixture)",
+        "One hash-agg for the per-source stats, a source-cardinality " +
+          "(tiny) BroadcastHashJoin back onto the corpus, one final agg — " +
+          "the corpus is scanned, never shuffled, regardless of size.",
+        docsU.join(broadcast(withP27), "lang")
+          .withColumn("kept", (col("u") < col("keep_p")).cast("long"))
+          .groupBy(col("lang"), col("n_docs"), col("ratio"), col("keep_p"))
+          .agg(sum(col("kept")).as("n_kept")))
     }
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)

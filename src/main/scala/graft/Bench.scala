@@ -318,7 +318,9 @@ object Bench {
         tHi = math.min(tHi, measureLevel(mk(nHi), corpusPath, warmupPath, timedRuns = 1))
       if (levels != "hi")
         tLo = math.min(tLo, measureLevel(mk(nLo), corpusPath, warmupPath, timedRuns = 1))
-      System.err.println(f"[scaling] round $r ($mode): best sec_$nHi=$tHi%.2f sec_$nLo=$tLo%.2f")
+      // unmeasured level prints "-" (single-level runs leave MaxValue)
+      def fmt(v: Double) = if (v == Double.MaxValue) "-" else f"$v%.2f"
+      System.err.println(s"[scaling] round $r ($mode): best sec_$nHi=${fmt(tHi)} sec_$nLo=${fmt(tLo)}")
     }
     if (levels != "both") {
       // unmeasured level stays Double.MaxValue — print null, not a

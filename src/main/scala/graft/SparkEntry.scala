@@ -619,13 +619,21 @@ object SparkEntry {
     // drops overly-common n-grams for the same reason).
     "q_decontamination" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      // docs shorter than one gram are excluded EXPLICITLY on both sides:
+      // Hashing.shingles falls back to one whole-string hash below k
+      // chars (right for MinHash coverage, wrong here — the oracle's
+      // substring generator emits zero grams for them, and a sub-24-char
+      // exact dup straddling the split would silently diverge).
+      // ShinglesExpr output is already distinct (TreeSet) — no
+      // array_distinct pass over the ~4M grams.
       val grams = t(s, d, "documents")
         .withColumn("bucket",
           pmod(graft.functions.GraftFunctions.mix64Col(col("doc_id")), lit(10L)))
         .withColumn("norm", Text.normalizeCol(col("text")))
+        .where(length(col("norm")) >= 24)
         .select(col("doc_id"), col("bucket"),
-          explode(array_distinct(
-            graft.functions.GraftFunctions.shinglesCol(col("norm"), 24))).as("h"))
+          explode(
+            graft.functions.GraftFunctions.shinglesCol(col("norm"), 24)).as("h"))
       val common = grams.groupBy("h").agg(count(lit(1)).as("nd"))
         .where(col("nd") > 64).select("h")
       val kept = grams.join(common, Seq("h"), "left_anti")
@@ -1434,7 +1442,8 @@ object SparkEntry {
     // FNV+mix64 hashes, the T19 split buckets, the >64-doc common-gram
     // drop, and the cross-side shared-gram counts.
     "q_decontamination" ->
-      s"""WITH norm AS (${normSql("documents")}),
+      s"""WITH norm0 AS (${normSql("documents")}),
+         norm AS (SELECT * FROM norm0 WHERE length(s) >= 24),
          gsrc AS (
            SELECT doc_id, ${fnvFoldSql("substr(s, CAST(i AS INT), 24)")} AS zc0
            FROM norm, unnest(generate_series(1, length(s) - 23)) AS t(i)),

@@ -59,15 +59,20 @@ object Ann {
   def dotCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
+  /** Float-cast dot product — THE dot-product FP sequence every cosine
+    * in the engine shares with its DuckDB `list_dot_product` oracle
+    * twins (cast each element to double, multiply, left-fold sum).
+    * Oracle parity depends on there being exactly one definition.
+    */
+  def dotCastCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity of two float-array columns via zip_with/aggregate
     * HOFs (codegen'd — no UDF on the O(candidates) hot path).
     */
-  def cosineCol(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosineCol(a: Column, b: Column): Column =
+    dotCastCol(a, b) / (sqrt(dotCastCol(a, a)) * sqrt(dotCastCol(b, b)))
 
   /** L2 norm of a float-array column (as double). */
   def normCol(v: Column): Column =

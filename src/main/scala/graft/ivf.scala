@@ -55,6 +55,15 @@ object Ivf {
     math.max(16, math.min(65536, needed)).toInt
   }
 
+  /** Training-sample size for a codebook of `lists` cells: ≥8 samples per
+    * cell on average, floored at 32k, capped at 256k. ONE definition —
+    * an earlier fixed sampleN=32768 made any nList above it throw
+    * unconditionally (see ivfTopK), and a copy of the clamp would
+    * re-create that drift hazard in its other callers (SemDedup).
+    */
+  def autoSampleN(lists: Int): Int =
+    math.min(262144, math.max(32768, 8 * lists))
+
   private[graft] def normalize(v: Array[Double]): Array[Double] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -304,7 +313,7 @@ object Ivf {
     // any nList above it impossible — trainCentroids required more
     // samples than it would ever collect, so the documented 2¹⁶-cell
     // scale path threw unconditionally
-    val n = if (sampleN > 0) sampleN else math.min(262144, math.max(32768, 8 * lists))
+    val n = if (sampleN > 0) sampleN else autoSampleN(lists)
     val sample = sampleVectors(corpus, n, seed, sampleBytes)
     val cb: Codebook =
       if (lists <= twoLevelFrom) FlatCodebook(lloyd(sample, lists, iters))

@@ -41,10 +41,6 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
-  private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
   /** Semantic-dedup verdict per input row: (id, dup_of, keep).
     * `keep` is int 1/0 (not boolean) so the verdict can partition a
     * commit — boolean partition columns read back as strings — and
@@ -54,6 +50,10 @@ object SemDedup {
     * @param tau    cosine threshold on the ROUNDED (4 dp) score
     * @param nList  1 = exact all-pairs; 0 = derive from corpus count;
     *               else explicit cell count
+    * @param census clustered regime only (it reports the cell-cap drops,
+    *               and the exact path has no cells): passing one with
+    *               nList = 1 is rejected loudly — silently never
+    *               attaching it would make `Observation.get` hang
     */
   def prune(
       emb: DataFrame,
@@ -67,16 +67,20 @@ object SemDedup {
     val lists =
       if (nList > 0) nList
       else Ivf.deriveNList(if (corpusCount >= 0) corpusCount else emb.count())
+    require(census.isEmpty || lists > 1,
+      "census reports cell-cap drops and applies to the clustered regime " +
+        s"only (nList > 1, got $lists) — it would never be attached, and " +
+        "Observation.get would hang")
 
     val withNorm = emb.select(col("id"), col("vec"),
-      sqrt(dot(col("vec"), col("vec"))).as("nrm"))
+      Ann.normCol(col("vec")).as("nrm"))
 
     // shared pair → verdict tail: score, threshold on the rounded value,
     // min earlier neighbor per pruned id — one hash aggregation
     def dupOf(pairs: DataFrame): DataFrame =
       pairs
         .withColumn("cos",
-          round(dot(col("vi"), col("vj")) / (col("ni") * col("nj")), 4))
+          round(Ann.dotCastCol(col("vi"), col("vj")) / (col("ni") * col("nj")), 4))
         .where(col("cos") >= tau)
         .groupBy(col("i")).agg(min(col("j")).as("dup_of"))
 
@@ -90,8 +94,7 @@ object SemDedup {
           col("id").as("j"), col("vec").as("vj"), col("nrm").as("nj"))
         dupOf(l.join(broadcast(r), col("j") < col("i")))
       } else {
-        val n = math.min(262144, math.max(32768, 8 * lists))
-        val sample = Ivf.sampleVectors(emb, n, seed)
+        val sample = Ivf.sampleVectors(emb, Ivf.autoSampleN(lists), seed)
         val cb: Ivf.Codebook =
           if (lists <= 4096) Ivf.FlatCodebook(Ivf.lloyd(sample, lists, iters))
           else Ivf.trainTwoLevel(sample, lists, iters)

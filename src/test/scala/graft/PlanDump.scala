@@ -351,9 +351,11 @@ object PlanDump {
       val grams = tdocs
         .withColumn("bucket",
           pmod(graft.functions.GraftFunctions.mix64Col(col("doc_id")), lit(10L)))
+        .withColumn("norm", Text.normalizeCol(col("text")))
+        .where(length(col("norm")) >= 24)
         .select(col("doc_id"), col("bucket"),
-          explode(array_distinct(
-            graft.functions.GraftFunctions.shinglesCol(lower(col("text")), 24))).as("h"))
+          explode(
+            graft.functions.GraftFunctions.shinglesCol(col("norm"), 24)).as("h"))
       val common = grams.groupBy("h").agg(count(lit(1)).as("nd"))
         .where(col("nd") > 64).select("h")
       val kept2 = grams.join(common, Seq("h"), "left_anti")

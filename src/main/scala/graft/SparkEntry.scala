@@ -1178,6 +1178,91 @@ object SparkEntry {
           round(element_at(col("mfcc"), 1).cast("double"), 4).as("c0"),
           round(element_at(col("mfcc"), 2).cast("double"), 4).as("c1"))
         .orderBy("audio_id")
+    }),
+
+    // T29: PII detection + redaction. The driver corpus carries no PII,
+    // so each doc gets a deterministic synthetic contact line (planted
+    // IDENTICALLY in the oracle SQL) — the machinery under test is the
+    // match counting and the global redaction, a pure row-local codegen
+    // projection (the 100 TB cost model: one pass over text, no shuffle).
+    "q_pii_redact" -> ((s, d) => {
+      val idS = col("doc_id").cast("string")
+      val page = concat(col("text"),
+        lit(" contact user"), idS, lit("@example.com"),
+        lit(" from 10."), pmod(col("doc_id"), lit(250)).cast("string"),
+        lit(".7."), pmod(col("doc_id"), lit(100)).cast("string"),
+        lit(" call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" cc admin@example.org"))
+          .otherwise(lit("")))
+      val red = Curation.redactPii(page)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Curation.countMatches(page, Curation.EmailPat).as("n_emails"),
+          Curation.countMatches(page, Curation.Ipv4Pat).as("n_ips"),
+          Curation.countMatches(page, Curation.PhonePat).as("n_phones"),
+          length(red).cast("long").as("red_len"),
+          md5(red.cast("binary")).as("red_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // T30: paragraph-level exact dedup (fixed 8-token windows; see
+    // Curation.chunkDedup for the keeper rule and the plan shape). The
+    // driver corpus genuinely repeats chunks across its planted near-dups
+    // (sf0.01: 153 of 3,434 distinct chunks occur in ≥2 docs), so the
+    // drop path is exercised without synthetic planting.
+    "q_chunk_dedup" -> ((s, d) =>
+      Curation.chunkDedup(t(s, d, "documents"), w = 8).orderBy("doc_id")),
+
+    // T31: shingle-containment pairs (quote / subset detection — the
+    // asymmetric complement of q_ngram_jaccard: c_ab = |A∩B| / |A| flags
+    // B swallowing A even when Jaccard is diluted by B's extra content).
+    // Same bounded slice + 5-char shingles as q_ngram_jaccard; the scale
+    // path shares T2's LSH candidate machinery.
+    "q_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+          i => col("text").substr(i, lit(5))))).as("shingle"))
+      val na = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("x").join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(na.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+        .join(na.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+        .withColumn("c_ab", round(col("inter").cast("double") / col("na"), 4))
+        .withColumn("c_ba", round(col("inter").cast("double") / col("nb"), 4))
+        .where(greatest(col("c_ab"), col("c_ba")) >= 0.5)
+        .select(col("a"), col("b"), col("inter"), col("c_ab"), col("c_ba"))
+        .orderBy("a", "b")
+    }),
+
+    // T32: vocabulary build with cumulative coverage (tokenizer-training
+    // prep). Scale shape: token counts are one explode + one hash-agg
+    // with map-side combine; the top-K cut physicalizes as
+    // TakeOrderedAndProject (per-partition top-K, K-row merge), and the
+    // rank/cumsum window runs AFTER the limit, over K=200 rows — bounded
+    // regardless of corpus size, unlike a global window over the vocab.
+    "q_vocab_coverage" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("total"))
+      val top = counts.orderBy(col("cnt").desc, col("token")).limit(200)
+      val w = Window.orderBy(col("cnt").desc, col("token"))
+      top
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum", sum("cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .select(col("token"), col("cnt"), col("rk"),
+          round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+        .orderBy("rk")
     })
   )
 
@@ -1781,6 +1866,104 @@ object SparkEntry {
              FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
              WHERE q.vec_id < 10))
          WHERE rk <= 5 ORDER BY qid, rk""",
+    // T29: the oracle PLANTS the identical contact line, then recomputes
+    // counts (string_split_regex keeps empty fields, matching Spark's
+    // split(_, _, -1): matches = fields - 1) and the full redaction with
+    // the same RE2∩Java patterns, 'g' flag for replace-all parity.
+    "q_pii_redact" ->
+      """WITH page AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               || ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
+               || '.7.' || CAST(doc_id % 100 AS VARCHAR)
+               || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END
+               AS p
+           FROM documents),
+         red AS (
+           SELECT doc_id, p,
+             regexp_replace(regexp_replace(regexp_replace(p,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+               '\+1-555-\d{4}', '[PHONE]', 'g') AS r
+           FROM page)
+         SELECT doc_id,
+           CAST(len(string_split_regex(p,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS BIGINT) AS n_emails,
+           CAST(len(string_split_regex(p,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) - 1 AS BIGINT) AS n_ips,
+           CAST(len(string_split_regex(p, '\+1-555-\d{4}')) - 1 AS BIGINT) AS n_phones,
+           CAST(length(r) AS BIGINT) AS red_len,
+           md5(r) AS red_hash
+         FROM red ORDER BY doc_id""",
+    // T30: full independent recomputation — tokenize, window into 8-token
+    // chunks, keeper = lexicographically smallest (doc_id, pos) per
+    // distinct chunk (two-step min: min doc, then min pos within it),
+    // rebuild the surviving text in order and hash it.
+    "q_chunk_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         ex AS (
+           SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS o FROM toks),
+         ch AS (
+           SELECT doc_id, CAST((o - 1) // 8 AS INT) AS pos,
+             string_agg(w, ' ' ORDER BY o) AS chunk
+           FROM ex GROUP BY 1, 2),
+         k AS (SELECT doc_id, pos, chunk, md5(chunk) AS ck FROM ch),
+         kd AS (SELECT ck, min(doc_id) AS kdoc FROM k GROUP BY 1),
+         kp AS (
+           SELECT k.ck, kd.kdoc, min(k.pos) AS kpos
+           FROM k JOIN kd ON k.ck = kd.ck AND k.doc_id = kd.kdoc
+           GROUP BY 1, 2),
+         m AS (
+           SELECT k.doc_id, k.pos, k.chunk,
+             (k.doc_id = kp.kdoc AND k.pos = kp.kpos) AS kept
+           FROM k JOIN kp ON k.ck = kp.ck)
+         SELECT doc_id, count(*) AS n_chunks,
+           CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped,
+           CAST(length(coalesce(
+             string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY pos), ''))
+             AS BIGINT) AS clean_len,
+           md5(coalesce(
+             string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY pos), ''))
+             AS clean_hash
+         FROM m GROUP BY 1 ORDER BY 1""",
+    // T31: same shingle base as q_ngram_jaccard, asymmetric containment
+    // both directions; threshold on the ROUNDED values like the Spark
+    // side so no boundary pair can flip on FP division order.
+    "q_containment" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+         sh AS (
+           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           FROM docs, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b, inter,
+           round(CAST(inter AS DOUBLE) / ca.n_sh, 4) AS c_ab,
+           round(CAST(inter AS DOUBLE) / cb.n_sh, 4) AS c_ba
+         FROM pairs
+         JOIN counts ca ON pairs.a = ca.doc_id
+         JOIN counts cb ON pairs.b = cb.doc_id
+         WHERE greatest(round(CAST(inter AS DOUBLE) / ca.n_sh, 4),
+                        round(CAST(inter AS DOUBLE) / cb.n_sh, 4)) >= 0.5
+         ORDER BY a, b""",
+    // T32: token counts → top-200 by (count desc, token) → rank and
+    // cumulative coverage over exact BIGINT sums, divided once at the end.
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents),
+         c AS (SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS total FROM c),
+         top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 200)
+         SELECT token, cnt,
+           row_number() OVER (ORDER BY cnt DESC, token) AS rk,
+           round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token) AS DOUBLE) /
+             (SELECT CAST(total AS DOUBLE) FROM tot), 6) AS coverage
+         FROM top ORDER BY rk""",
     "q_image_features" -> SparkEntryGoldens.q_image_features,
     "q_video_frames" -> SparkEntryGoldens.q_video_frames,
     "q_audio_features" -> SparkEntryGoldens.q_audio_features

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines, round-3
+  * additions: PII redaction (T29) and paragraph-level exact dedup (T30,
+  * Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better", ACL 2022 — the ExactSubstr family, here at fixed token-window
+  * granularity so the keeper rule is deterministic and SQL-oracle-able).
+  * Both are designed for the 100 TB regime: PII is a pure row-local
+  * codegen projection; chunk dedup is one bounded explode, ONE hash
+  * aggregation on a 128-bit content key, one co-located join back, and a
+  * per-doc rollup whose state is bounded by document length.
+  */
+object Curation {
+
+  /** PII patterns, written in the Java-regex ∩ RE2 common subset (no
+    * lookaround, no backreferences) so the DuckDB oracle can run the
+    * exact same patterns. Deliberately the high-precision core of each
+    * family: a production pass would widen these, not restructure the
+    * plan.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePat = "\\+1-555-\\d{4}"
+
+  /** Number of non-overlapping matches of `pat` in `s`: split keeps empty
+    * fields (limit -1), so matches = fields - 1. Same contract as
+    * DuckDB's string_split_regex, which the oracle uses.
+    */
+  def countMatches(s: Column, pat: String): Column =
+    (size(split(s, pat, -1)) - 1).cast("long")
+
+  /** Replace every email/IPv4/phone match with a typed placeholder.
+    * Emails first: the other two patterns cannot match inside an email or
+    * a placeholder, so the chain is order-insensitive beyond that.
+    */
+  def redactPii(s: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(s, EmailPat, "[EMAIL]"),
+        Ipv4Pat, "[IP]"),
+      PhonePat, "[PHONE]")
+
+  /** T30 — paragraph-level exact dedup over fixed `w`-token windows.
+    *
+    * Unit = the non-overlapping w-token chunk (the driver corpus is
+    * single-line word text, so token windows stand in for the
+    * line/paragraph unit CCNet/C4 dedup on). Keeper rule: for every
+    * distinct chunk the occurrence with the smallest (doc_id, pos) is
+    * kept; every other occurrence — in other docs AND later repeats in
+    * the same doc — is dropped. Content key = md5(chunk), 128-bit like
+    * q_dedup_exact's key, so collisions are out of the error budget
+    * without a repair pass (unlike 64-bit keys, which this repo repairs —
+    * idhash.scala).
+    *
+    * Plan shape (the 100 TB story): chunking is ROW-LOCAL
+    * (transform+slice over the token array — no explode of tokens, no
+    * shuffle); one posexplode to chunk granularity (w-fold smaller than
+    * token granularity); keeper = ONE hash aggregation `min(struct(doc,
+    * pos))` with map-side partial combine on the md5 key; occurrences
+    * rejoin the keeper table on that key (both sides hash-partitioned on
+    * it — co-located); the per-doc rollup state (collect_list of kept
+    * chunks) is bounded by the document's own length, the same bound any
+    * per-doc operator carries.
+    *
+    * Returns one row per input doc: n_chunks, n_dropped, clean_len,
+    * clean_hash (md5 of the surviving text, chunks rejoined in order with
+    * single spaces).
+    */
+  def chunkDedup(docs: DataFrame, w: Int = 8,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nChunks = floor((size(toks) + w - 1) / w).cast("int")
+    // sequence(0, -1) would generate a DESCENDING range — guard empties.
+    val chunks = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * lit(w) + lit(1), lit(w)), " ")))
+    val occ = docs
+      .select(col(idCol).cast("long").as("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+      .withColumn("ck", md5(col("chunk").cast("binary")))
+    val keeper = occ.groupBy("ck")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    occ.join(keeper, "ck")
+      .withColumn("kept",
+        col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(array_sort(collect_list(when(col("kept"), struct(col("pos"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ").as("clean"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean").cast("binary")).as("clean_hash"))
+  }
+}

@@ -1241,6 +1241,49 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // J9: as-of join — every click gets the most recent preceding error
+    // of the same user (see AsOf.asofJoin for the union-sort encoding and
+    // why it scales where range joins explode). Oracle = DuckDB's NATIVE
+    // ASOF LEFT JOIN, so the operator is value-checked against an
+    // independent first-class implementation, not a SQL re-encoding.
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOf.asofJoin(clicks, errors, key = "user_id", ts = "ts",
+          rightPayload = Seq("event_id", "value"), rightTie = "event_id")
+        .orderBy("event_id")
+    }),
+
+    // W4: batch sessionization (gaps-and-islands; 30-min inactivity gap),
+    // the batch twin of ST2's streaming session windows. Gap arithmetic
+    // in exact integer microseconds (unix_micros/epoch_us); `ts` is
+    // TIMESTAMP_NTZ, so cast to TIMESTAMP first — only differences are
+    // taken, so the session-zone offset cancels. Value sums in exact
+    // decimal, double only at the output boundary.
+    "q_sessionize" -> ((s, d) => {
+      def us(c: Column) = unix_micros(c.cast("timestamp"))
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev").isNull ||
+            us(col("ts")) - us(col("prev")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid").as("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ts"),
+          max(col("ts")).as("end_ts"),
+          (us(max(col("ts"))) - us(min(col("ts")))).as("dur_us"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     // T32: vocabulary build with cumulative coverage (tokenizer-training
     // prep). Scale shape: token counts are one explode + one hash-agg
     // with map-side combine; the top-K cut physicalizes as
@@ -1950,6 +1993,38 @@ object SparkEntry {
          WHERE greatest(round(CAST(inter AS DOUBLE) / ca.n_sh, 4),
                         round(CAST(inter AS DOUBLE) / cb.n_sh, 4)) >= 0.5
          ORDER BY a, b""",
+    // J9: DuckDB's native ASOF LEFT JOIN — an independent first-class
+    // implementation of the operator, not a re-encoding of ours.
+    "q_asof_join" ->
+      """WITH clicks AS (
+           SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click'),
+         errors AS (
+           SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error')
+         SELECT c.event_id, c.ts, c.user_id, c.value,
+           e.ts AS asof_ts, e.event_id AS asof_event_id, e.value AS asof_value
+         FROM clicks c ASOF LEFT JOIN errors e
+           ON c.user_id = e.user_id AND c.ts >= e.ts
+         ORDER BY c.event_id""",
+    // W4: same gaps-and-islands recomputation, integer-microsecond gaps,
+    // exact decimal sums.
+    "q_sessionize" ->
+      """WITH l AS (
+           SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         n AS (
+           SELECT *, CASE WHEN prev IS NULL
+               OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM l),
+         s AS (
+           SELECT *, sum(is_new) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM n)
+         SELECT user_id, CAST(sid AS BIGINT) AS session_idx, count(*) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     // T32: token counts → top-200 by (count desc, token) → rank and
     // cumulative coverage over exact BIGINT sums, divided once at the end.
     "q_vocab_coverage" ->

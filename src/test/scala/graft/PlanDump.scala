@@ -384,6 +384,20 @@ object PlanDump {
         .crossJoin(broadcast(ps27.select(max(col("ratio")).as("rmax"))))
         .withColumn("keep_p", least(lit(1.0), col("ratio") / col("rmax")))
         .select(col("lang"), col("n_docs"), col("ratio"), col("keep_p"))
+      // J9 as-of join: union-sort encoding — exactly ONE Exchange on the
+      // key and one per-key Sort feeding a Window; no join operator at all.
+      val evA = tdocs.select(col("doc_id").as("k"),
+        col("doc_id").cast("timestamp").as("t"), col("text").as("ltag"))
+      val evB = tdocs.select(col("doc_id").as("k"),
+        (col("doc_id") + 1).cast("timestamp").as("t"), col("doc_id").as("rv"))
+      dump("J9 — as-of join (union-sort encoding, AsOf.asofJoin)",
+        "The naive encodings are a within-key range join (O(|L|*|R|) " +
+          "expansion) or per-key mapGroups (no codegen). This plan is the " +
+          "union-sort form: ONE Exchange of |L|+|R| rows hash-partitioned " +
+          "on the key, one per-key Sort, one Window carrying a single " +
+          "payload struct of running state — the same physical shape as " +
+          "any keyed window aggregation, with no join operator anywhere.",
+        AsOf.asofJoin(evA, evB, "k", "t", Seq("rv"), rightTie = "rv"))
       dump("T27 — source-mixture reweighting (downsample to target mixture)",
         "One hash-agg for the per-source stats, a source-cardinality " +
           "(tiny) BroadcastHashJoin back onto the corpus, one final agg — " +

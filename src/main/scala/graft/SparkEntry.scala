@@ -506,6 +506,33 @@ object SparkEntry {
       .select(col("image_id").as("doc_id"), col("cluster_id"))
   }
 
+  /** Shared T26 prep: the (h, doc) gram tables per split side after
+    * normalization, short-doc exclusion, and the >64-doc common-gram
+    * drop. Docs shorter than one gram are excluded EXPLICITLY on both
+    * sides: Hashing.shingles falls back to one whole-string hash below k
+    * chars (right for MinHash coverage, wrong here — the oracle's
+    * substring generator emits zero grams for them, and a sub-24-char
+    * exact dup straddling the split would silently diverge).
+    * ShinglesExpr output is already distinct (TreeSet) — no
+    * array_distinct pass over the ~4M grams.
+    */
+  private def deconSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val grams = t(s, d, "documents")
+      .withColumn("bucket",
+        pmod(graft.functions.GraftFunctions.mix64Col(col("doc_id")), lit(10L)))
+      .withColumn("norm", Text.normalizeCol(col("text")))
+      .where(length(col("norm")) >= 24)
+      .select(col("doc_id"), col("bucket"),
+        explode(
+          graft.functions.GraftFunctions.shinglesCol(col("norm"), 24)).as("h"))
+    val common = grams.groupBy("h").agg(count(lit(1)).as("nd"))
+      .where(col("nd") > 64).select("h")
+    val kept = grams.join(common, Seq("h"), "left_anti")
+    (kept.where(col("bucket") < 8).select(col("h"), col("doc_id").as("train_doc")),
+      kept.where(col("bucket") >= 8).select(col("h"), col("doc_id").as("eval_doc")))
+  }
+
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T22: SemDeDup semantic dedup, exact configuration (nList=1 ⇒ one
     // cell ⇒ every pair compared ⇒ SQL-expressible), on the same bounded
@@ -618,30 +645,30 @@ object SparkEntry {
     // the hot key that skews the gram join at scale (published practice
     // drops overly-common n-grams for the same reason).
     "q_decontamination" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      // docs shorter than one gram are excluded EXPLICITLY on both sides:
-      // Hashing.shingles falls back to one whole-string hash below k
-      // chars (right for MinHash coverage, wrong here — the oracle's
-      // substring generator emits zero grams for them, and a sub-24-char
-      // exact dup straddling the split would silently diverge).
-      // ShinglesExpr output is already distinct (TreeSet) — no
-      // array_distinct pass over the ~4M grams.
-      val grams = t(s, d, "documents")
-        .withColumn("bucket",
-          pmod(graft.functions.GraftFunctions.mix64Col(col("doc_id")), lit(10L)))
-        .withColumn("norm", Text.normalizeCol(col("text")))
-        .where(length(col("norm")) >= 24)
-        .select(col("doc_id"), col("bucket"),
-          explode(
-            graft.functions.GraftFunctions.shinglesCol(col("norm"), 24)).as("h"))
-      val common = grams.groupBy("h").agg(count(lit(1)).as("nd"))
-        .where(col("nd") > 64).select("h")
-      val kept = grams.join(common, Seq("h"), "left_anti")
-      val train = kept.where(col("bucket") < 8)
-        .select(col("h"), col("doc_id").as("train_doc"))
-      val eval_ = kept.where(col("bucket") >= 8)
-        .select(col("h"), col("doc_id").as("eval_doc"))
+      val (train, eval_) = deconSides(s, d)
       train.join(eval_, "h")
+        .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("n_shared"))
+        .orderBy("train_doc", "eval_doc")
+    }),
+
+    // T26b: the same decontamination with a Bloom-filter pre-prune — the
+    // 100 TB shape when train >> eval (the real regime: a web-scale train
+    // side vs fixed benchmark suites). A BF over the eval grams (fpp
+    // 0.01) broadcasts to every task and drops ~99% of train grams
+    // MAP-SIDE, before they ever reach the gram-join exchange — the join
+    // shuffle shrinks from O(|train|) to O(|hits|). BF has no false
+    // negatives and false positives fall through to the exact equi-join,
+    // so the result is IDENTICAL to q_decontamination — same oracle SQL,
+    // independently value-checking the pruned path end-to-end.
+    "q_decontamination_bloom" -> ((s, d) => {
+      val (train, eval0) = deconSides(s, d)
+      // eval side is consumed twice (BF build + join): materialize once
+      val eval_ = eval0.localCheckpoint()
+      val bf = eval_.stat.bloomFilter("h", math.max(eval_.count(), 1L), 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+      train.where(mightContain(col("h")))
+        .join(eval_, "h")
         .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("n_shared"))
         .orderBy("train_doc", "eval_doc")
     }),
@@ -1284,6 +1311,56 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    // O6: pivot (long→wide). Pivot values are pinned explicitly — with
+    // an explicit value list Spark skips the distinct-values collect job
+    // and the output schema is static, which is the only sane form at
+    // scale (a discovered pivot is a full extra corpus scan). Sums in
+    // exact decimal, double at the output boundary.
+    "q_pivot_daily" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("val"))
+        .orderBy("day")
+    }),
+
+    // A9: mergeable-sketch distinct counts (Apache DataSketches HLL via
+    // hll_sketch_agg / hll_union_agg) — the 100 TB shape for distinct
+    // counting: per-source sketches build in one pass with O(lgK) state
+    // per group, persist as binary columns, and MERGE across
+    // sources/days without rescanning (union of HLL registers), where
+    // exact distinct would re-shuffle the full corpus every time. Here:
+    // per-lang distinct 24-gram counts, plus an '~all' row whose sketch
+    // is the UNION of the per-lang sketches. Rows-only (the estimate is
+    // engine-specific); each row self-reports its exact twin and
+    // relative error, and OpsSpec pins err <= 0.05 — the q_ann_recall
+    // pattern for approximate regimes.
+    "q_hll_distinct" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val grams = t(s, d, "documents")
+        .withColumn("norm", Text.normalizeCol(col("text")))
+        .where(length(col("norm")) >= 24)
+        .select(col("lang"),
+          explode(
+            graft.functions.GraftFunctions.shinglesCol(col("norm"), 24)).as("h"))
+      val perLang = grams.groupBy("lang").agg(
+        hll_sketch_agg(col("h"), lit(14)).as("sk"),
+        count_distinct(col("h")).as("n_exact"))
+      val allRow = perLang.agg(
+        hll_union_agg(col("sk"), lit(false)).as("sk"))
+        .crossJoin(broadcast(grams.select(count_distinct(col("h")).as("n_exact"))))
+        .select(lit("~all").as("lang"), col("sk"), col("n_exact"))
+      perLang.unionByName(allRow)
+        .select(col("lang"), col("n_exact"),
+          hll_sketch_estimate(col("sk")).as("n_est"))
+        .withColumn("rel_err",
+          round(abs(col("n_est") - col("n_exact")).cast("double") /
+            col("n_exact"), 4))
+        .orderBy("lang")
+    }),
+
     // T32: vocabulary build with cumulative coverage (tokenizer-training
     // prep). Scale shape: token counts are one explode + one hash-agg
     // with map-side combine; the top-K cut physicalizes as
@@ -1527,6 +1604,34 @@ object SparkEntry {
        ORDER BY 1"""
   }
 
+  /** T26 exact recomputation, shared verbatim by q_decontamination and
+    * q_decontamination_bloom (the BF prune must change nothing).
+    */
+  private lazy val deconOracleSql: String =
+    s"""WITH norm0 AS (${normSql("documents")}),
+         norm AS (SELECT * FROM norm0 WHERE length(s) >= 24),
+         gsrc AS (
+           SELECT doc_id, ${fnvFoldSql("substr(s, CAST(i AS INT), 24)")} AS zc0
+           FROM norm, unnest(generate_series(1, length(s) - 23)) AS t(i)),
+         ${mix64Ctes("gsrc", "dg")},
+         sh AS (SELECT DISTINCT doc_id, h FROM dg5),
+         bsrc AS (SELECT doc_id, doc_id::HUGEINT AS zc0 FROM documents),
+         ${mix64Ctes("bsrc", "db")},
+         bk AS (SELECT doc_id,
+           ((CASE WHEN h >= 9223372036854775808::HUGEINT
+              THEN h - $Mod64::HUGEINT ELSE h END) % 10 + 10) % 10 AS bucket
+          FROM db5),
+         keep AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 64),
+         tr AS (SELECT sh.doc_id AS train_doc, sh.h
+                FROM sh JOIN bk ON sh.doc_id = bk.doc_id
+                JOIN keep ON sh.h = keep.h WHERE bk.bucket < 8),
+         ev AS (SELECT sh.doc_id AS eval_doc, sh.h
+                FROM sh JOIN bk ON sh.doc_id = bk.doc_id
+                JOIN keep ON sh.h = keep.h WHERE bk.bucket >= 8)
+         SELECT train_doc, eval_doc, count(*) AS n_shared
+         FROM tr JOIN ev ON tr.h = ev.h
+         GROUP BY 1, 2 ORDER BY 1, 2"""
+
   private def extraOracles: Map[String, String] = Map(
     // T22 exact configuration: the oracle recomputes every pair cosine
     // with the same FP sequence (double dot / product of root self-dots,
@@ -1569,30 +1674,11 @@ object SparkEntry {
     // T26: full recomputation — normalization twin, char-24-gram
     // FNV+mix64 hashes, the T19 split buckets, the >64-doc common-gram
     // drop, and the cross-side shared-gram counts.
-    "q_decontamination" ->
-      s"""WITH norm0 AS (${normSql("documents")}),
-         norm AS (SELECT * FROM norm0 WHERE length(s) >= 24),
-         gsrc AS (
-           SELECT doc_id, ${fnvFoldSql("substr(s, CAST(i AS INT), 24)")} AS zc0
-           FROM norm, unnest(generate_series(1, length(s) - 23)) AS t(i)),
-         ${mix64Ctes("gsrc", "dg")},
-         sh AS (SELECT DISTINCT doc_id, h FROM dg5),
-         bsrc AS (SELECT doc_id, doc_id::HUGEINT AS zc0 FROM documents),
-         ${mix64Ctes("bsrc", "db")},
-         bk AS (SELECT doc_id,
-           ((CASE WHEN h >= 9223372036854775808::HUGEINT
-              THEN h - $Mod64::HUGEINT ELSE h END) % 10 + 10) % 10 AS bucket
-          FROM db5),
-         keep AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 64),
-         tr AS (SELECT sh.doc_id AS train_doc, sh.h
-                FROM sh JOIN bk ON sh.doc_id = bk.doc_id
-                JOIN keep ON sh.h = keep.h WHERE bk.bucket < 8),
-         ev AS (SELECT sh.doc_id AS eval_doc, sh.h
-                FROM sh JOIN bk ON sh.doc_id = bk.doc_id
-                JOIN keep ON sh.h = keep.h WHERE bk.bucket >= 8)
-         SELECT train_doc, eval_doc, count(*) AS n_shared
-         FROM tr JOIN ev ON tr.h = ev.h
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_decontamination" -> deconOracleSql,
+    // T26b: the Bloom pre-prune only drops rows the equi-join would drop
+    // anyway (no false negatives), so its oracle is the SAME exact
+    // recomputation — a green row proves the pruned path loses nothing.
+    "q_decontamination_bloom" -> deconOracleSql,
 
     // T27: the oracle recomputes u, the per-lang ratios (explicit DOUBLE
     // casts — DuckDB parses bare decimals as DECIMAL, which would round
@@ -2025,6 +2111,19 @@ object SparkEntry {
            CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    // O6: conditional-aggregation recomputation of the pivot (the
+    // portable SQL form); every (day, type) cell is non-empty in the
+    // driver data, so count-0-vs-NULL semantics never diverge.
+    "q_pivot_daily" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(ty =>
+        s"""count(*) FILTER (WHERE event_type = '$ty') AS ${ty}_n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = '$ty')
+                AS DOUBLE) AS ${ty}_val""").mkString(",\n           ")
+      s"""SELECT CAST(ts AS DATE) AS day,
+           $cols
+         FROM events GROUP BY 1 ORDER BY 1"""
+    },
     // T32: token counts → top-200 by (count desc, token) → rank and
     // cumulative coverage over exact BIGINT sums, divided once at the end.
     "q_vocab_coverage" ->

@@ -304,4 +304,50 @@ class OpsSpec extends SparkSpec {
     assert(kept.size == 60, s"20 groups x cap 3, got ${kept.size}")
     assert(kept == sample(base.repartition(13).sortWithinPartitions(col("id").desc)))
   }
+
+  test("hll sketches: estimate within 5% and union == sketch-of-union semantics") {
+    val rng = new java.util.SplittableRandom(17)
+    // two overlapping key sets, skewed duplication (each key appears 1-8x)
+    val a = (0 until 30000).map(_ => rng.nextLong(50000))
+    val b = (0 until 30000).map(_ => rng.nextLong(50000) + 25000)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("src", "h")
+    val perSrc = df.groupBy("src").agg(
+      hll_sketch_agg(col("h"), lit(14)).as("sk"),
+      count_distinct(col("h")).as("n_exact"))
+    val rows = perSrc
+      .select(col("src"), col("n_exact"), hll_sketch_estimate(col("sk")).as("n_est"))
+      .as[(String, Long, Long)].collect().map { case (k, e, est) => k -> (e, est) }.toMap
+    rows.values.foreach { case (exact, est) =>
+      assert(math.abs(est - exact).toDouble / exact <= 0.05, s"per-src err: $exact vs $est")
+    }
+    // merged sketch over both sources estimates the distinct of the UNION
+    // (not the sum): the register-max merge dedups the overlap
+    val (uExact, uEst) = perSrc.agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+      .crossJoin(df.select(count_distinct(col("h")).as("n")))
+      .select(col("n"), hll_sketch_estimate(col("sk")))
+      .as[(Long, Long)].head()
+    val sumOfParts = rows.values.map(_._1).sum
+    assert(uExact < sumOfParts, "fixture must overlap or the union test is vacuous")
+    assert(math.abs(uEst - uExact).toDouble / uExact <= 0.05, s"union err: $uExact vs $uEst")
+  }
+
+  test("bloom prune: BF-filtered equi-join equals the exact join (no false negatives)") {
+    val rng = new java.util.SplittableRandom(23)
+    // skewed train side, small eval side with partial overlap
+    val train = (0 until 40000).map(i => (rng.nextLong(8000), i.toLong)).toDF("h", "train_doc")
+    val eval_ = (0 until 500).map(i => (rng.nextLong(16000), i.toLong)).toDF("h", "eval_doc")
+      .localCheckpoint()
+    val exact = train.join(eval_, "h")
+      .select("h", "train_doc", "eval_doc").as[(Long, Long, Long)].collect().toSet
+    val bf = eval_.stat.bloomFilter("h", 500, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val prunedSide = train.where(mightContain(col("h")))
+    val pruned = prunedSide.join(eval_, "h")
+      .select("h", "train_doc", "eval_doc").as[(Long, Long, Long)].collect().toSet
+    assert(pruned == exact)
+    // and the prune actually prunes (fpp 0.01 on a mostly-disjoint side)
+    val nPruned = prunedSide.count()
+    assert(nPruned < train.count() / 2, s"BF kept $nPruned of 40000 — not pruning")
+  }
 }

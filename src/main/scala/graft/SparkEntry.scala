@@ -1326,6 +1326,47 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // O7: unpivot (wide→long), driven THROUGH the pivot — the query
+    // materializes the wide per-day layout and melts it back, so a green
+    // row proves unpivot∘pivot is the identity on the long form (the
+    // oracle is the plain long-form aggregate, not a re-encoding of
+    // either operator).
+    "q_unpivot_daily" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = t(s, d, "events")
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+        .orderBy("day", "event_type")
+    }),
+
+    // A10: approximate quantiles (approx_percentile — Spark's
+    // KLL-family rank sketch): mergeable one-pass per-group state, the
+    // 100 TB shape where the exact twin (q_percentiles) needs a full
+    // per-group sort. Rows-only (sketch internals are engine-specific);
+    // each row carries the exact percentile twin computed in the same
+    // query and the absolute rank-normalized error, and OpsSpec pins the
+    // sketch's rank-accuracy guarantee on synthetic data.
+    "q_approx_quantiles" -> ((s, d) => {
+      val probs = array(lit(0.5), lit(0.9), lit(0.99))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_percentile(col("l_extendedprice"), probs, lit(10000)).as("ap"),
+          percentile(col("l_extendedprice"), probs).as("ep"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"),
+          round(col("ap").getItem(0), 2).as("p50_approx"),
+          round(col("ep").getItem(0), 2).as("p50_exact"),
+          round(col("ap").getItem(1), 2).as("p90_approx"),
+          round(col("ep").getItem(1), 2).as("p90_exact"),
+          round(col("ap").getItem(2), 2).as("p99_approx"),
+          round(col("ep").getItem(2), 2).as("p99_exact"))
+        .orderBy("l_returnflag")
+    }),
+
     // A9: mergeable-sketch distinct counts (Apache DataSketches HLL via
     // hll_sketch_agg / hll_union_agg) — the 100 TB shape for distinct
     // counting: per-source sketches build in one pass with O(lgK) state
@@ -2124,6 +2165,11 @@ object SparkEntry {
            $cols
          FROM events GROUP BY 1 ORDER BY 1"""
     },
+    // O7: the long-form aggregate directly — if pivot or unpivot bent a
+    // single cell, a row here diverges.
+    "q_unpivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // T32: token counts → top-200 by (count desc, token) → rank and
     // cumulative coverage over exact BIGINT sums, divided once at the end.
     "q_vocab_coverage" ->

@@ -331,6 +331,24 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(uEst - uExact).toDouble / uExact <= 0.05, s"union err: $uExact vs $uEst")
   }
 
+  test("approx quantiles: rank error within the sketch's accuracy bound") {
+    val rng = new java.util.SplittableRandom(29)
+    val n = 100000
+    val vals = Array.fill(n)(rng.nextDouble() * 1e6)
+    val df = vals.toSeq.toDF("v")
+    val probs = Seq(0.5, 0.9, 0.99)
+    val approx = df.agg(approx_percentile(col("v"),
+        array(probs.map(lit): _*), lit(10000)).as("ap"))
+      .select(col("ap")).as[Seq[Double]].head()
+    val sorted = vals.sorted
+    probs.zip(approx).foreach { case (p, a) =>
+      // accuracy 10000 guarantees rank error <= n/10000 = 10; allow 10x
+      // slack for interpolation at the target rank
+      val rank = sorted.count(_ <= a)
+      assert(math.abs(rank - p * n) <= n / 1000.0, s"p=$p approx=$a rank=$rank")
+    }
+  }
+
   test("bloom prune: BF-filtered equi-join equals the exact join (no false negatives)") {
     val rng = new java.util.SplittableRandom(23)
     // skewed train side, small eval side with partial overlap

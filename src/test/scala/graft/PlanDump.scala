@@ -369,6 +369,26 @@ object PlanDump {
           .join(kept2.where(col("bucket") >= 8)
             .select(col("h"), col("doc_id").as("eval_doc")), "h")
           .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("n_shared")))
+      // T26b bloom-pruned variant: the BF filter must sit UNDER the join
+      // exchange, on the train-side scan
+      val evalG = kept2.where(col("bucket") >= 8)
+        .select(col("h"), col("doc_id").as("eval_doc")).localCheckpoint()
+      val bf26 = evalG.stat.bloomFilter("h", math.max(evalG.count(), 1L), 0.01)
+      val bf26B = spark.sparkContext.broadcast(bf26)
+      val might26 = udf((h: Long) => bf26B.value.mightContainLong(h))
+      dump("T26b — decontamination with Bloom pre-prune (train >> eval regime)",
+        "Same join as T26, but a broadcast Bloom filter over the eval " +
+          "grams runs as a plain Filter DIRECTLY over the train-side " +
+          "gram projection — BELOW the join's Exchange — so ~99% of " +
+          "train grams are dropped map-side and the join shuffle " +
+          "shrinks from O(|train|) to O(|hits|). No false negatives; " +
+          "false positives fall through to the exact equi-join above, " +
+          "which is why this variant shares T26's oracle verbatim.",
+        kept2.where(col("bucket") < 8)
+          .select(col("h"), col("doc_id").as("train_doc"))
+          .where(might26(col("h")))
+          .join(evalG, "h")
+          .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("n_shared")))
       // T27 mixture reweighting: stats agg + tiny broadcast back
       val docsU = tdocs
         .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5))))

@@ -1367,7 +1367,7 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
-    // A9: mergeable-sketch distinct counts (Apache DataSketches HLL via
+    // A11: mergeable-sketch distinct counts (Apache DataSketches HLL via
     // hll_sketch_agg / hll_union_agg) — the 100 TB shape for distinct
     // counting: per-source sketches build in one pass with O(lgK) state
     // per group, persist as binary columns, and MERGE across

@@ -426,6 +426,51 @@ object PlanDump {
           .withColumn("kept", (col("u") < col("keep_p")).cast("long"))
           .groupBy(col("lang"), col("n_docs"), col("ratio"), col("keep_p"))
           .agg(sum(col("kept")).as("n_kept")))
+      // W4/O6/A11 harness shapes over a synthetic events frame
+      val tev = spark.range(0, 2000).select(
+        pmod(col("id"), lit(50)).as("user_id"),
+        (col("id") * 37).cast("timestamp").as("ts"),
+        col("id").as("event_id"),
+        concat(lit("t"), pmod(col("id"), lit(5))).as("event_type"),
+        (col("id") % 100).cast("double").as("value"))
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      dump("W4 — batch sessionization (gaps-and-islands)",
+        "ONE Exchange on user_id serves both the lag/running-sum Window " +
+          "and the downstream session hash-agg — groupBy(user_id, sid) is " +
+          "a strict refinement of the window partitioning, so Catalyst " +
+          "reuses the child distribution and no second shuffle appears " +
+          "between Window and HashAggregate.",
+        tev.withColumn("prev", lag(col("ts"), 1).over(byUser))
+          .withColumn("is_new", when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+            .otherwise(0L))
+          .withColumn("sid", sum(col("is_new")).over(byUser.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(count(lit(1)).as("n_events")))
+      dump("O6 — pivot with pinned values (long→wide)",
+        "With the value list pinned, NO distinct-values collect job " +
+          "precedes the aggregation (a discovered pivot runs a full " +
+          "extra scan + driver collect first) and the output schema is " +
+          "static. The plan is Spark's two-phase pivot: a partial+final " +
+          "pre-aggregate on (key, pivot value) that collapses the input " +
+          "to ≤ |keys|·|values| rows, then the pivot-case aggregate on " +
+          "the key — the second Exchange moves only the collapsed rows.",
+        tev.groupBy(col("user_id"))
+          .pivot("event_type", Seq("t0", "t1", "t2", "t3", "t4"))
+          .agg(count(lit(1))))
+      dump("A11 — mergeable HLL sketch distinct counts",
+        "Per-group sketches build map-side (partial ObjectHashAggregate " +
+          "with O(2^lgK) state per group), merge in the final agg, and " +
+          "the union rollup merges the 5 per-group sketch BINARIES — " +
+          "never rescanning rows. At 100 TB the per-day/per-source " +
+          "sketches persist as binary columns and every later rollup is " +
+          "register-union arithmetic on kilobytes.",
+        tev.groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("event_id"), lit(14)).as("sk"))
+          .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+          .select(hll_sketch_estimate(col("sk")).as("n_est")))
     }
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)

@@ -1268,6 +1268,21 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // T33: per-doc n-gram novelty — the memorization/duplication signal
+    // used in corpus analyses (Gopher §A.2, the Pile): the fraction of a
+    // doc's distinct char-24-grams whose FIRST corpus occurrence (min
+    // doc_id) is this doc. A corpus full of low-novelty docs is a corpus
+    // the dedup stages above will collapse. The 100 TB shape: n_grams is
+    // size() on the row-local distinct-shingle array (no explode, no
+    // join); the exploded grams feed ONE min hash-agg (map-side combine)
+    // whose OUTPUT — already collapsed to one row per distinct gram —
+    // feeds ONE count hash-agg keyed by first_doc; the only join is
+    // doc-level (corpus-cardinality, not gram-cardinality). Docs under 24
+    // norm chars are excluded on both sides (shingles() falls back to
+    // whole-string hashing below k, which has no SQL gram twin).
+    "q_ngram_novelty" -> ((s, d) =>
+      Curation.ngramNovelty(t(s, d, "documents")).orderBy("doc_id")),
+
     // J9: as-of join — every click gets the most recent preceding error
     // of the same user (see AsOf.asofJoin for the union-sort encoding and
     // why it scales where range joins explode). Oracle = DuckDB's NATIVE
@@ -1720,6 +1735,25 @@ object SparkEntry {
     // anyway (no false negatives), so its oracle is the SAME exact
     // recomputation — a green row proves the pruned path loses nothing.
     "q_decontamination_bloom" -> deconOracleSql,
+
+    // T33: full recomputation — same norm + gram-hash twins as T26:
+    // distinct grams per doc, first-occurrence min, per-doc novel counts
+    // and the ratio all rebuilt in SQL.
+    "q_ngram_novelty" ->
+      s"""WITH norm0 AS (${normSql("documents")}),
+         norm AS (SELECT * FROM norm0 WHERE length(s) >= 24),
+         gsrc AS (
+           SELECT doc_id, ${fnvFoldSql("substr(s, CAST(i AS INT), 24)")} AS zc0
+           FROM norm, unnest(generate_series(1, length(s) - 23)) AS t(i)),
+         ${mix64Ctes("gsrc", "nv")},
+         sh AS (SELECT DISTINCT doc_id, h FROM nv5),
+         fo AS (SELECT h, min(doc_id) AS doc_id FROM sh GROUP BY 1),
+         ng AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY 1),
+         nn AS (SELECT doc_id, count(*) AS n_novel FROM fo GROUP BY 1)
+         SELECT ng.doc_id, ng.n_grams, COALESCE(nn.n_novel, 0) AS n_novel,
+           round(CAST(COALESCE(nn.n_novel, 0) AS DOUBLE) / ng.n_grams, 6)
+             AS novelty
+         FROM ng LEFT JOIN nn ON ng.doc_id = nn.doc_id ORDER BY 1""",
 
     // T27: the oracle recomputes u, the per-lang ratios (explicit DOUBLE
     // casts — DuckDB parses bare decimals as DECIMAL, which would round

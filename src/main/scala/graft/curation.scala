@@ -98,4 +98,41 @@ object Curation {
         length(col("clean")).cast("long").as("clean_len"),
         md5(col("clean").cast("binary")).as("clean_hash"))
   }
+
+  /** T33: per-doc n-gram novelty — the memorization/duplication census of
+    * Gopher (§A.2) and Pile-style corpus analyses: the fraction of a
+    * doc's distinct char-k-grams whose FIRST corpus occurrence (min
+    * doc_id) is this doc. A corpus full of low-novelty docs is a corpus
+    * the dedup stages will collapse.
+    *
+    * The 100 TB shape: `n_grams` is `size()` on the row-local
+    * distinct-shingle array (no explode, no join); the exploded grams
+    * feed ONE min hash-agg (map-side partial combine) whose output —
+    * already collapsed to one row per distinct gram — feeds ONE count
+    * hash-agg keyed by the first doc; the only join is doc-level
+    * (corpus-cardinality, never gram-cardinality). The shingled
+    * projection is materialized once (localCheckpoint) because two
+    * consumers read it — swap for a table checkpoint when the corpus
+    * exceeds cluster storage. Docs under k normalized chars are excluded
+    * (shingles() falls back to whole-string hashing below k, which has
+    * no SQL gram twin).
+    */
+  def ngramNovelty(docs: DataFrame, k: Int = 24,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = docs
+      .withColumn("__norm", Text.normalizeCol(col(textCol)))
+      .where(length(col("__norm")) >= k)
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.GraftFunctions.shinglesCol(col("__norm"), k).as("hs"))
+      .localCheckpoint()
+    val nGrams = base.select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"))
+    val novel = base.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    nGrams.join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
 }

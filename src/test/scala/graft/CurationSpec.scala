@@ -60,4 +60,45 @@ class CurationSpec extends SparkSpec {
     // empty docs produce zero chunks → no output row (no content to keep or drop)
     assert(out.toSeq == Seq((3L, 1L)))
   }
+
+  test("ngramNovelty: first occurrence 1.0, verbatim copy 0.0, partial overlap in between") {
+    val a = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val c = "completely different content describing distributed analytics engines"
+    val docs = Seq(
+      (10L, a),                                  // all grams first-seen here
+      (20L, a),                                  // verbatim copy → nothing novel
+      (30L, c),                                  // unrelated → all novel
+      (40L, a + " with an extra novel tail of fresh text")) // shared prefix grams
+      .toDF("doc_id", "text")
+    val out = Curation.ngramNovelty(docs).orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(10L, 20L, 30L, 40L))
+    assert(out(0)._4 == 1.0 && out(0)._2 == out(0)._3)
+    assert(out(1)._4 == 0.0 && out(1)._3 == 0L)
+    assert(out(2)._4 == 1.0)
+    assert(out(3)._4 > 0.0 && out(3)._4 < 1.0, s"expected fractional, got ${out(3)._4}")
+  }
+
+  test("ngramNovelty excludes docs under k normalized chars and is partition-independent") {
+    val base = (0L until 100L).map(i =>
+      (i, if (i % 10 == 0) "tiny" else s"document number ${i % 7} carrying enough text to shingle properly"))
+    val a = Curation.ngramNovelty(base.toDF("doc_id", "text").repartition(5))
+    val b = Curation.ngramNovelty(
+      scala.util.Random.shuffle(base).toDF("doc_id", "text").repartition(9))
+    val as = a.orderBy("doc_id").collect().toSeq
+    assert(as == b.orderBy("doc_id").collect().toSeq)
+    // the 10 "tiny" docs are excluded entirely
+    assert(as.size == 90 && !as.exists(_.getLong(0) % 10 == 0))
+    // the 7 templates differ in ONE char, so they share most 24-grams:
+    // each template's first occurrence (docs 1–7; doc 0 is "tiny") has
+    // SOME novel grams around the differing char, every later repeat is
+    // a verbatim copy and scores exactly 0.
+    val firsts = Set(1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    as.foreach { r =>
+      val nov = r.getAs[Double]("novelty")
+      if (firsts(r.getLong(0))) assert(nov > 0.0, s"doc ${r.getLong(0)}")
+      else assert(nov == 0.0, s"doc ${r.getLong(0)} scored $nov")
+    }
+  }
 }

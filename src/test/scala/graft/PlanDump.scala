@@ -426,6 +426,16 @@ object PlanDump {
           .withColumn("kept", (col("u") < col("keep_p")).cast("long"))
           .groupBy(col("lang"), col("n_docs"), col("ratio"), col("keep_p"))
           .agg(sum(col("kept")).as("n_kept")))
+      // T33 n-gram novelty: the gram relation is aggregated, never joined
+      dump("T33 — per-doc n-gram novelty (first-occurrence census)",
+        "n_grams comes from size() on the row-local shingle array — no " +
+          "explode and no join for the denominator. The exploded grams " +
+          "feed ONE min HashAggregate (partial combine map-side) whose " +
+          "output is one row per DISTINCT gram; the count HashAggregate " +
+          "above it runs on that collapsed relation. The only join is " +
+          "doc-level: gram-cardinality data crosses exactly one " +
+          "exchange, as a partial-aggregated (gram, min_doc) stream.",
+        Curation.ngramNovelty(tdocs))
       // W4/O6/A11 harness shapes over a synthetic events frame
       val tev = spark.range(0, 2000).select(
         pmod(col("id"), lit(50)).as("user_id"),

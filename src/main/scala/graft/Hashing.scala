@@ -86,6 +86,66 @@ object Hashing {
     out
   }
 
+  // Seed for the single OPH hash pass — independent of every MinHash lane
+  // seed (drawn from the same splitmix64 family at a distinct offset).
+  final val OphSeed: Long = mix64(MinHashSeedBase ^ 0x09f4a7c15L)
+
+  /** Sentinel for a bin no shingle landed in (genuine bin minima are
+    * signed-i32-ranged, borrowed values < 2^39 — MaxValue collides with
+    * neither).
+    */
+  final val OphEmpty: Long = Long.MaxValue
+
+  /** One Permutation Hashing (Li, Owen, Zhang, NIPS 2012) with rotation
+    * densification (Shrivastava, Li, ICML 2014): ONE `mix64` per shingle
+    * fills `numBins` bins — the top log2(numBins) bits route to a bin, the
+    * signed low 32 bits are the candidate value, min per bin — instead of
+    * the 128 lane hashes per shingle the classic batched MinHash pays.
+    * Empty bins borrow from the nearest GENUINE (pre-densification)
+    * non-empty bin to the right (circular), offset by `t * 2^32` so a
+    * borrow at distance t can only match another borrow of the same
+    * source at the same distance — exactly the collision the estimator
+    * needs (two docs empty in the same bin for the same reason match; a
+    * genuine min never matches a borrow). P[bin_i(A)=bin_i(B)] ≈ J(A,B)
+    * and the estimate concentrates like full MinHash once sets are a few
+    * times larger than numBins.
+    *
+    * All-empty input (no shingles) returns all-OphEmpty — two empty docs
+    * compare equal, matching exactJaccard's empty-empty convention.
+    */
+  final def ophMinHash(shingles: Array[Long], numBins: Int): Array[Long] = {
+    require(numBins > 0 && (numBins & (numBins - 1)) == 0,
+      s"numBins must be a power of two, got $numBins")
+    val shift = 64 - Integer.numberOfTrailingZeros(numBins)
+    val mask = numBins - 1
+    val out = new Array[Long](numBins)
+    java.util.Arrays.fill(out, OphEmpty)
+    var i = 0
+    while (i < shingles.length) {
+      val h = mix64(shingles(i) ^ OphSeed)
+      val bin = (h >>> shift).toInt
+      val v = h.toInt.toLong // signed low 32 bits, same lane math as minHash
+      if (v < out(bin)) out(bin) = v
+      i += 1
+    }
+    if (shingles.length == 0) return out
+    // rotation densification over the genuine minima only: `filled` is the
+    // pre-densification occupancy, so a borrow never chains off a borrow
+    val filled = new Array[Boolean](numBins)
+    var b = 0
+    while (b < numBins) { filled(b) = out(b) != OphEmpty; b += 1 }
+    b = 0
+    while (b < numBins) {
+      if (!filled(b)) {
+        var t = 1
+        while (t < numBins && !filled((b + t) & mask)) t += 1
+        if (t < numBins) out(b) = out((b + t) & mask) + t.toLong * 0x100000000L
+      }
+      b += 1
+    }
+    out
+  }
+
   /** 64-bit SimHash (Charikar, STOC 2002) over token hashes plus the
     * perceptual hash: each 8-bit byte of `phash` is folded in as an extra
     * weighted feature so that images vote alongside caption tokens

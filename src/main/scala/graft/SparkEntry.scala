@@ -1283,6 +1283,37 @@ object SparkEntry {
     "q_ngram_novelty" -> ((s, d) =>
       Curation.ngramNovelty(t(s, d, "documents")).orderBy("doc_id")),
 
+    // T34: densified One-Permutation-Hashing MinHash — ONE mix64 per
+    // shingle instead of the 128 lane hashes of q_doc_minhash (the
+    // signature-stage cost at 10^12 images is dominated by that inner
+    // loop; OPH cuts it 128x at equal sketch width). Top-7 bits route to
+    // a bin, signed low-32 min per bin, empty bins rotation-densified
+    // (Shrivastava/Li ICML 2014). Fully DuckDB-oracled: the oracle
+    // recomputes every bin via the splitmix64 HUGEINT twin INCLUDING the
+    // densification rule, and checks the first 8 bins verbatim plus the
+    // sum over all 128 (so a drift in any bin fails the row).
+    "q_doc_minhash_oph" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val cfg = DedupConfig()
+      t(s, d, "documents")
+        .withColumn("norm", Text.normalizeCol(col("text")))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.ophMinhashCol(
+            graft.functions.GraftFunctions.shinglesCol(col("norm"), cfg.shingleK),
+            128).as("oph"))
+        .select(col("doc_id"),
+          concat_ws(",", slice(col("oph"), 1, 8)).as("oph_head"),
+          aggregate(col("oph"), lit(0L), (a, x) => a + x).as("oph_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // T35: corpus-trained bigram-LM cross-entropy / perplexity (the CCNet
+    // quality filter, self-trained). See Curation.lmCrossEntropy for the
+    // 100 TB plan shape. Oracle recomputes the whole LM — token stream,
+    // smoothed bigram probabilities, per-doc NLL — from raw text.
+    "q_lm_perplexity" -> ((s, d) =>
+      Curation.lmCrossEntropy(t(s, d, "documents")).orderBy("doc_id")),
+
     // J9: as-of join — every click gets the most recent preceding error
     // of the same user (see AsOf.asofJoin for the union-sort encoding and
     // why it scales where range joins explode). Oracle = DuckDB's NATIVE
@@ -1754,6 +1785,79 @@ object SparkEntry {
            round(CAST(COALESCE(nn.n_novel, 0) AS DOUBLE) / ng.n_grams, 6)
              AS novelty
          FROM ng LEFT JOIN nn ON ng.doc_id = nn.doc_id ORDER BY 1""",
+
+    // T34: full recomputation of the OPH sketch — gram hashes, the single
+    // oph-seeded mix64, top-7-bit bin routing, signed low-32 min per bin,
+    // and the rotation-densification borrow (nearest genuine bin to the
+    // right, circular, + t*2^32) — then the head-8 bins verbatim and the
+    // 128-bin sum, in ONE pass over allb (head via FILTER): referencing
+    // allb twice makes DuckDB re-inline the whole borrow/window chain
+    // into a pathological plan (>100 CPU-min at sf0.1 vs 9 s single-pass).
+    "q_doc_minhash_oph" -> {
+      val seed = unsigned(Hashing.OphSeed)
+      s"""WITH norm AS (${normSql("documents")}),
+         grams AS (
+           SELECT doc_id, ${fnvFoldSql("substr(s, CAST(i AS INT), 5)")} AS zc0
+           FROM norm, unnest(generate_series(1, length(s) - 4)) AS t(i)),
+         ${mix64Ctes("grams", "og")},
+         sh AS (SELECT DISTINCT doc_id, h FROM og5),
+         ox AS (SELECT doc_id, xor(h, $seed::HUGEINT) AS zc0 FROM sh),
+         ${mix64Ctes("ox", "oh")},
+         hv AS (SELECT doc_id, h >> 57 AS bin,
+             CASE WHEN h % 4294967296 >= 2147483648
+                  THEN h % 4294967296 - 4294967296
+                  ELSE h % 4294967296 END AS v
+           FROM oh5),
+         mins AS (SELECT doc_id, bin, min(v) AS mv FROM hv GROUP BY 1, 2),
+         grid AS (SELECT doc_id, b
+           FROM (SELECT DISTINCT doc_id FROM sh)
+           CROSS JOIN unnest(generate_series(0, 127)) AS t(b)),
+         emptyb AS (SELECT g.doc_id, g.b FROM grid g LEFT JOIN mins m
+           ON g.doc_id = m.doc_id AND g.b = m.bin WHERE m.mv IS NULL),
+         borrow AS (
+           SELECT doc_id, b, mv + t * 4294967296 AS v FROM (
+             SELECT e.doc_id, e.b, s.t, m.mv,
+               row_number() OVER (PARTITION BY e.doc_id, e.b ORDER BY s.t)
+                 AS rk
+             FROM emptyb e
+             CROSS JOIN unnest(generate_series(1, 127)) AS s(t)
+             JOIN mins m
+               ON m.doc_id = e.doc_id AND m.bin = (e.b + s.t) % 128)
+           WHERE rk = 1),
+         allb AS (SELECT doc_id, bin AS b, mv AS v FROM mins
+                  UNION ALL SELECT doc_id, b, v FROM borrow)
+         SELECT doc_id,
+           string_agg(CAST(v AS VARCHAR), ',' ORDER BY b)
+             FILTER (WHERE b < 8) AS oph_head,
+           CAST(sum(v) AS BIGINT) AS oph_sum
+         FROM allb GROUP BY doc_id ORDER BY doc_id"""
+    },
+
+    // T35: the oracle retrains the bigram LM from raw text — token list,
+    // unigram/bigram counts, vocab size, add-one-smoothed NLL per bigram
+    // occurrence — and reproduces the per-doc averages (rounded; the sum
+    // order differs between engines).
+    "q_lm_perplexity" ->
+      s"""WITH norm AS (${normSql("documents")}),
+         tk AS (SELECT doc_id, string_split(s, ' ') AS l FROM norm),
+         tk2 AS (SELECT doc_id, l FROM tk WHERE len(l) >= 2),
+         bg AS (SELECT doc_id, l[CAST(i AS INT)] AS w1,
+                  l[CAST(i + 1 AS INT)] AS w2
+                FROM tk2, unnest(generate_series(1, len(l) - 1)) AS t(i)),
+         uni AS (SELECT l[CAST(i AS INT)] AS w1
+                 FROM tk2, unnest(generate_series(1, len(l))) AS t(i)),
+         c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         vv AS (SELECT count(*) AS v FROM c1),
+         per AS (SELECT doc_id, count(*) AS n_bigrams,
+                   sum(ln(CAST(c1.c1 + vv.v AS DOUBLE) / (c2.c2 + 1))) AS sm
+                 FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                 CROSS JOIN vv
+                 GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+           round(sm / n_bigrams, 4) AS cross_entropy,
+           round(exp(sm / n_bigrams), 2) AS ppl
+         FROM per ORDER BY doc_id""",
 
     // T27: the oracle recomputes u, the per-lang ratios (explicit DOUBLE
     // casts — DuckDB parses bare decimals as DECIMAL, which would round

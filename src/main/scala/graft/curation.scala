@@ -99,6 +99,60 @@ object Curation {
         md5(col("clean").cast("binary")).as("clean_hash"))
   }
 
+  /** T35 — corpus-trained bigram-LM cross-entropy (the CCNet perplexity
+    * quality filter, Wenzek et al., LREC 2020, self-trained instead of
+    * Wikipedia-trained so it needs no external model): add-one-smoothed
+    * bigram probabilities p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) are estimated
+    * on the corpus itself, and each doc is scored by the average negative
+    * log-likelihood of its bigrams (cross_entropy; ppl = exp of it).
+    * High-ppl docs are the gibberish tail, low-ppl docs the boilerplate
+    * tail — CCNet keeps the middle.
+    *
+    * The 100 TB shape: tokenization and bigram construction are ROW-LOCAL
+    * (one transform over the token array, one explode at bigram
+    * granularity); the count relations c1/c2 are vocab- and
+    * bigram-vocab-bounded hash aggregates with map-side partial combine
+    * (far below corpus cardinality); the per-doc relation is collapsed to
+    * (doc, w1, w2, multiplicity) BEFORE the count joins, so each join is
+    * many-to-ONE on a hash-partitioned key — Zipfian hot tokens skew
+    * partition sizes but can't explode rows, and AQE's skew-join split
+    * handles the residual imbalance. V rides as a broadcast one-row
+    * aggregate; the corpus is never collected. Docs under 2 tokens have
+    * no bigrams and are excluded.
+    */
+  def lmCrossEntropy(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(Text.normalizeCol(col(textCol)), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      // three consumers (doc bigrams, bigram counts, unigram counts) —
+      // materialize the tokenized projection once
+      .localCheckpoint()
+    val bg = base.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val docBg = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val uni = base.select(explode(col("toks")).as("w1"))
+    val c1 = uni.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vdf = c1.agg(count(lit(1)).as("v"))
+    docBg.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vdf))
+      .withColumn("nll",
+        col("m") * log((col("c1") + col("v")).cast("double") / (col("c2") + 1)))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_bigrams"), sum(col("nll")).as("s"))
+      // rounded at the output boundary: the sum order differs between
+      // engines, so raw doubles diverge in the last ulps
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s") / col("n_bigrams"), 4).as("cross_entropy"),
+        round(exp(col("s") / col("n_bigrams")), 2).as("ppl"))
+  }
+
   /** T33: per-doc n-gram novelty — the memorization/duplication census of
     * Gopher (§A.2) and Pile-style corpus analyses: the fraction of a
     * doc's distinct char-k-grams whose FIRST corpus occurrence (min

@@ -113,6 +113,30 @@ case class WinnowExpr(child: Expression, k: Int, minSpan: Int)
     copy(child = newChild)
 }
 
+/** shingle set (array<long>) → densified One-Permutation-Hashing sketch
+  * (array<long>, numBins entries). ONE hash per shingle instead of
+  * numPerms — the 100 TB signature-stage cost reduction
+  * ([[graft.Hashing.ophMinHash]]; Li/Owen/Zhang NIPS 2012, Shrivastava/Li
+  * ICML 2014).
+  */
+case class OphMinHashExpr(child: Expression, numBins: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_oph_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      Hashing.ophMinHash(input.asInstanceOf[ArrayData].toLongArray(), numBins))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.Hashing.ophMinHash($c.toLongArray(), $numBins));")
+
+  override protected def withNewChildInternal(newChild: Expression): OphMinHashExpr =
+    copy(child = newChild)
+}
+
 /** 64-bit splitmix64 finalizer over a long — the engine's id-space mixer
   * ([[graft.Hashing.mix64]]) exposed as a column. Powers the deterministic
   * sampling/split family (SURVEY.md §2.11 T19/T20): reproducible
@@ -179,6 +203,10 @@ object GraftFunctions {
       "graft_mix64",
       es => Mix64Expr(es.head),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_oph_minhash",
+      es => OphMinHashExpr(es.head, litInt(es(1))),
+      "built-in")
   }
 
   private def litInt(e: Expression): Int = e.eval() match {
@@ -197,4 +225,6 @@ object GraftFunctions {
     call_function("graft_winnow", normCaption, lit(k), lit(minSpan))
   def mix64Col(id: Column): Column =
     call_function("graft_mix64", id)
+  def ophMinhashCol(shingles: Column, numBins: Int): Column =
+    call_function("graft_oph_minhash", shingles, lit(numBins))
 }

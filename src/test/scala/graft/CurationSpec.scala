@@ -101,4 +101,41 @@ class CurationSpec extends SparkSpec {
       else assert(nov == 0.0, s"doc ${r.getLong(0)} scored $nov")
     }
   }
+
+  test("lmCrossEntropy matches the hand-computed add-one bigram LM") {
+    // corpus: doc1 = "a b a b", doc2 = "a b", doc3 = "x" (1 token → excluded)
+    // c1: a=3 b=3; V=2; c2: (a,b)=3 (b,a)=1
+    // nll(a,b) = ln((3+2)/(3+1)) = ln 1.25; nll(b,a) = ln((3+2)/(1+1)) = ln 2.5
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = Curation.lmCrossEntropy(docs).orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "cross_entropy", "ppl")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    val ce1 = (2 * math.log(1.25) + math.log(2.5)) / 3
+    assert(out(0)._2 == 3L)
+    assert(out(0)._3 == BigDecimal(ce1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0)._4 == BigDecimal(math.exp(ce1)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1)._2 == 1L && out(1)._3 == 0.2231 && out(1)._4 == 1.25)
+  }
+
+  test("lmCrossEntropy ranks gibberish above natural repetition and is partition-independent") {
+    // 60 docs from 3 repeated templates (low ppl) + 6 one-off token-salad
+    // docs (every bigram unique → max smoothing penalty, high ppl)
+    val common = (0L until 60L).map(i =>
+      (i, s"the cat sat on the mat ${i % 3} and purred softly"))
+    val rare = (100L until 106L).map(i =>
+      (i, s"zq${i} vx${i * 7} kj${i * 13} wp${i * 31} bn${i * 57}"))
+    val base = common ++ rare
+    val a = Curation.lmCrossEntropy(base.toDF("doc_id", "text").repartition(7))
+      .orderBy("doc_id").collect().toSeq
+    val b = Curation.lmCrossEntropy(
+      scala.util.Random.shuffle(base).toDF("doc_id", "text").repartition(3))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "LM scores must not depend on partitioning or input order")
+    val ppl = a.map(r => r.getLong(0) -> r.getAs[Double]("ppl")).toMap
+    val maxCommon = common.map(c => ppl(c._1)).max
+    val minRare = rare.map(c => ppl(c._1)).min
+    assert(minRare > maxCommon,
+      s"gibberish ppl $minRare should exceed template ppl $maxCommon")
+  }
 }

@@ -66,6 +66,44 @@ class HashingSpec extends AnyFunSuite {
     assert(s1 != s2)
   }
 
+  test("ophMinHash: deterministic, numBins-wide, power-of-two enforced") {
+    val x = Hashing.shingles("the quick brown fox jumps over the lazy dog", 5)
+    val o = Hashing.ophMinHash(x, 128)
+    assert(o.length == 128)
+    assert(o.sameElements(Hashing.ophMinHash(x, 128)))
+    intercept[IllegalArgumentException](Hashing.ophMinHash(x, 100))
+    // empty input → all-empty sentinel (two empty docs compare equal)
+    assert(Hashing.ophMinHash(Array.emptyLongArray, 16)
+      .forall(_ == Hashing.OphEmpty))
+  }
+
+  test("ophMinHash densification: one shingle fills every bin via circular borrow") {
+    val sh = Array(12345L)
+    val h = Hashing.mix64(12345L ^ Hashing.OphSeed)
+    val g = (h >>> 57).toInt // the single genuine bin
+    val v = h.toInt.toLong
+    val o = Hashing.ophMinHash(sh, 128)
+    assert(o(g) == v)
+    for (b <- 0 until 128 if b != g) {
+      val t = ((g - b) & 127).toLong // distance to the genuine bin, rightward circular
+      assert(o(b) == v + t * 0x100000000L, s"bin $b")
+    }
+  }
+
+  test("ophMinHash estimates Jaccard like full MinHash once sets >> bins") {
+    // 600 shared + 400/400 unique → J = 0.4286, load factor ~11 per bin
+    val rng = new java.util.SplittableRandom(11)
+    val shared = Array.fill(600)(rng.nextLong())
+    val a = shared ++ Array.fill(400)(rng.nextLong())
+    val b = shared ++ Array.fill(400)(rng.nextLong())
+    val trueJ = 600.0 / 1400.0
+    val oa = Hashing.ophMinHash(a, 128)
+    val ob = Hashing.ophMinHash(b, 128)
+    val est = oa.zip(ob).count { case (x, y) => x == y } / 128.0
+    assert(math.abs(est - trueJ) < 4 * math.sqrt(trueJ * (1 - trueJ) / 128),
+      s"est=$est trueJ=$trueJ")
+  }
+
   test("exactJaccard oracle") {
     assert(Hashing.exactJaccard(Array(1L, 2L, 3L).sorted, Array(2L, 3L, 4L).sorted) == 0.5)
     assert(Hashing.exactJaccard(Array.emptyLongArray, Array.emptyLongArray) == 1.0)

@@ -273,6 +273,23 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"), plan)
   }
 
+  test("ophMinhashCol: matches the scala kernel and stays in whole-stage codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq("the quick brown fox", "jumps over the lazy dog", "ab", "")
+    val got = texts.toDF("t")
+      .select(graft.functions.GraftFunctions.ophMinhashCol(
+        graft.functions.GraftFunctions.shinglesCol(col("t"), 5), 32).as("o"))
+      .as[Array[Long]].collect()
+    texts.zip(got).foreach { case (t, o) =>
+      assert(o.sameElements(Hashing.ophMinHash(Hashing.shingles(t, 5), 32)), t)
+    }
+    val plan = spark.range(100)
+      .select(graft.functions.GraftFunctions.ophMinhashCol(
+        graft.functions.GraftFunctions.shinglesCol(col("id").cast("string"), 2), 16))
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"), plan)
+  }
+
   test("hash split: assignment is invariant under partitioning and input order") {
     graft.functions.GraftFunctions.register(spark)
     def split(df: org.apache.spark.sql.DataFrame) = df

@@ -436,7 +436,33 @@ object PlanDump {
           "doc-level: gram-cardinality data crosses exactly one " +
           "exchange, as a partial-aggregated (gram, min_doc) stream.",
         Curation.ngramNovelty(tdocs))
-      // W4/O6/A11 harness shapes over a synthetic events frame
+      // T34 OPH MinHash: the whole sketch is one codegen projection
+      graft.functions.GraftFunctions.register(spark)
+      dump("T34 — densified OPH MinHash signature (OphMinHashExpr)",
+        "The entire sketch — shingling, the single mix64 per shingle, " +
+          "bin routing, per-bin min, rotation densification — is ONE " +
+          "whole-stage-codegen Project over the scan: no Exchange, no " +
+          "aggregation, no UDF boundary. This is the stage whose per-" +
+          "shingle cost the OPH construction cuts 128× vs the per-lane " +
+          "MinHash (each output row costs one mix64 per shingle instead " +
+          "of numPerms).",
+        tdocs.select(col("doc_id"),
+          graft.functions.GraftFunctions.ophMinhashCol(
+            graft.functions.GraftFunctions.shinglesCol(
+              Text.normalizeCol(col("text")), 5), 128).as("oph")))
+      // T35 LM cross-entropy: counts are vocab-bounded, joins many-to-one
+      dump("T35 — corpus-trained bigram-LM cross-entropy (Curation.lmCrossEntropy)",
+        "Tokenization + bigram construction are row-local (one transform " +
+          "+ one explode off the checkpointed token projection). The " +
+          "count relations c1/c2 are vocab-bounded HashAggregates with " +
+          "map-side partial combine; the per-doc side collapses to " +
+          "(doc, w1, w2, multiplicity) BEFORE the count joins, so both " +
+          "joins are many-to-ONE on hash-partitioned keys — Zipfian hot " +
+          "tokens skew partitions but cannot multiply rows, and AQE's " +
+          "skew split handles the residue. V rides as a one-row " +
+          "BroadcastNestedLoopJoin; the final per-doc NLL is one more " +
+          "HashAggregate on doc_id.",
+        Curation.lmCrossEntropy(tdocs))
       val tev = spark.range(0, 2000).select(
         pmod(col("id"), lit(50)).as("user_id"),
         (col("id") * 37).cast("timestamp").as("ts"),

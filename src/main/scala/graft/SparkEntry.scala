@@ -16,6 +16,83 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared tail of q_doc_near_dup_lsh / q_doc_near_dup_oph: LSH band
+    * candidates over the 128-entry `minhash` sketch column (per-lane
+    * MinHash or the densified OPH sketch — both estimate J by the
+    * fraction of equal entries, so banding and gate are identical),
+    * then exact 5-gram Jaccard gated at 0.7.
+    *
+    * The driver corpus is dup-saturated: at sf0.1 LSH emits 1.42M
+    * candidate pairs over 5000 docs. Exact 5-gram-array Jaccard per
+    * candidate costs O(|doc|) string hashing per pair (measured 90 s+ —
+    * and the inlined `inter` expression is re-evaluated by the filter,
+    * tripling it). So this uses the engine's own retrieval-for-recall /
+    * score-for-precision split (scoring.scala):
+    * 1) gate candidates on the signature estimate — 128 equal-entry
+    *    compares per pair, whole-stage codegen;
+    * 2) exact-verify only survivors. Completeness of the gate: a true
+    *    J ≥ 0.7 pair has est-mean ≥ 0.7, σ = √(J(1-J)/128) ≤ 0.044 —
+    *    gating at 0.5 is a ≥ 4.5σ margin (P(miss) < 5e-7 per pair;
+    *    empirically exact on the fixed driver datasets at both SFs,
+    *    checked against the all-pairs DuckDB oracle).
+    *
+    * Explicit broadcasts: a localCheckpointed relation reports no size
+    * stats, so AQE planned the gate joins SORT-MERGE — two full
+    * shuffle+sorts of the 1.42M-pair relation carrying the sketch arrays
+    * (measured: 17.6 s as SMJ vs 2.9 s broadcast on the same build).
+    * 5k sigs ≈ 2.7 MB — the same cardinality rule Scoring.score applies
+    * in the engine path.
+    */
+  /** All-pairs exact 5-gram Jaccard ≥ 0.7 — the sketch-blind oracle both
+    * near-dup queries must reproduce (thresholded on the ROUNDED value,
+    * matching the Spark side, so no boundary pair flips on FP order).
+    */
+  private val nearDupExactOracleSql: String =
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+         FROM documents, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
+       counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       pairs AS (
+         SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         GROUP BY 1, 2)
+       SELECT a, b,
+         round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+       FROM pairs
+       JOIN counts ca ON pairs.a = ca.doc_id
+       JOIN counts cb ON pairs.b = cb.doc_id
+       WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) >= 0.7
+       ORDER BY a, b"""
+
+  private def nearDupExact(docs: DataFrame, sigs: DataFrame,
+                           cfg: DedupConfig): DataFrame = {
+    val cands = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg)
+    val est = cands
+      .join(broadcast(sigs.select(col("id").as("a"), col("minhash").as("ma"))), "a")
+      .join(broadcast(sigs.select(col("id").as("b"), col("minhash").as("mb"))), "b")
+      .where(aggregate(zip_with(col("ma"), col("mb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v) >= (0.5 * cfg.numPerms).toInt)
+      .select(col("a"), col("b"))
+      .localCheckpoint() // small survivor set, consumed three times below
+    val estIds = est.select(col("a").as("id"))
+      .union(est.select(col("b").as("id"))).distinct()
+    val sh = docs.join(estIds.hint("broadcast"), Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+          i => col("text").substr(i, lit(5)))).as("sh"))
+    est
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")), 4))
+      .where(col("jaccard") >= 0.7)
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy("a", "b")
+  }
+
   /** Flagship: the full near-dup pipeline on a deterministic fixture
     * corpus (driver smoke-checks rows > 0 on sf0.001).
     */
@@ -946,6 +1023,7 @@ object SparkEntry {
     // on the driver's fixed datasets is verified empirically (sf0.01 and
     // sf0.1) and is deterministic (seeded hashes, fixed data).
     "q_doc_near_dup_lsh" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val cfg = DedupConfig()
       val docs = t(s, d, "documents")
         .select(col("doc_id").as("id"), col("text")) // docs have i64 ids
@@ -955,50 +1033,28 @@ object SparkEntry {
         graft.functions.GraftFunctions.minhashCol(
           graft.functions.GraftFunctions.shinglesCol(col("text"), 5),
           cfg.numPerms).as("minhash")).localCheckpoint()
-      // The driver corpus is dup-saturated: at sf0.1 LSH emits 1.42M
-      // candidate pairs over 5000 docs. Exact 5-gram-array Jaccard per
-      // candidate costs O(|doc|) string hashing per pair (measured 90 s+
-      // — and the inlined `inter` expression is re-evaluated by the
-      // filter, tripling it). So this query uses the engine's own
-      // retrieval-for-recall / score-for-precision split (scoring.scala):
-      // 1) gate candidates on the MinHash signature estimate — 128
-      //    equal-lane compares per pair, whole-stage codegen;
-      // 2) exact-verify only survivors. Completeness of the gate: a true
-      //    J ≥ 0.7 pair has est-mean ≥ 0.7, σ = √(J(1-J)/128) ≤ 0.044 —
-      //    gating at 0.5 is a ≥ 4.5σ margin (P(miss) < 5e-7 per pair;
-      //    empirically exact on the fixed driver datasets at both SFs,
-      //    checked against the all-pairs DuckDB oracle).
-      val cands = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg)
-      // explicit broadcast: a localCheckpointed relation reports no size
-      // stats, so AQE planned these joins SORT-MERGE — two full
-      // shuffle+sorts of the 1.42M-pair relation carrying 128-int arrays
-      // (measured: the gate was 17.6 s as SMJ vs 2.9 s broadcast on the
-      // same build). 5k sigs ≈ 2.7 MB — the same cardinality rule
-      // Scoring.score applies in the engine path.
-      val est = cands
-        .join(broadcast(sigs.select(col("id").as("a"), col("minhash").as("ma"))), "a")
-        .join(broadcast(sigs.select(col("id").as("b"), col("minhash").as("mb"))), "b")
-        .where(aggregate(zip_with(col("ma"), col("mb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v) >= (0.5 * cfg.numPerms).toInt)
-        .select(col("a"), col("b"))
-        .localCheckpoint() // small survivor set, consumed three times below
-      val estIds = est.select(col("a").as("id"))
-        .union(est.select(col("b").as("id"))).distinct()
-      val sh = docs.join(estIds.hint("broadcast"), Seq("id"), "left_semi")
-        .select(col("id"),
-          array_distinct(transform(
-            sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
-            i => col("text").substr(i, lit(5)))).as("sh"))
-      est
-        .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
-        .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-        .withColumn("jaccard", round(col("inter").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("inter")), 4))
-        .where(col("jaccard") >= 0.7)
-        .select(col("a"), col("b"), col("jaccard"))
-        .orderBy("a", "b")
+      nearDupExact(docs, sigs, cfg)
+    }),
+
+    // T34 end-to-end: the SAME banding/gate/verify machinery fed by the
+    // densified OPH sketch instead of per-lane MinHash — the drop-in
+    // 128×-cheaper signature for the dedup path. Same oracle as
+    // q_doc_near_dup_lsh (the exact >=0.7 pair set recomputed all-pairs),
+    // so the green row verifies OPH candidate COMPLETENESS through the
+    // band join too: P[bin match] ≈ J for the densified sketch
+    // (Shrivastava/Li ICML 2014), so the b=42/r=3 band-collision and
+    // 0.5-gate margins of the classic query carry over; empirically exact
+    // on the fixed driver datasets at both SFs.
+    "q_doc_near_dup_oph" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val cfg = DedupConfig()
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val sigs = docs.select(col("id"),
+        graft.functions.GraftFunctions.ophMinhashCol(
+          graft.functions.GraftFunctions.shinglesCol(col("text"), 5),
+          cfg.numPerms).as("minhash")).localCheckpoint()
+      nearDupExact(docs, sigs, cfg)
     }),
 
     // X1 suffix-array substring pass, fully oracled: winnowing guarantees
@@ -2050,22 +2106,10 @@ object SparkEntry {
       """SELECT label, count(*) AS n, min(len(embedding)) AS dim,
          round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_e1
          FROM embeddings GROUP BY label ORDER BY label""",
-    "q_doc_near_dup_lsh" ->
-      """WITH sh AS (
-           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
-           FROM documents, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
-         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         pairs AS (
-           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-           GROUP BY 1, 2)
-         SELECT a, b,
-           round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
-         FROM pairs
-         JOIN counts ca ON pairs.a = ca.doc_id
-         JOIN counts cb ON pairs.b = cb.doc_id
-         WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) >= 0.7
-         ORDER BY a, b""",
+    "q_doc_near_dup_lsh" -> nearDupExactOracleSql,
+    // same exact pair set: the OPH query differs only in which sketch
+    // generates candidates, and the oracle is sketch-blind (all-pairs)
+    "q_doc_near_dup_oph" -> nearDupExactOracleSql,
     "q_doc_span_pairs" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
          g24 AS (

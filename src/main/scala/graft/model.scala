@@ -97,9 +97,18 @@ final case class DedupConfig(
     //   snapshot (Iceberg compaction cadence twin). Bounds both the
     //   read-side delta chain and the amortized write cost:
     //   O(corpus/K + churn) per batch instead of O(corpus).
+    useOphSignatures: Boolean = false, // one-permutation-hashing MinHash
+    //   (Hashing.ophMinHash): ONE hash per shingle instead of numPerms —
+    //   the signature-stage CPU cut at 10¹² rows. Same 128-entry sketch
+    //   shape, same banding/gate math (P[bin match] ≈ J), value-verified
+    //   drop-in (q_doc_near_dup_oph reproduces the exact-Jaccard oracle;
+    //   PipelineSpec pins golden clusters under the flag). Default off:
+    //   the classic per-lane form is the BASELINE.json:L6 config.
     seed: Long = 42L
 ) {
   require(bands * rowsPerBand <= numPerms, "b*r must fit in numPerms")
+  require(!useOphSignatures || (numPerms & (numPerms - 1)) == 0,
+    "OPH needs a power-of-two bin count")
   require(simhashBlocks > simhashMaxHamming, "pigeonhole needs q > h")
 
   /** Stable hash of the config — stored in the run manifest; resume refuses

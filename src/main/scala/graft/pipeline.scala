@@ -273,7 +273,12 @@ object DedupJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val cfg = DedupConfig()
+    // --oph-signatures true swaps the signature sketch for the densified
+    // OPH form (model.scala useOphSignatures) — flows into configHash, so
+    // a resume against classic-sketch snapshots refuses (the sketches are
+    // not comparable).
+    val cfg = DedupConfig(useOphSignatures =
+      argMap.get("--oph-signatures").exists(_.toBoolean))
     val priorCommits = java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$out/_manifest/config.hash"))
     if (priorCommits && !resume)

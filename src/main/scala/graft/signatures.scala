@@ -34,9 +34,16 @@ object Signatures {
         col("image_id"),
         col("id"),
         col("norm"),
-        GraftFunctions
-          .minhashCol(
+        // cfg.useOphSignatures swaps the per-lane MinHash for the
+        // densified OPH sketch — same width, same banding math, one hash
+        // per shingle instead of numPerms (the 10¹²-row CPU lever); both
+        // are single codegen projections.
+        (if (cfg.useOphSignatures)
+          GraftFunctions.ophMinhashCol(
             GraftFunctions.shinglesCol(col("norm"), cfg.shingleK), cfg.numPerms)
+        else
+          GraftFunctions.minhashCol(
+            GraftFunctions.shinglesCol(col("norm"), cfg.shingleK), cfg.numPerms))
           .as("minhash"),
         GraftFunctions.simhashCol(col("norm"), col("phash")).as("simhash"))
   }

@@ -71,4 +71,21 @@ class PipelineSpec extends SparkSpec {
     val again = Pipeline.run(corpus.toDF(), cfg).clusters
     assert(result.clusters.exceptAll(again).isEmpty && again.exceptAll(result.clusters).isEmpty)
   }
+
+  test("OPH signature path reproduces the golden clusters (drop-in sketch swap)") {
+    val r = Pipeline.run(corpus.toDF(), cfg.copy(useOphSignatures = true))
+    val clusters = r.clusters.cache()
+    val golden = Fixtures.goldenClusters(spark, nClusters).toDF()
+    val diff = clusters
+      .join(golden.withColumnRenamed("cluster_id", "expected"), "image_id")
+      .filter($"cluster_id" =!= $"expected").count()
+    assert(diff == 0, s"$diff assignments differ from golden under OPH")
+    val labels = Fixtures.pairLabels(spark, nClusters).toDF()
+    val falseMerges = labels.filter(!$"label")
+      .join(clusters.select($"image_id".as("a"), $"cluster_id".as("ca")), "a")
+      .join(clusters.select($"image_id".as("b"), $"cluster_id".as("cb")), "b")
+      .filter($"ca" === $"cb").count()
+    assert(falseMerges == 0)
+    clusters.unpersist()
+  }
 }

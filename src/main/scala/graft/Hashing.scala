@@ -114,8 +114,10 @@ object Hashing {
     * compare equal, matching exactJaccard's empty-empty convention.
     */
   final def ophMinHash(shingles: Array[Long], numBins: Int): Array[Long] = {
-    require(numBins > 0 && (numBins & (numBins - 1)) == 0,
-      s"numBins must be a power of two, got $numBins")
+    // ≥2: numBins=1 would make shift=64, a no-op on the JVM (shift counts
+    // are mod 64), routing every shingle to an arbitrary out-of-range bin
+    require(numBins > 1 && (numBins & (numBins - 1)) == 0,
+      s"numBins must be a power of two >= 2, got $numBins")
     val shift = 64 - Integer.numberOfTrailingZeros(numBins)
     val mask = numBins - 1
     val out = new Array[Long](numBins)

@@ -16,6 +16,27 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** All-pairs exact 5-gram Jaccard ≥ 0.7 — the sketch-blind oracle both
+    * near-dup queries must reproduce (thresholded on the ROUNDED value,
+    * matching the Spark side, so no boundary pair flips on FP order).
+    */
+  private val nearDupExactOracleSql: String =
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+         FROM documents, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
+       counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       pairs AS (
+         SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         GROUP BY 1, 2)
+       SELECT a, b,
+         round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+       FROM pairs
+       JOIN counts ca ON pairs.a = ca.doc_id
+       JOIN counts cb ON pairs.b = cb.doc_id
+       WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) >= 0.7
+       ORDER BY a, b"""
+
   /** Shared tail of q_doc_near_dup_lsh / q_doc_near_dup_oph: LSH band
     * candidates over the 128-entry `minhash` sketch column (per-lane
     * MinHash or the densified OPH sketch — both estimate J by the
@@ -43,27 +64,6 @@ object SparkEntry {
     * 5k sigs ≈ 2.7 MB — the same cardinality rule Scoring.score applies
     * in the engine path.
     */
-  /** All-pairs exact 5-gram Jaccard ≥ 0.7 — the sketch-blind oracle both
-    * near-dup queries must reproduce (thresholded on the ROUNDED value,
-    * matching the Spark side, so no boundary pair flips on FP order).
-    */
-  private val nearDupExactOracleSql: String =
-    """WITH sh AS (
-         SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
-         FROM documents, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
-       counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-       pairs AS (
-         SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-         FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-         GROUP BY 1, 2)
-       SELECT a, b,
-         round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
-       FROM pairs
-       JOIN counts ca ON pairs.a = ca.doc_id
-       JOIN counts cb ON pairs.b = cb.doc_id
-       WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) >= 0.7
-       ORDER BY a, b"""
-
   private def nearDupExact(docs: DataFrame, sigs: DataFrame,
                            cfg: DedupConfig): DataFrame = {
     val cands = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg)
@@ -1849,6 +1849,10 @@ object SparkEntry {
     // 128-bin sum, in ONE pass over allb (head via FILTER): referencing
     // allb twice makes DuckDB re-inline the whole borrow/window chain
     // into a pathological plan (>100 CPU-min at sf0.1 vs 9 s single-pass).
+    // Same short-doc assumption as minhashOracleSql: no driver SF doc
+    // normalizes under 5 chars (the kernel's whole-string fallback has no
+    // fixed-width SQL twin); if one appears it drops from the oracle side
+    // and the row-count check fails loudly.
     "q_doc_minhash_oph" -> {
       val seed = unsigned(Hashing.OphSeed)
       s"""WITH norm AS (${normSql("documents")}),

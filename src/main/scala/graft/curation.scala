@@ -135,7 +135,10 @@ object Curation {
             element_at(col("toks"), i + 2).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val docBg = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // corpus bigram counts roll up from the ALREADY-collapsed per-doc
+    // relation — not from bg, which would explode and shuffle the full
+    // occurrence stream a second time
+    val c2 = docBg.groupBy("w1", "w2").agg(sum(col("m")).as("c2"))
     val uni = base.select(explode(col("toks")).as("w1"))
     val c1 = uni.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vdf = c1.agg(count(lit(1)).as("v"))

@@ -100,10 +100,19 @@ final case class DedupConfig(
     useOphSignatures: Boolean = false, // one-permutation-hashing MinHash
     //   (Hashing.ophMinHash): ONE hash per shingle instead of numPerms —
     //   the signature-stage CPU cut at 10¹² rows. Same 128-entry sketch
-    //   shape, same banding/gate math (P[bin match] ≈ J), value-verified
-    //   drop-in (q_doc_near_dup_oph reproduces the exact-Jaccard oracle;
-    //   PipelineSpec pins golden clusters under the flag). Default off:
-    //   the classic per-lane form is the BASELINE.json:L6 config.
+    //   shape and banding; P[bin match] ≈ J with MinHash-like
+    //   concentration once shingle sets are a few times larger than the
+    //   bin count (Shrivastava/Li ICML 2014). Default OFF for exactly
+    //   that reason: short captions (~35–95 shingles vs 128 bins) sit
+    //   BELOW the concentration regime — most bins are correlated
+    //   rotation borrows and the b/r s-curve margins of the classic form
+    //   (above) no longer apply quantitatively. The flag is the lever for
+    //   long-text corpora (the oracled q_doc_near_dup_oph regime, where
+    //   docs carry thousands of shingles); classic per-lane MinHash is
+    //   the BASELINE.json:L6 config. Value checks: q_doc_near_dup_oph
+    //   reproduces the exact-Jaccard oracle at both SFs; PipelineSpec
+    //   pins golden clusters + zero decoy merges under the flag on the
+    //   caption fixture.
     seed: Long = 42L
 ) {
   require(bands * rowsPerBand <= numPerms, "b*r must fit in numPerms")
@@ -113,9 +122,20 @@ final case class DedupConfig(
 
   /** Stable hash of the config — stored in the run manifest; resume refuses
     * on mismatch (SURVEY.md §3.3 idempotence guard).
+    *
+    * Compatibility rule: a NEW config field contributes to the hash only
+    * when set away from its default, so snapshots committed before the
+    * field existed stay resumable under unchanged settings (adding
+    * `useOphSignatures` must not force a full recompute of a
+    * classic-sketch corpus). The base string is the original field order.
     */
   def configHash: String = {
-    val s = productIterator.mkString("|")
+    val base = List(shingleK, numPerms, bands, rowsPerBand, simhashBlocks,
+      simhashMaxHamming, minJaccardSig, psnrThresholdDb, saMinSpan, saGramK,
+      bucketCap, topKPerImage, sigBuckets, broadcastSigRows,
+      streamCompactEvery, seed)
+    val s = (base ++ (if (useOphSignatures) List("oph") else Nil))
+      .mkString("|")
     java.lang.Long.toHexString(Hashing.hashString(s))
   }
 }

@@ -35,9 +35,12 @@ object Signatures {
         col("id"),
         col("norm"),
         // cfg.useOphSignatures swaps the per-lane MinHash for the
-        // densified OPH sketch — same width, same banding math, one hash
-        // per shingle instead of numPerms (the 10¹²-row CPU lever); both
-        // are single codegen projections.
+        // densified OPH sketch — same width and banding, one hash per
+        // shingle instead of numPerms (the 10¹²-row CPU lever); both are
+        // single codegen projections. See the flag's comment in
+        // model.scala for the regime caveat: OPH concentrates like
+        // MinHash only when shingle sets are a few times larger than the
+        // bin count, which captions are NOT — hence default off.
         (if (cfg.useOphSignatures)
           GraftFunctions.ophMinhashCol(
             GraftFunctions.shinglesCol(col("norm"), cfg.shingleK), cfg.numPerms)

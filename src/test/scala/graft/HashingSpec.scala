@@ -72,6 +72,8 @@ class HashingSpec extends AnyFunSuite {
     assert(o.length == 128)
     assert(o.sameElements(Hashing.ophMinHash(x, 128)))
     intercept[IllegalArgumentException](Hashing.ophMinHash(x, 100))
+    // 1 is a power of two but shift=64 is a JVM no-op — must be rejected
+    intercept[IllegalArgumentException](Hashing.ophMinHash(x, 1))
     // empty input → all-empty sentinel (two empty docs compare equal)
     assert(Hashing.ophMinHash(Array.emptyLongArray, 16)
       .forall(_ == Hashing.OphEmpty))

@@ -1370,6 +1370,16 @@ object SparkEntry {
     "q_lm_perplexity" -> ((s, d) =>
       Curation.lmCrossEntropy(t(s, d, "documents")).orderBy("doc_id")),
 
+    // T36: per-source balanced keep (domain caps). Oracle mirrors the
+    // rank exactly — both sides order by the ROUNDED quality + doc_id.
+    "q_source_balance" -> ((s, d) =>
+      Curation.sourceBalance(t(s, d, "documents")).orderBy("source", "rk")),
+
+    // T37: Gopher composite quality filter — signals + per-rule booleans
+    // + the conjunction, all recomputed independently by the oracle.
+    "q_gopher_filter" -> ((s, d) =>
+      Curation.gopherFilter(t(s, d, "documents")).orderBy("doc_id")),
+
     // J9: as-of join — every click gets the most recent preceding error
     // of the same user (see AsOf.asofJoin for the union-sort encoding and
     // why it scales where range joins explode). Oracle = DuckDB's NATIVE
@@ -1918,6 +1928,64 @@ object SparkEntry {
            round(sm / n_bigrams, 4) AS cross_entropy,
            round(exp(sm / n_bigrams), 2) AS ppl
          FROM per ORDER BY doc_id""",
+
+    // T36: the oracle re-ranks from scratch with the identical rounded
+    // quality + doc_id total order.
+    "q_source_balance" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+             round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+               greatest(length(text), 1), 4) AS q
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, q,
+             row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk
+           FROM q)
+         SELECT doc_id, source, q, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 10 ORDER BY source, rk""",
+
+    // T37: full recomputation of every signal, every rule boolean, and
+    // the keep conjunction.
+    "q_gopher_filter" ->
+      """WITH tk AS (
+           SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         g2 AS (
+           SELECT doc_id,
+             list_transform(generate_series(1, len(toks)-1),
+               i -> toks[i] || ' ' || toks[i+1]) AS grams
+           FROM tk),
+         tf AS (
+           SELECT doc_id, max(c) AS max_tf FROM (
+             SELECT doc_id, tok, count(*) AS c
+             FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY 1, 2)
+           GROUP BY 1),
+         sig AS (
+           SELECT tk.doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+               greatest(length(text), 1), 4) AS alpha_ratio,
+             round(CAST(len(list_filter(toks,
+                 x -> list_contains(['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE) /
+               greatest(len(toks), 1), 4) AS stopword_ratio,
+             round(CAST(length(text) - len(toks) + 1 AS DOUBLE) /
+               greatest(len(toks), 1), 4) AS mean_tok_len,
+             CASE WHEN len(grams) = 0 THEN 0.0
+               ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+             END AS frac_dup_2grams,
+             round(CAST(tf.max_tf AS DOUBLE) / len(toks), 4) AS top_token_frac
+           FROM tk JOIN g2 ON tk.doc_id = g2.doc_id
+                 JOIN tf ON tk.doc_id = tf.doc_id)
+         SELECT *,
+           n_tokens BETWEEN 30 AND 100000 AS ok_tokens,
+           mean_tok_len BETWEEN 3.0 AND 10.0 AS ok_mean_tok,
+           stopword_ratio >= 0.02 AS ok_stopwords,
+           alpha_ratio >= 0.82 AS ok_alpha,
+           (frac_dup_2grams <= 0.2 AND top_token_frac <= 0.2) AS ok_repetition,
+           (n_tokens BETWEEN 30 AND 100000 AND mean_tok_len BETWEEN 3.0 AND 10.0
+            AND stopword_ratio >= 0.02 AND alpha_ratio >= 0.82
+            AND frac_dup_2grams <= 0.2 AND top_token_frac <= 0.2) AS keep
+         FROM sig ORDER BY doc_id""",
 
     // T27: the oracle recomputes u, the per-lang ratios (explicit DOUBLE
     // casts — DuckDB parses bare decimals as DECIMAL, which would round

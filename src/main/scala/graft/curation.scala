@@ -156,6 +156,87 @@ object Curation {
         round(exp(col("s") / col("n_bigrams")), 2).as("ppl"))
   }
 
+  /** T36 — per-source balanced keep (the C4/RefinedWeb domain-cap move:
+    * no single domain may dominate the corpus): keep the `cap` best docs
+    * per source, ranked by ROUNDED alpha-ratio quality (desc) with doc_id
+    * as the total-order tiebreak — both engine and oracle rank identical
+    * 4-decimal values, so no FP-order divergence can flip a keep.
+    *
+    * The 100 TB shape: quality is a row-local codegen projection; the
+    * rank is ONE window over source partitions — at web scale sources
+    * (domains) number in the millions, so partitions are numerous and
+    * individually small, which is exactly the regime rank-K windows
+    * handle well. A pathological mega-source (10⁹ docs on one domain)
+    * would make that partition's sort the straggler; the mitigation is
+    * the engine's W2 bounded-min-set aggregate keyed on
+    * (source, packed quality key) — the same cap-inside-the-aggregation
+    * move Lsh.cappedBuckets uses — at the cost of a packed sort key.
+    */
+  def sourceBalance(docs: DataFrame, cap: Int = 10): DataFrame = {
+    val q = round(
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+        greatest(length(col("text")), lit(1)), 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("q").desc, col("doc_id"))
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), q.as("q"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= cap)
+  }
+
+  /** T37 — Gopher-style composite quality filter (Rae et al. 2021 §A1.1,
+    * the rule family C4/RefinedWeb/Gopher pipelines apply): each rule is
+    * a threshold on one of the engine's measured signals (the same
+    * expressions as q_doc_quality_full / q_doc_repetition, so their SQL
+    * twins oracle this too), `keep` is their conjunction. Thresholds are
+    * pinned on ROUNDED signals — boundary docs cannot flip on FP order.
+    * Rules (adapted to the driver corpus's short-doc regime):
+    * n_tokens ∈ [30, 100000], mean token length ∈ [3, 10],
+    * stopword_ratio ≥ 0.02, alpha_ratio ≥ 0.82, dup-2gram fraction
+    * ≤ 0.2 and top-token concentration ≤ 0.2.
+    *
+    * The 100 TB shape: every signal except top_token_frac is row-local
+    * (one codegen projection); top_token_frac is the T21 explode → two
+    * hash-aggs → doc-level join. No corpus-cardinality shuffle beyond
+    * the token aggregation, which partial-combines map-side.
+    */
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("g2", when(size(col("toks")) >= 2,
+        expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .otherwise(expr("cast(array() as array<string>)")))
+    val stop = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+    val nStop = stop.map(w => size(filter(col("toks"), x => x === w)))
+      .reduce(_ + _)
+    val maxTf = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_tf"))
+    base.join(maxTf, Seq("doc_id"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_tokens"),
+        round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          greatest(length(col("text")), lit(1)), 4).as("alpha_ratio"),
+        round(nStop.cast("double") / greatest(size(col("toks")), lit(1)), 4)
+          .as("stopword_ratio"),
+        round((length(col("text")) - size(col("toks")) + 1).cast("double") /
+          greatest(size(col("toks")), lit(1)), 4).as("mean_tok_len"),
+        when(size(col("g2")) === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            size(array_distinct(col("g2"))).cast("double") / size(col("g2")), 4))
+          .as("frac_dup_2grams"),
+        round(col("max_tf").cast("double") / col("n_tokens"), 4)
+          .as("top_token_frac"))
+      .withColumn("ok_tokens", col("n_tokens").between(30L, 100000L))
+      .withColumn("ok_mean_tok", col("mean_tok_len").between(3.0, 10.0))
+      .withColumn("ok_stopwords", col("stopword_ratio") >= 0.02)
+      .withColumn("ok_alpha", col("alpha_ratio") >= 0.82)
+      .withColumn("ok_repetition",
+        col("frac_dup_2grams") <= 0.2 && col("top_token_frac") <= 0.2)
+      .withColumn("keep", col("ok_tokens") && col("ok_mean_tok") &&
+        col("ok_stopwords") && col("ok_alpha") && col("ok_repetition"))
+  }
+
   /** T33: per-doc n-gram novelty — the memorization/duplication census of
     * Gopher (§A.2) and Pile-style corpus analyses: the fraction of a
     * doc's distinct char-k-grams whose FIRST corpus occurrence (min

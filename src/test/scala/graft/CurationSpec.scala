@@ -102,6 +102,53 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sourceBalance keeps exactly cap per source, best-quality first, doc_id tiebreak") {
+    // src A: 4 docs, two with identical quality (tiebreak on doc_id);
+    // src B: 2 docs (under cap — all kept)
+    val docs = Seq(
+      (1L, "aaaa bbbb", "A"),   // alpha 8/9 = 0.8889
+      (2L, "aaaa 1234", "A"),   // alpha 4/9 = 0.4444
+      (3L, "cccc dddd", "A"),   // alpha 0.8889 — ties doc 1, loses to it on id
+      (4L, "12 34", "A"),       // alpha 0
+      (10L, "xy zw", "B"), (11L, "11 22", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.sourceBalance(docs, cap = 2).orderBy("source", "rk")
+      .select("doc_id", "source", "rk").as[(Long, String, Long)].collect()
+    assert(out.toSeq == Seq((1L, "A", 1L), (3L, "A", 2L), (10L, "B", 1L), (11L, "B", 2L)))
+  }
+
+  test("sourceBalance is partition- and input-order independent") {
+    val base = (0L until 200L).map(i =>
+      (i, s"document ${i % 13} with text payload ${"x" * (i % 7).toInt}", s"s${i % 5}"))
+    val a = Curation.sourceBalance(
+      base.toDF("doc_id", "text", "source").repartition(7))
+    val b = Curation.sourceBalance(
+      scala.util.Random.shuffle(base).toDF("doc_id", "text", "source").repartition(3))
+    assert(a.orderBy("source", "rk").collect().toSeq ==
+      b.orderBy("source", "rk").collect().toSeq)
+    assert(a.groupBy("source").count().collect().forall(_.getLong(1) <= 10))
+  }
+
+  test("gopherFilter: each rule fires on its designed violation, clean doc passes") {
+    // 3 stopwords + 30 distinct-ish 9-letter words: 33 tokens,
+    // alpha 276/308 = 0.8961, stopword 3/33, mean tok len 8.36, max_tf 2
+    val clean = (Seq("the", "a", "of") ++
+      (1 to 30).map(i => "wordy" + ('a' to 'z')(i % 26) + "xyz")).mkString(" ")
+    val docs = Seq(
+      (1L, clean),
+      (2L, "short doc"),                                        // n_tokens < 30
+      (3L, (1 to 35).map(i => s"num${i}99999").mkString(" ")),  // alpha ~0.27
+      (4L, ("spam " * 40).trim))                                // top-token 1.0
+      .toDF("doc_id", "text")
+    val out = Curation.gopherFilter(docs).orderBy("doc_id")
+      .select("doc_id", "keep", "ok_tokens", "ok_alpha", "ok_repetition")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(out(0) == ((1L, true, true, true, true)))
+    assert(!out(1)._3 && !out(1)._2)                   // doc 2: token rule fails
+    assert(!out(2)._4 && !out(2)._2)                   // doc 3: alpha rule fails
+    assert(!out(3)._5 && !out(3)._2)                   // doc 4: repetition rule fails
+  }
+
   test("lmCrossEntropy matches the hand-computed add-one bigram LM") {
     // corpus: doc1 = "a b a b", doc2 = "a b", doc3 = "x" (1 token → excluded)
     // c1: a=3 b=3; V=2; c2: (a,b)=3 (b,a)=1

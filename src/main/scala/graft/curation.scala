@@ -163,14 +163,14 @@ object Curation {
     * 4-decimal values, so no FP-order divergence can flip a keep.
     *
     * The 100 TB shape: quality is a row-local codegen projection; the
-    * rank is ONE window over source partitions — at web scale sources
-    * (domains) number in the millions, so partitions are numerous and
-    * individually small, which is exactly the regime rank-K windows
-    * handle well. A pathological mega-source (10⁹ docs on one domain)
-    * would make that partition's sort the straggler; the mitigation is
-    * the engine's W2 bounded-min-set aggregate keyed on
-    * (source, packed quality key) — the same cap-inside-the-aggregation
-    * move Lsh.cappedBuckets uses — at the cost of a packed sort key.
+    * rank is ONE exchange on source + ONE window — and Catalyst's rank-K
+    * pushdown inserts WindowGroupLimit on BOTH sides of the exchange
+    * (PLANS.md T36), so every map task pre-trims to `cap` rows per
+    * source BEFORE the shuffle. A pathological mega-source (10⁹ docs on
+    * one domain) therefore contributes ≤cap rows per upstream task to
+    * the exchange — the same bound the W2 bounded-min-set aggregate
+    * enforces by hand on the LSH paths, obtained for free from the
+    * rk <= cap filter the optimizer can see.
     */
   def sourceBalance(docs: DataFrame, cap: Int = 10): DataFrame = {
     val q = round(

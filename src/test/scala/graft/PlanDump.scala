@@ -463,6 +463,27 @@ object PlanDump {
           "BroadcastNestedLoopJoin; the final per-doc NLL is one more " +
           "HashAggregate on doc_id.",
         Curation.lmCrossEntropy(tdocs))
+      // T36 source balance: quality row-local, rank-K window per source
+      dump("T36 — per-source balanced keep (Curation.sourceBalance)",
+        "The quality score is a codegen projection fused into the scan; " +
+          "the rank is ONE Exchange on source + ONE Window — and Catalyst " +
+          "inserts WindowGroupLimit BOTH below and above the exchange " +
+          "(rank-K pushdown): each map task pre-trims to the cap per " +
+          "source BEFORE the shuffle, so a mega-source contributes ≤cap " +
+          "rows per upstream task — the same bound the W2 aggregate " +
+          "enforces by hand on the LSH paths, here for free from the " +
+          "rk<=cap filter the optimizer sees.",
+        Curation.sourceBalance(tdocs.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(7))))))
+      // T37 Gopher filter: row-local signals + the T21 max-tf aggregation
+      dump("T37 — Gopher composite quality filter (Curation.gopherFilter)",
+        "Every signal except top_token_frac is computed in the row-local " +
+          "projection; top_token_frac adds the T21 explode → two " +
+          "HashAggregates (map-side partial combine) → doc-level join. " +
+          "Rule booleans and the keep conjunction are pure codegen over " +
+          "the joined row — no extra exchange beyond the token " +
+          "aggregation.",
+        Curation.gopherFilter(tdocs))
       val tev = spark.range(0, 2000).select(
         pmod(col("id"), lit(50)).as("user_id"),
         (col("id") * 37).cast("timestamp").as("ts"),

@@ -484,6 +484,37 @@ object PlanDump {
           "the joined row — no extra exchange beyond the token " +
           "aggregation.",
         Curation.gopherFilter(tdocs))
+      // T38 tiered dedup: tier-1 kernel + the cascade's branch structure
+      dump("T38 — tiered dedup, tier-1 exact kernel (TieredDedup.cascade)",
+        "The exact tier is ONE HashAggregate on the 128-bit digest " +
+          "(partial combine map-side, O(1) min state per content group) " +
+          "plus one join back to tag rows — no shingling or signatures " +
+          "spent on the 30–50% of a crawl that is byte-identical. In " +
+          "cascade() this relation is lazily localCheckpointed because " +
+          "THREE downstream branches consume it (exact dups out, " +
+          "survivors to the pair generator, survivors to the CC node " +
+          "list) — uncheckpointed, each branch would re-run this scan + " +
+          "aggregation + join.",
+        {
+          val tag1 = tdocs.select(col("doc_id"), col("text"))
+            .withColumn("h", md5(col("text").cast("binary")))
+          tag1.join(tag1.groupBy("h").agg(min("doc_id").as("canon")), "h")
+        })
+      dump("T38 — tiered dedup cascade (exact → near → semantic union)",
+        "The three tier branches union narrow verdict rows (doc_id, " +
+          "tier, dup_of) — text and embeddings never ride the union. " +
+          "Tier boundaries appear as ExistingRDD scans: those are the " +
+          "lazy localCheckpoints of t1 and the CC assignment, each " +
+          "computed once and read by every consuming branch. Tier order " +
+          "is the scale story: each tier's input is the previous tier's " +
+          "survivor set, so the expensive shingle/CC and O(pairs·dim) " +
+          "semantic stages see an already-shrunk corpus.",
+        TieredDedup.cascade(
+          tdocs.select(col("doc_id"), col("text")),
+          tdocs.select(col("doc_id").as("id"),
+            array(lit(1f), lit(0f), lit(0f)).as("vec")),
+          surv => TieredDedup.exactPairsJaccard(surv, tau = 0.4),
+          tauSem = 0.9, semNList = 1))
       val tev = spark.range(0, 2000).select(
         pmod(col("id"), lit(50)).as("user_id"),
         (col("id") * 37).cast("timestamp").as("ts"),

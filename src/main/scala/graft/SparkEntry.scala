@@ -64,8 +64,8 @@ object SparkEntry {
     * 5k sigs ≈ 2.7 MB — the same cardinality rule Scoring.score applies
     * in the engine path.
     */
-  private def nearDupExact(docs: DataFrame, sigs: DataFrame,
-                           cfg: DedupConfig): DataFrame = {
+  private[graft] def nearDupExact(docs: DataFrame, sigs: DataFrame,
+                                  cfg: DedupConfig): DataFrame = {
     val cands = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg)
     val est = cands
       .join(broadcast(sigs.select(col("id").as("a"), col("minhash").as("ma"))), "a")
@@ -1365,6 +1365,34 @@ object SparkEntry {
     "q_gopher_filter" -> ((s, d) =>
       Curation.gopherFilter(t(s, d, "documents")).orderBy("doc_id")),
 
+    // T39: URL canonicalization + canonical-URL dedup. The driver tables
+    // carry no URL column, so both sides synthesize the same
+    // deterministic messy-URL corpus from doc_id — four variant shapes
+    // per page that differ ONLY in case, www, default port, trailing
+    // slash, param order, utm_* params, and fragment. Variants 0/1
+    // canonicalize to the http form and 2/3 to the https form of the
+    // same page, so every rule is load-bearing: miss one and the group
+    // (hence canon_of/is_dup) splits. The oracle recomputes the
+    // canonicalization with the same RE2∩Java regexes and re-derives the
+    // min-id keeper independently.
+    "q_url_dedup" -> ((s, d) => {
+      val page = floor(col("doc_id") / 7).cast("long").cast("string")
+      val a = pmod(col("doc_id"), lit(3)).cast("string")
+      val urls = t(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("HTTP://WWW.Example.COM:80/a/"), page, lit("?b=2&a="), a))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("http://example.com/a/"), page,
+              lit("/?a="), a, lit("&b=2&utm_source=feed")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("https://Example.COM:443/a/"), page,
+              lit("?a="), a, lit("&b=2#frag")))
+          .otherwise(
+            concat(lit("https://example.com/a/"), page, lit("?b=2&a="), a))
+          .as("url"))
+      Curation.urlDedup(urls).orderBy("doc_id")
+    }),
+
     // T38: tiered dedup — the standard web-curation cascade run as ONE
     // composed job with per-doc tier provenance: tier 1 exact (md5
     // content groups, keeper = min doc_id), tier 2 near (5-shingle
@@ -2040,6 +2068,50 @@ object SparkEntry {
             AND stopword_ratio >= 0.02 AND alpha_ratio >= 0.82
             AND frac_dup_2grams <= 0.2 AND top_token_frac <= 0.2) AS keep
          FROM sig ORDER BY doc_id""",
+
+    // T39: same synthetic URL corpus, same normalization rules (shared
+    // RE2∩Java regex subset), keeper re-derived with an independent
+    // group-min.
+    "q_url_dedup" ->
+      """WITH urls AS (
+           SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a/' ||
+                 CAST(floor(doc_id / 7) AS BIGINT) || '?b=2&a=' || (doc_id % 3)
+               WHEN 1 THEN 'http://example.com/a/' ||
+                 CAST(floor(doc_id / 7) AS BIGINT) || '/?a=' || (doc_id % 3) ||
+                 '&b=2&utm_source=feed'
+               WHEN 2 THEN 'https://Example.COM:443/a/' ||
+                 CAST(floor(doc_id / 7) AS BIGINT) || '?a=' || (doc_id % 3) ||
+                 '&b=2#frag'
+               ELSE 'https://example.com/a/' ||
+                 CAST(floor(doc_id / 7) AS BIGINT) || '?b=2&a=' || (doc_id % 3)
+             END AS url
+           FROM documents),
+         parts AS (
+           SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS noww,
+             regexp_replace(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q
+           FROM urls),
+         c AS (
+           SELECT doc_id, url,
+             scheme || '://' ||
+             (CASE WHEN scheme = 'http' THEN regexp_replace(noww, ':80$', '')
+                   WHEN scheme = 'https' THEN regexp_replace(noww, ':443$', '')
+                   ELSE noww END) || path ||
+             (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url
+           FROM parts),
+         k AS (SELECT canon_url, min(doc_id) AS canon_of FROM c GROUP BY 1)
+         SELECT c.doc_id, c.url, c.canon_url, k.canon_of,
+           CAST(c.doc_id <> k.canon_of AS INT) AS is_dup
+         FROM c JOIN k USING (canon_url)
+         ORDER BY doc_id""",
 
     // T38: the full cascade recomputed independently — md5 exact groups,
     // the q_doc_clusters shingle/Jaccard/recursive-CTE machinery over the

@@ -43,6 +43,58 @@ object Curation {
         Ipv4Pat, "[IP]"),
       PhonePat, "[PHONE]")
 
+  /** T39 — URL canonicalization (RFC 3986 §6 normalization, the
+    * crawl-frontier subset every web pipeline applies before URL-level
+    * dedup: C4/CCNet drop refetches of the same canonical URL before any
+    * content pass). Rules, in order: lowercase scheme and host, strip a
+    * leading `www.`, strip the scheme's default port (:80 http / :443
+    * https), drop the fragment, drop empty and `utm_*` tracking query
+    * params, sort the remaining params, strip trailing path slashes.
+    *
+    * Pure row-local codegen — regexp extracts plus an array
+    * filter/sort/join, no UDF, no shuffle. Patterns live in the
+    * Java-regex ∩ RE2 common subset so the DuckDB oracle runs the same
+    * ones (same discipline as the PII patterns above).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport =
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noWww = regexp_replace(hostport, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val params = filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.startsWith("utm_"))
+    val q = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** T39 — canonical-URL dedup: every row gets its canonical form, the
+    * min-id fetch per canonical URL is the keeper, the rest are dups.
+    * The 100 TB shape is T1's: a row-local canonicalization projection,
+    * ONE hash aggregation on the canonical key (O(1) min state per
+    * group, map-side combine), and the occurrences rejoin the keeper
+    * table on that same key — both sides hash-partitioned on it, so the
+    * join is co-located with the aggregation's exchange. URL-level dedup
+    * runs BEFORE content fetch/decode in a crawl pipeline, which is why
+    * it earns its own operator instead of riding the content tiers of
+    * [[TieredDedup.cascade]].
+    */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+               idCol: String = "doc_id"): DataFrame = {
+    val c = docs.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+    val keeper = c.groupBy("canon_url")
+      .agg(min(col(idCol)).as("canon_of"))
+    c.join(keeper, "canon_url")
+      .select(col(idCol), col(urlCol), col("canon_url"), col("canon_of"),
+        (col(idCol) =!= col("canon_of")).cast("int").as("is_dup"))
+  }
+
   /** T30 — paragraph-level exact dedup over fixed `w`-token windows.
     *
     * Unit = the non-overlapping w-token chunk (the driver corpus is

@@ -185,4 +185,42 @@ class CurationSpec extends SparkSpec {
     assert(minRare > maxCommon,
       s"gibberish ppl $minRare should exceed template ppl $maxCommon")
   }
+
+  test("canonicalizeUrl: every normalization rule, one messy URL each") {
+    val cases = Seq(
+      // case-folding of scheme + host, never of path or params
+      "HTTPS://ExAmPlE.com/A/b?X=1" -> "https://example.com/A/b?X=1",
+      "http://WWW.site.org/p" -> "http://site.org/p", // www strip
+      "http://site.org:80/p" -> "http://site.org/p", // default port http
+      "https://site.org:443/p" -> "https://site.org/p", // default port https
+      "http://site.org:8080/p" -> "http://site.org:8080/p", // non-default kept
+      "https://site.org:80/p" -> "https://site.org:80/p", // :80 NOT https default
+      "http://site.org/p/" -> "http://site.org/p", // trailing slash
+      "http://site.org/p#sec2" -> "http://site.org/p", // fragment
+      "http://site.org/p?b=2&a=1" -> "http://site.org/p?a=1&b=2", // param sort
+      "http://site.org/p?a=1&utm_source=x&utm_b=y" -> "http://site.org/p?a=1",
+      "http://site.org/p?utm_only=1" -> "http://site.org/p", // all params dropped
+      "http://site.org/" -> "http://site.org", // bare root
+      "http://site.org" -> "http://site.org")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Curation.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (raw, want) =>
+      assert(got(raw) === want, s"canonicalizeUrl($raw)")
+    }
+  }
+
+  test("urlDedup: variants of one page group together, keeper = min id") {
+    val rows = Seq(
+      1L -> "HTTP://WWW.site.org:80/x/?b=2&a=1",
+      2L -> "http://site.org/x?a=1&b=2&utm_c=z#f",
+      3L -> "http://site.org/x?a=1&b=9", // differing param value: own group
+      4L -> "https://site.org/x?a=1&b=2") // scheme differs: own group
+    val got = Curation.urlDedup(rows.toDF("doc_id", "url"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getInt(4))).toMap
+    assert(got(1L) === ((1L, 0)))
+    assert(got(2L) === ((1L, 1)))
+    assert(got(3L) === ((3L, 0)))
+    assert(got(4L) === ((4L, 0)))
+  }
 }

@@ -484,6 +484,21 @@ object PlanDump {
           "the joined row — no extra exchange beyond the token " +
           "aggregation.",
         Curation.gopherFilter(tdocs))
+      // T39 URL dedup: row-local canonicalization + one keyed aggregation
+      dump("T39 — URL canonicalization + canonical-URL dedup (Curation.urlDedup)",
+        "The whole normalization — scheme/host case-fold, www/port/" +
+          "fragment/utm strips, param sort — is a single codegen Project " +
+          "fused into the scan (regex extracts + array HOFs, no UDF). " +
+          "Dedup is T1's shape: ONE HashAggregate on the canonical key " +
+          "with map-side partial combine, and the join back rides the " +
+          "same hash partitioning as the aggregation's exchange. At " +
+          "crawl scale this runs BEFORE fetch/decode, so its input is a " +
+          "URL list orders of magnitude lighter than the content tiers.",
+        Curation.urlDedup(tdocs.select(col("doc_id"),
+          concat(lit("http://www.ex.com:80/p/"),
+            floor(col("doc_id") / 7).cast("long").cast("string"),
+            lit("/?b=2&a="), pmod(col("doc_id"), lit(3)).cast("string"))
+            .as("url"))))
       // T38 tiered dedup: tier-1 kernel + the cascade's branch structure
       dump("T38 — tiered dedup, tier-1 exact kernel (TieredDedup.cascade)",
         "The exact tier is ONE HashAggregate on the 128-bit digest " +

@@ -113,7 +113,21 @@ final case class DedupConfig(
     //   reproduces the exact-Jaccard oracle at both SFs; PipelineSpec
     //   pins golden clusters + zero decoy merges under the flag on the
     //   caption fixture.
-    seed: Long = 42L
+    seed: Long = 42L,
+    exactTier: Boolean = false // T38 tier-1 for the image pipeline: group
+    //   byte-identical images by md5(bytes) BEFORE signatures, keep one
+    //   representative per group, and feed (canon, dup) edges straight to
+    //   the CC stage. A web crawl is typically 30–50%% byte-identical
+    //   refetches; collapsing them first (a) removes the dominant
+    //   LSH-bucket skew source (a 10k-copy viral image becomes ONE
+    //   signature row instead of a capped 256-id bucket with logged
+    //   drops), (b) shrinks candidates/scoring/verify by the dup share,
+    //   and (c) catches byte-identical pairs whose captions differ —
+    //   which caption-keyed retrieval can miss entirely but which ARE
+    //   dups under the pixel keep rule (PSNR = ∞). Semantics-preserving:
+    //   is_dup is pixels-only (scoring.scala), so every exact edge is a
+    //   true dup edge; cluster labels stay min-public-id. Default OFF to
+    //   keep pre-existing snapshots resumable and golden pins unchanged.
 ) {
   require(bands * rowsPerBand <= numPerms, "b*r must fit in numPerms")
   require(!useOphSignatures || (numPerms & (numPerms - 1)) == 0,
@@ -134,7 +148,8 @@ final case class DedupConfig(
       simhashMaxHamming, minJaccardSig, psnrThresholdDb, saMinSpan, saGramK,
       bucketCap, topKPerImage, sigBuckets, broadcastSigRows,
       streamCompactEvery, seed)
-    val s = (base ++ (if (useOphSignatures) List("oph") else Nil))
+    val s = (base ++ (if (useOphSignatures) List("oph") else Nil)
+      ++ (if (exactTier) List("exact_tier") else Nil))
       .mkString("|")
     java.lang.Long.toHexString(Hashing.hashString(s))
   }

@@ -99,26 +99,40 @@ object Pipeline {
     val repairs = IdHash.buildRepairs(corpus.select(col("image_id")))
       .map(r => io.fold(r)(t => t.commit("id_repairs", r)))
 
+    val clean = corpus
+      .where(col("caption").isNotNull && length(col("caption")) > 0)
+      .where(col("w") > 0 && col("h") > 0)
+
+    // stage E (cfg.exactTier): byte-identical groups collapse to one
+    // representative BEFORE any signature work — the crawl-scale lever
+    // (30–50% refetches) and the LSH-skew killer (a viral exact-dup group
+    // becomes ONE signature row instead of a capped bucket with logged
+    // drops). Committed, so a resumed run replays the (canon, dup) edges
+    // without re-digesting bytes. The edges go straight to the CC stage;
+    // see TieredDedup.exactImageEdges for why the digest is un-gated.
+    val exactEdges: Option[DataFrame] =
+      if (!cfg.exactTier) None
+      else Some(ckpt("exact_groups")(TieredDedup.exactImageEdges(clean)))
+
     // stage 0–1: filters + signatures (row-local, one codegen stage).
     // Committed BUCKETED by the i64 id (Iceberg bucket transform): the
     // signature table is the build side of the engine's widest joins
     // (scoring attaches both endpoints' signatures to every candidate
     // pair) and at 10¹² rows it cannot broadcast — the bucketed scan
     // reports HashPartitioning(id), so those joins shuffle only the pair
-    // side, within this run and on resume in a fresh JVM.
+    // side, within this run and on resume in a fresh JVM. With the exact
+    // tier on, only group representatives get signatures (the anti-join
+    // is narrow — sketch rows against the dup ids, and Catalyst pushes
+    // the anti through the sketch projection so dropped rows never pay
+    // the MinHash; the commit write re-buckets by id regardless).
+    def repSigs: DataFrame = {
+      val s0 = Signatures.signatures(clean, cfg, repairs)
+      exactEdges.fold(s0)(e =>
+        s0.join(e.select(col("b").as("image_id")), Seq("image_id"), "left_anti"))
+    }
     val sigs = io match {
-      case Some(t) => t.commitBucketed("signatures", {
-        val clean = corpus
-          .where(col("caption").isNotNull && length(col("caption")) > 0)
-          .where(col("w") > 0 && col("h") > 0)
-        Signatures.signatures(clean, cfg, repairs)
-      }, "id", cfg.sigBuckets)
-      case None => ckpt("signatures") {
-        val clean = corpus
-          .where(col("caption").isNotNull && length(col("caption")) > 0)
-          .where(col("w") > 0 && col("h") > 0)
-        Signatures.signatures(clean, cfg, repairs)
-      }
+      case Some(t) => t.commitBucketed("signatures", repSigs, "id", cfg.sigBuckets)
+      case None => ckpt("signatures")(repSigs)
     }
 
     // skew census (A3): checkpointed runs record the bucket-size
@@ -178,8 +192,13 @@ object Pipeline {
     // hazard this avoids.
     val clusters = ckpt("clusters") {
       // filter on the PARTITION column: a resumed run's scan of the
-      // committed verified table prunes to the dup_part=1 directories
-      val edges = verified.where(col("dup_part") === 1).select(col("a"), col("b"))
+      // committed verified table prunes to the dup_part=1 directories.
+      // Exact-tier groups enter here as ready-made dup edges (every
+      // byte-identical pair has PSNR = ∞, so they ARE verified-dup
+      // edges by the keep rule, at zero decode cost).
+      val dupEdges = verified.where(col("dup_part") === 1).select(col("a"), col("b"))
+      val edges = exactEdges.fold(dupEdges)(e =>
+        dupEdges.unionByName(e.select(col("a"), col("b"))))
       ConnectedComponents.clusterHashed(edges, corpus.select(col("image_id")),
         repairs = repairs)
     }
@@ -277,8 +296,13 @@ object DedupJob {
     // OPH form (model.scala useOphSignatures) — flows into configHash, so
     // a resume against classic-sketch snapshots refuses (the sketches are
     // not comparable).
-    val cfg = DedupConfig(useOphSignatures =
-      argMap.get("--oph-signatures").exists(_.toBoolean))
+    // --exact-tier true collapses byte-identical groups before signatures
+    // (model.scala exactTier) — also in configHash, so resume against
+    // snapshots produced without the tier refuses (the signature and
+    // candidate tables cover different row sets).
+    val cfg = DedupConfig(
+      useOphSignatures = argMap.get("--oph-signatures").exists(_.toBoolean),
+      exactTier = argMap.get("--exact-tier").exists(_.toBoolean))
     val priorCommits = java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$out/_manifest/config.hash"))
     if (priorCommits && !resume)

@@ -72,6 +72,33 @@ object TieredDedup {
     ConnectedComponents.cluster(pairs, docs.select(col("doc_id").as("image_id")))
       .select(col("image_id").as("doc_id"), col("cluster_id"))
 
+  /** Tier 1 for the IMAGE pipeline (DedupConfig.exactTier): byte-identical
+    * groups as (canon, dup) PUBLIC-id edges, canon = min image_id — the
+    * same id space as the verified pair edges they union with
+    * (ConnectedComponents.clusterHashed derives the repaired i64 ids for
+    * BOTH edge kinds itself, so this op does no hashing at all).
+    *
+    * The digest is computed IN the scan projection — md5 over the bytes
+    * column is row-local codegen, so pixels never ride a shuffle here:
+    * only (image_id, 32-char digest) rows reach the grouping exchange,
+    * and the group state is a single min per digest with map-side combine.
+    * Suspect-gating the digest on cheap columns (phash, w, h, fmt) was
+    * considered and rejected: the bytes column is already being read off
+    * parquet either way, md5 is ~two orders cheaper than an image decode,
+    * and the gating join would either broadcast an unbounded suspect set
+    * or drag bytes through a shuffle to meet it.
+    *
+    * 128-bit digest ⇒ no collision repair needed at 10¹² rows (the same
+    * birthday-bound argument as [[cascade]]'s text tier).
+    */
+  def exactImageEdges(clean: DataFrame): DataFrame = {
+    val ek = clean.select(col("image_id"), md5(col("bytes")).as("ek"))
+    val canon = ek.groupBy("ek").agg(min("image_id").as("canon"))
+    ek.join(canon, "ek")
+      .where(col("image_id") =!= col("canon"))
+      .select(col("canon").as("a"), col("image_id").as("b"))
+  }
+
   /** The cascade. `docs` = (doc_id: long, text), `emb` = (id: long,
     * vec: array&lt;float&gt;), `nearPairs` maps tier-1 survivors
     * (doc_id, text) to undirected dup edges (a, b).

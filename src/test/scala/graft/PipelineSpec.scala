@@ -72,6 +72,47 @@ class PipelineSpec extends SparkSpec {
     assert(result.clusters.exceptAll(again).isEmpty && again.exceptAll(result.clusters).isEmpty)
   }
 
+  test("exact tier reproduces the golden clusters (byte groups pre-collapsed)") {
+    // The fixture corpus plants byte-identical ("exact") variants with the
+    // base caption, so BOTH paths must find them: tier-off via caption LSH
+    // + PSNR, tier-on via the md5 group — assignments must not move.
+    val r = Pipeline.run(corpus.toDF(), cfg.copy(exactTier = true))
+    val clusters = r.clusters.cache()
+    val golden = Fixtures.goldenClusters(spark, nClusters).toDF()
+    val diff = clusters
+      .join(golden.withColumnRenamed("cluster_id", "expected"), "image_id")
+      .filter($"cluster_id" =!= $"expected").count()
+    assert(diff == 0, s"$diff assignments differ from golden under exactTier")
+    val labels = Fixtures.pairLabels(spark, nClusters).toDF()
+    val falseMerges = labels.filter(!$"label")
+      .join(clusters.select($"image_id".as("a"), $"cluster_id".as("ca")), "a")
+      .join(clusters.select($"image_id".as("b"), $"cluster_id".as("cb")), "b")
+      .filter($"ca" === $"cb").count()
+    assert(falseMerges == 0)
+    clusters.unpersist()
+  }
+
+  test("exact tier merges byte-identical copies even with unrelated captions") {
+    // Caption-keyed retrieval can miss a byte-identical refetch whose
+    // caption was rewritten; the exact tier must still merge it (the keep
+    // rule is pixels-only — PSNR of identical bytes is ∞).
+    val copies = corpus.toDF().orderBy("image_id").limit(5)
+      .withColumn("image_id", concat(col("image_id"), lit("_bytecopy")))
+      .withColumn("caption",
+        concat(lit("zz "), reverse(col("caption")), lit(" qq")))
+    val r = Pipeline.run(corpus.toDF().unionByName(copies),
+      cfg.copy(exactTier = true))
+    val clusters = r.clusters.cache()
+    val pairs = clusters.as("c").join(clusters.as("o"),
+        col("c.image_id") === concat(col("o.image_id"), lit("_bytecopy")))
+      .select(col("c.cluster_id").as("cc"), col("o.cluster_id").as("co"))
+      .cache()
+    assert(pairs.count() == 5)
+    assert(pairs.filter($"cc" =!= $"co").count() == 0,
+      "byte-identical copy not merged with its original")
+    pairs.unpersist(); clusters.unpersist()
+  }
+
   test("OPH signature path reproduces the golden clusters (drop-in sketch swap)") {
     val r = Pipeline.run(corpus.toDF(), cfg.copy(useOphSignatures = true))
     val clusters = r.clusters.cache()

@@ -1393,6 +1393,48 @@ object SparkEntry {
       Curation.urlDedup(urls).orderBy("doc_id")
     }),
 
+    // T40: image-metadata curation filter (LAION/DataComp gate family) —
+    // resolution floor, aspect bound, bytes-per-pixel plausibility,
+    // caption char/token bounds; one row-local codegen projection, zero
+    // shuffles. The driver testdata has no image table, so the metadata
+    // is planted deterministically from doc_id (the q_pii_redact
+    // pattern: derived IDENTICALLY in the oracle) with every rule
+    // load-bearing — ~4% fail the side floor, slivers fail aspect, bpp
+    // fails at both tails of its planted [0,13.99] range, doc_id%13
+    // plants a too-short caption, doc_id%17 a single-token one. The
+    // machinery under test is the rule arithmetic and the conjunction,
+    // recomputed end-to-end in DuckDB; CurationSpec exercises the same
+    // operator on the REAL fixture corpus (n_bytes = actual file size)
+    // where the synthetic 32–80 px images fail the size gate.
+    "q_image_filter" -> ((s, d) => {
+      val w = lit(16L) + pmod(col("doc_id") * 37, lit(1200L))
+      val h = lit(16L) + pmod(col("doc_id") * 53, lit(900L))
+      val meta = t(s, d, "documents").select(
+        col("doc_id").as("image_id"), w.as("w"), h.as("h"),
+        floor((w * h * pmod(col("doc_id") * 101, lit(1400L)))
+          .cast("double") / 100).cast("long").as("n_bytes"),
+        when(pmod(col("doc_id"), lit(13)) === 0, substring(col("text"), 1, 4))
+          .when(pmod(col("doc_id"), lit(17)) === 0, lit("x" * 40))
+          .otherwise(substring(col("text"), 1, 120)).as("caption"))
+      Curation.imageMetaFilter(meta)
+        .select(col("image_id"), col("w"), col("h"), col("n_bytes"),
+          col("n_cap_toks"), col("ok_size"), col("ok_aspect"), col("ok_bpp"),
+          col("ok_caption"), col("ok_cap_toks"), col("keep"))
+        .orderBy("image_id")
+    }),
+
+    // T41: cluster-representative selection — the dedup emit step: one
+    // keeper per cluster by (text length desc, doc_id asc), composed
+    // over the same exact-Jaccard CC slice as q_cluster_report. ONE
+    // hash-agg (max-of-struct keeper, O(1) group state), no window.
+    // Oracle = the recursive-CTE union-find twin + the same keeper rank.
+    "q_cluster_representatives" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      val clu = TieredDedup.exactClusters(docs, 0.3)
+      Curation.clusterRepresentatives(clu, docs).orderBy("cluster_id")
+    }),
+
     // T38: tiered dedup — the standard web-curation cascade run as ONE
     // composed job with per-doc tier provenance: tier 1 exact (md5
     // content groups, keeper = min doc_id), tier 2 near (5-shingle
@@ -2112,6 +2154,74 @@ object SparkEntry {
            CAST(c.doc_id <> k.canon_of AS INT) AS is_dup
          FROM c JOIN k USING (canon_url)
          ORDER BY doc_id""",
+
+    // T40: metadata planted IDENTICALLY (doc_id arithmetic + substr /
+    // repeat caption branches), every rule recomputed from scratch —
+    // integer ×100-scaled bpp compare, char/token caption bounds, and
+    // the keep conjunction.
+    "q_image_filter" ->
+      """WITH m0 AS (
+           SELECT doc_id AS image_id,
+             16 + (doc_id * 37) % 1200 AS w,
+             16 + (doc_id * 53) % 900 AS h,
+             CASE WHEN doc_id % 13 = 0 THEN substr(text, 1, 4)
+                  WHEN doc_id % 17 = 0 THEN repeat('x', 40)
+                  ELSE substr(text, 1, 120) END AS caption
+           FROM documents),
+         m AS (
+           SELECT image_id, w, h,
+             (w * h * ((image_id * 101) % 1400)) // 100 AS n_bytes, caption
+           FROM m0),
+         r AS (
+           SELECT image_id, w, h, n_bytes,
+             CAST(len(regexp_split_to_array(trim(caption), '\s+')) AS BIGINT)
+               AS n_cap_toks,
+             (w >= 64 AND h >= 64) AS ok_size,
+             (greatest(w, h) <= 4 * least(w, h)) AS ok_aspect,
+             (n_bytes * 100 >= w * h * 2 AND n_bytes * 100 <= w * h * 1200)
+               AS ok_bpp,
+             (length(caption) BETWEEN 5 AND 512) AS ok_caption,
+             (len(regexp_split_to_array(trim(caption), '\s+'))
+               BETWEEN 2 AND 128) AS ok_cap_toks
+           FROM m)
+         SELECT *,
+           (ok_size AND ok_aspect AND ok_bpp AND ok_caption AND ok_cap_toks)
+             AS keep
+         FROM r ORDER BY image_id""",
+
+    // T41: the q_cluster_report recursive-CTE union-find twin + the same
+    // (len desc, doc_id asc) keeper rank and member count.
+    "q_cluster_representatives" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         sh AS (
+           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           FROM docs, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         edges0 AS (
+           SELECT a, b FROM pairs
+           JOIN counts ca ON pairs.a = ca.doc_id
+           JOIN counts cb ON pairs.b = cb.doc_id
+           WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.3),
+         edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+         walk(node, rep) AS (
+           SELECT doc_id, doc_id FROM docs
+           UNION
+           SELECT e.b, w.rep FROM walk w JOIN edges e ON e.a = w.node),
+         cl AS (SELECT node AS doc_id, min(rep) AS cluster_id FROM walk GROUP BY node),
+         q AS (SELECT cl.doc_id, cl.cluster_id,
+                 CAST(length(d.text) AS BIGINT) AS len
+               FROM cl JOIN docs d ON d.doc_id = cl.doc_id),
+         r AS (SELECT cluster_id, doc_id, len,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY len DESC, doc_id) AS rk FROM q),
+         n AS (SELECT cluster_id, count(*) AS n_members FROM q GROUP BY 1)
+         SELECT r.cluster_id, r.doc_id AS rep_id, r.len AS rep_len,
+           n.n_members
+         FROM r JOIN n USING (cluster_id) WHERE rk = 1 ORDER BY cluster_id""",
 
     // T38: the full cascade recomputed independently — md5 exact groups,
     // the q_doc_clusters shingle/Jaccard/recursive-CTE machinery over the

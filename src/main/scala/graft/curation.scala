@@ -325,4 +325,82 @@ object Curation {
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_grams"), 6))
   }
+
+  /** T40: image-metadata curation filter — the LAION/DataComp gate family
+    * (Schuhmann et al., NeurIPS 2022 §2.2; Gadre et al. 2023) over the
+    * crawl's CHEAP columns, run BEFORE any decode/signature work:
+    * resolution floor, aspect-ratio bound (banner/sliver rejection),
+    * bytes-per-pixel plausibility (truncated/corrupt files sit near 0;
+    * decompression bombs far above any codec's ceiling), and caption
+    * length + token-count bounds. Every rule reads scan columns only, so
+    * the whole filter is one row-local codegen projection with zero
+    * shuffles — and because it uses the RECORDED n_bytes rather than
+    * length(bytes), the parquet scan never materializes the pixel column
+    * for rows this gate will drop.
+    *
+    * The bpp rule compares in ×100 scaled INTEGER space
+    * (n_bytes·100 vs w·h·bppLo/HiX100) — no FP division, so the keep
+    * booleans are bit-identical across engines (the same rounded-signal
+    * discipline as [[sourceBalance]]/[[gopherFilter]]). All arithmetic is
+    * widened to i64 first: w·h·1200 overflows i32 at ~1.8 Mpx.
+    */
+  def imageMetaFilter(imgs: DataFrame,
+      minSide: Int = 64, maxAspect: Int = 4,
+      bppLoX100: Int = 2, bppHiX100: Int = 1200,
+      minCapChars: Int = 5, maxCapChars: Int = 512,
+      minCapToks: Int = 2, maxCapToks: Int = 128): DataFrame = {
+    val w = col("w").cast("long")
+    val h = col("h").cast("long")
+    val nb = col("n_bytes").cast("long")
+    imgs
+      .withColumn("n_cap_toks",
+        size(split(trim(col("caption")), "\\s+")).cast("long"))
+      .withColumn("ok_size", w >= minSide && h >= minSide)
+      .withColumn("ok_aspect", greatest(w, h) <= lit(maxAspect.toLong) * least(w, h))
+      .withColumn("ok_bpp",
+        nb * 100L >= w * h * bppLoX100.toLong &&
+        nb * 100L <= w * h * bppHiX100.toLong)
+      .withColumn("ok_caption",
+        length(col("caption")).between(minCapChars, maxCapChars))
+      .withColumn("ok_cap_toks",
+        col("n_cap_toks").between(minCapToks.toLong, maxCapToks.toLong))
+      .withColumn("keep", col("ok_size") && col("ok_aspect") && col("ok_bpp") &&
+        col("ok_caption") && col("ok_cap_toks"))
+  }
+
+  /** T41: cluster-representative selection — the emit step after dedup:
+    * ONE keeper per cluster by (integer quality key desc, doc_id asc);
+    * here the key is text length (for images it would be w·h), and the
+    * id tiebreak makes the choice a total order, so the output is
+    * deterministic and oracle-able.
+    *
+    * The 100 TB shape: TWO codegen HashAggregates and nothing else — no
+    * window, no sort, O(1) state per group. The obvious one-agg form,
+    * max(struct(len, -doc_id)), was written first and REJECTED from the
+    * plan: struct buffers are not hash-aggregable, so Spark silently
+    * plans it as SortAggregate with a map-side sort of the whole
+    * doc-level relation (PLANS.md T41 — the same trap CcSpec guards
+    * against in CC). Instead the tiebreak is resolved by construction:
+    * the first agg collapses (cluster_id, len) → min(doc_id), after
+    * which len is UNIQUE within each cluster, so the cluster-level
+    * max_by(cand_id, len) — primitive buffer, HashAggregate-eligible —
+    * can never see a tie and is therefore deterministic. Both exchanges
+    * carry partially-combined collapsed rows; a 10M-member viral cluster
+    * costs the same group state as a pair. Contrast [[sourceBalance]]'s
+    * rank-K window, the right shape only when K &gt; 1 survivors are
+    * kept. The docs join is doc-level (corpus cardinality) and
+    * co-locates when both sides are bucketed by doc_id.
+    */
+  def clusterRepresentatives(clusters: DataFrame, docs: DataFrame): DataFrame =
+    clusters
+      .join(docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("len")), "doc_id")
+      .groupBy("cluster_id", "len")
+      .agg(min(col("doc_id")).as("cand_id"), count(lit(1)).as("cnt"))
+      .groupBy("cluster_id")
+      .agg(max(col("len")).as("rep_len"),
+        max_by(col("cand_id"), col("len")).as("rep_id"),
+        sum(col("cnt")).as("n_members"))
+      .select(col("cluster_id"), col("rep_id"), col("rep_len"),
+        col("n_members"))
 }

@@ -186,6 +186,84 @@ class CurationSpec extends SparkSpec {
       s"gibberish ppl $minRare should exceed template ppl $maxCommon")
   }
 
+  test("imageMetaFilter: each gate fires on its designed violation, clean row passes") {
+    val rows = Seq(
+      // (id, w, h, n_bytes, caption)             violates
+      ("ok", 640, 480, 640L * 480 * 3, "a clear photo of a dog"), // nothing
+      ("small", 32, 100, 32L * 100 * 3, "a clear photo of a dog"), // ok_size
+      ("sliver", 2000, 400, 2000L * 400 * 3, "a clear photo"), // ok_aspect
+      ("trunc", 640, 480, 10L, "a clear photo of a dog"), // ok_bpp low
+      ("bomb", 640, 480, 640L * 480 * 2000, "a clear photo"), // ok_bpp high
+      ("nocap", 640, 480, 640L * 480 * 3, "hi y"), // ok_caption (4 chars, 2 toks)
+      ("onetok", 640, 480, 640L * 480 * 3, "x" * 40) // ok_cap_toks
+    ).toDF("image_id", "w", "h", "n_bytes", "caption")
+    val out = Curation.imageMetaFilter(rows)
+      .select("image_id", "ok_size", "ok_aspect", "ok_bpp", "ok_caption",
+        "ok_cap_toks", "keep")
+      .as[(String, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("ok") == ("ok", true, true, true, true, true, true))
+    assert(out("small") == ("small", false, true, true, true, true, false))
+    assert(out("sliver") == ("sliver", true, false, true, true, true, false))
+    assert(out("trunc") == ("trunc", true, true, false, true, true, false))
+    assert(out("bomb") == ("bomb", true, true, false, true, true, false))
+    assert(out("nocap") == ("nocap", true, true, true, false, true, false))
+    assert(out("onetok") == ("onetok", true, true, true, true, false, false))
+  }
+
+  test("imageMetaFilter runs on the real fixture corpus (n_bytes = file size)") {
+    // keep must equal the rule conjunction row-by-row, ok_size must be
+    // exactly the 64-px side floor, and the gate must genuinely split
+    // the corpus (base fixtures are 32–80 px; some variants upscale past
+    // the floor, so both outcomes occur).
+    val imgs = Fixtures.corpus(spark, 20).toDF()
+      .withColumn("n_bytes", length(col("bytes")).cast("long"))
+    val out = Curation.imageMetaFilter(imgs).cache()
+    assert(out.filter(col("ok_size") =!=
+      (least(col("w"), col("h")) >= 64)).count() == 0)
+    assert(out.filter(col("keep") =!= (col("ok_size") && col("ok_aspect") &&
+      col("ok_bpp") && col("ok_caption") && col("ok_cap_toks"))).count() == 0)
+    assert(out.filter(col("keep")).count() > 0)
+    assert(out.filter(!col("keep")).count() > 0)
+    // real encoded bytes sit inside the plausibility band: bpp gate passes
+    assert(out.filter(!col("ok_bpp")).count() == 0)
+    out.unpersist()
+  }
+
+  test("clusterRepresentatives: keeper = (len desc, doc_id asc), one hash-agg") {
+    val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq(
+      (10L, "short"), (11L, "nine ch x"), (12L, "nine ch y"), (20L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Curation.clusterRepresentatives(clusters, docs)
+      .orderBy("cluster_id")
+      .select("cluster_id", "rep_id", "rep_len", "n_members")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster 1: docs 11 and 12 tie at len 9 -> lower id 11 wins
+    assert(out == Seq((1L, 11L, 9L, 3L), (2L, 20L, 4L, 1L)))
+    // scale shape: hash aggregation only — no window, and no silent
+    // SortAggregate fallback (max over a struct buffer plans as one)
+    val plan = Curation.clusterRepresentatives(clusters, docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "keeper must be an aggregate, not a window")
+    assert(!plan.contains("SortAggregate"),
+      "keeper aggs must stay hash-based (primitive buffers only)")
+  }
+
+  test("clusterRepresentatives is partition- and input-order independent") {
+    val n = 200
+    val docs = Seq.tabulate(n)(i =>
+      (i.toLong, "t" * (1 + (i * 31) % 97))).toDF("doc_id", "text")
+    val clusters = Seq.tabulate(n)(i => (i.toLong, (i % 17).toLong))
+      .toDF("doc_id", "cluster_id")
+    val a = Curation.clusterRepresentatives(clusters, docs)
+    val b = Curation.clusterRepresentatives(
+      clusters.orderBy(col("doc_id").desc).repartition(13),
+      docs.repartition(7))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("canonicalizeUrl: every normalization rule, one messy URL each") {
     val cases = Seq(
       // case-folding of scheme + host, never of path or params

@@ -574,6 +574,36 @@ object PlanDump {
           .agg(hll_sketch_agg(col("event_id"), lit(14)).as("sk"))
           .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
           .select(hll_sketch_estimate(col("sk")).as("n_est")))
+      dump("T40 — image-metadata curation filter (Curation.imageMetaFilter)",
+        "Every gate (resolution floor, aspect bound, ×100-integer bpp " +
+          "plausibility, caption char/token bounds) is a scan-column " +
+          "boolean, so the whole filter is ONE Project over the scan — " +
+          "no Exchange, no aggregate, no UDF — and whole-stage codegen " +
+          "covers it end-to-end. Because the rules use the recorded " +
+          "n_bytes rather than length(bytes), a pruned read never " +
+          "materializes the pixel column for rows this gate drops.",
+        Curation.imageMetaFilter(corpus
+          .withColumn("n_bytes", length(col("bytes")).cast("long"))
+          .select("image_id", "w", "h", "n_bytes", "caption")))
+      dump("T41 — cluster-representative selection (Curation.clusterRepresentatives)",
+        "Two codegen HashAggregates and nothing else. The obvious " +
+          "one-agg form, max(struct(len, -doc_id)), was written first " +
+          "and REJECTED: struct buffers are not hash-aggregable, so " +
+          "Spark silently plans it as SortAggregate with a map-side " +
+          "sort of the whole doc-level relation. Here the (cluster_id, " +
+          "len) → min(doc_id) pre-collapse makes len unique per " +
+          "cluster, so the cluster-level max_by(cand_id, len) — " +
+          "primitive buffer, hash-eligible — can never tie and is " +
+          "deterministic. The plan must contain NO Window and NO " +
+          "SortAggregate (CurationSpec asserts both mechanically); both " +
+          "exchanges carry partially-combined collapsed rows.",
+        {
+          val docs = corpus.select(xxhash64(col("image_id")).as("doc_id"),
+            col("caption").as("text"))
+          val clusters = docs.select(col("doc_id"),
+            pmod(col("doc_id"), lit(50L)).as("cluster_id"))
+          Curation.clusterRepresentatives(clusters, docs)
+        })
     }
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)

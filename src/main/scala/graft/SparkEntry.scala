@@ -1435,6 +1435,32 @@ object SparkEntry {
       Curation.clusterRepresentatives(clu, docs).orderBy("cluster_id")
     }),
 
+    // T42: leakage-safe split — train/val/test hashed on the CLUSTER id,
+    // so near-dup pairs can never straddle the split (the q_hash_split
+    // failure mode Lee et al. §6.2 measure). Pure row-local projection
+    // over the assignment table. Oracle = the recursive-CTE union-find
+    // twin + the q_hash_split signed-mix64 twin on DISTINCT cluster ids.
+    "q_cluster_split" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      Curation.clusterSplit(TieredDedup.exactClusters(docs, 0.3))
+        .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // T43: dedup-run churn audit — one summary row comparing the τ=0.5
+    // and τ=0.3 assignments of the same slice (a config change an
+    // operator would actually ship): docs moved, clusters split/merged.
+    // Oracle recomputes BOTH recursive-CTE clusterings off shared
+    // MATERIALIZED shingle/pair tables and the same contingency algebra.
+    "q_cluster_churn" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      Curation.clusterChurn(
+        TieredDedup.exactClusters(docs, 0.5),
+        TieredDedup.exactClusters(docs, 0.3))
+    }),
+
     // T38: tiered dedup — the standard web-curation cascade run as ONE
     // composed job with per-doc tier provenance: tier 1 exact (md5
     // content groups, keeper = min doc_id), tier 2 near (5-shingle
@@ -2222,6 +2248,96 @@ object SparkEntry {
          SELECT r.cluster_id, r.doc_id AS rep_id, r.len AS rep_len,
            n.n_members
          FROM r JOIN n USING (cluster_id) WHERE rk = 1 ORDER BY cluster_id""",
+
+    // T42: union-find twin + the signed-mix64 twin hashed on DISTINCT
+    // cluster ids, joined back to every member.
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         sh AS (
+           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           FROM docs, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         edges0 AS (
+           SELECT a, b FROM pairs
+           JOIN counts ca ON pairs.a = ca.doc_id
+           JOIN counts cb ON pairs.b = cb.doc_id
+           WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.3),
+         edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+         walk(node, rep) AS (
+           SELECT doc_id, doc_id FROM docs
+           UNION
+           SELECT e.b, w.rep FROM walk w JOIN edges e ON e.a = w.node),
+         cl AS (SELECT node AS doc_id, min(rep) AS cluster_id FROM walk GROUP BY node),
+         src AS (SELECT DISTINCT cluster_id AS doc_id,
+                   cluster_id::HUGEINT AS zc0 FROM cl),
+         ${mix64Ctes("src", "sp")},
+         sb AS (SELECT doc_id AS cluster_id,
+           ((CASE WHEN h >= 9223372036854775808::HUGEINT
+              THEN h - $Mod64::HUGEINT ELSE h END) % 10 + 10) % 10 AS bucket
+          FROM sp5)
+         SELECT cl.doc_id, cl.cluster_id, CAST(sb.bucket AS BIGINT) AS bucket,
+           CASE WHEN sb.bucket < 8 THEN 'train'
+                WHEN sb.bucket = 8 THEN 'val' ELSE 'test' END AS split
+         FROM cl JOIN sb USING (cluster_id) ORDER BY doc_id""",
+
+    // T43: both clusterings recomputed off shared MATERIALIZED
+    // shingle/pair tables (two recursive walks), then the identical
+    // contingency algebra.
+    "q_cluster_churn" ->
+      """WITH RECURSIVE docs AS MATERIALIZED (
+           SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         sh AS MATERIALIZED (
+           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           FROM docs, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
+         counts AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         pairs AS MATERIALIZED (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         jac AS MATERIALIZED (
+           SELECT a, b, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS j
+           FROM pairs
+           JOIN counts ca ON pairs.a = ca.doc_id
+           JOIN counts cb ON pairs.b = cb.doc_id),
+         eo AS MATERIALIZED (
+           SELECT a, b FROM jac WHERE j >= 0.5
+           UNION SELECT b, a FROM jac WHERE j >= 0.5),
+         walko(node, rep) AS (
+           SELECT doc_id, doc_id FROM docs
+           UNION
+           SELECT e.b, w.rep FROM walko w JOIN eo e ON e.a = w.node),
+         clo AS MATERIALIZED (
+           SELECT node AS doc_id, min(rep) AS old_cid FROM walko GROUP BY node),
+         en AS MATERIALIZED (
+           SELECT a, b FROM jac WHERE j >= 0.3
+           UNION SELECT b, a FROM jac WHERE j >= 0.3),
+         walkn(node, rep) AS (
+           SELECT doc_id, doc_id FROM docs
+           UNION
+           SELECT e.b, w.rep FROM walkn w JOIN en e ON e.a = w.node),
+         cln AS MATERIALIZED (
+           SELECT node AS doc_id, min(rep) AS new_cid FROM walkn GROUP BY node),
+         cont AS MATERIALIZED (
+           SELECT old_cid, new_cid, count(*) AS n
+           FROM clo JOIN cln USING (doc_id) GROUP BY 1, 2),
+         t1 AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+                  CAST(sum(CASE WHEN old_cid <> new_cid THEN n ELSE 0 END)
+                    AS BIGINT) AS n_moved FROM cont),
+         t2 AS (SELECT CAST(count(*) AS BIGINT) AS n_old_clusters,
+                  CAST(sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_split
+                FROM (SELECT old_cid, count(*) AS fanout FROM cont GROUP BY 1)),
+         t3 AS (SELECT CAST(count(*) AS BIGINT) AS n_new_clusters,
+                  CAST(sum(CASE WHEN fanin > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_merged
+                FROM (SELECT new_cid, count(*) AS fanin FROM cont GROUP BY 1))
+         SELECT n_docs, n_moved, n_old_clusters, n_new_clusters, n_split,
+           n_merged
+         FROM t1, t2, t3""",
 
     // T38: the full cascade recomputed independently — md5 exact groups,
     // the q_doc_clusters shingle/Jaccard/recursive-CTE machinery over the

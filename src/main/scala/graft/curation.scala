@@ -403,4 +403,72 @@ object Curation {
         sum(col("cnt")).as("n_members"))
       .select(col("cluster_id"), col("rep_id"), col("rep_len"),
         col("n_members"))
+
+  /** T42: leakage-safe corpus split — train/val/test assignment hashed on
+    * the dedup CLUSTER id, not the doc id. The eval-contamination failure
+    * mode of doc-level splitting (q_hash_split / T19) is that near-dup
+    * pairs straddle the split: the model trains on one copy and is
+    * evaluated on the other, inflating eval scores (Lee et al., ACL 2022
+    * §6.2 measure exactly this). Hashing the cluster id makes straddling
+    * STRUCTURALLY impossible — every member of a near-dup cluster shares
+    * the same mix64(cluster_id) bucket by construction, so no
+    * doc-vs-doc comparison, no pair table, no second pass.
+    *
+    * Scale shape: a pure row-local codegen projection over the
+    * (doc_id, cluster_id) assignment table — zero joins, zero shuffles;
+    * the clustering that produced the input already paid the hard cost.
+    * mix64 is the engine's shared splitmix64 finalizer, so the split is
+    * deterministic across runs, engines (SQL twin), and input order.
+    */
+  def clusterSplit(clusters: DataFrame,
+      trainBuckets: Int = 8, valBuckets: Int = 1): DataFrame = {
+    require(trainBuckets + valBuckets < 10, "test split must be non-empty")
+    graft.functions.GraftFunctions.register(clusters.sparkSession)
+    clusters
+      .withColumn("bucket",
+        pmod(graft.functions.GraftFunctions.mix64Col(col("cluster_id")),
+          lit(10L)))
+      .withColumn("split",
+        when(col("bucket") < trainBuckets, "train")
+          .when(col("bucket") < trainBuckets + valBuckets, "val")
+          .otherwise("test"))
+  }
+
+  /** T43: dedup-run churn audit — the operational question after any
+    * config or code change to the dedup stack: how much did cluster
+    * assignments MOVE? Takes two assignments over the same doc
+    * population (yesterday/today, config A/B) and emits one summary row:
+    * doc count, per-side cluster counts, docs whose label changed
+    * (labels are comparable because both sides use the engine's
+    * canonical min-member-id labeling), old clusters that split across
+    * &gt;1 new cluster, and new clusters that merged &gt;1 old cluster.
+    *
+    * Scale shape: ONE doc-level join, then every statistic reads the
+    * (old_cid, new_cid) CONTINGENCY table — a hash-agg whose output is
+    * at most one row per surviving cluster pair, far smaller than the
+    * corpus. The contingency is localCheckpointed because three
+    * single-row aggregates consume it (swap for a table checkpoint when
+    * cluster-pair cardinality exceeds cluster storage). Fan-out/fan-in
+    * are counts over that collapsed relation — nothing rescans docs.
+    */
+  def clusterChurn(oldC: DataFrame, newC: DataFrame): DataFrame = {
+    val pairAgg = oldC.select(col("doc_id"), col("cluster_id").as("old_cid"))
+      .join(newC.select(col("doc_id"), col("cluster_id").as("new_cid")),
+        "doc_id")
+      .groupBy("old_cid", "new_cid").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val totals = pairAgg.agg(
+      sum(col("n")).as("n_docs"),
+      sum(when(col("old_cid") =!= col("new_cid"), col("n")).otherwise(0L))
+        .as("n_moved"))
+    val oldSide = pairAgg.groupBy("old_cid").agg(count(lit(1)).as("fanout"))
+      .agg(count(lit(1)).as("n_old_clusters"),
+        sum(when(col("fanout") > 1, 1L).otherwise(0L)).as("n_split"))
+    val newSide = pairAgg.groupBy("new_cid").agg(count(lit(1)).as("fanin"))
+      .agg(count(lit(1)).as("n_new_clusters"),
+        sum(when(col("fanin") > 1, 1L).otherwise(0L)).as("n_merged"))
+    totals.crossJoin(oldSide).crossJoin(newSide)
+      .select(col("n_docs"), col("n_moved"), col("n_old_clusters"),
+        col("n_new_clusters"), col("n_split"), col("n_merged"))
+  }
 }

@@ -264,6 +264,44 @@ class CurationSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("clusterSplit: cluster members share a split, so near-dups never straddle") {
+    val clusters = Seq.tabulate(300)(i => (i.toLong, (i % 60).toLong))
+      .toDF("doc_id", "cluster_id")
+    val out = Curation.clusterSplit(clusters).cache()
+    assert(out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") =!= 1).count() == 0)
+    // 60 clusters is enough for all three splits to be populated
+    assert(out.select("split").distinct().count() == 3)
+    // bucket is the engine's mix64 of the cluster id (shared SQL twin)
+    assert(out.filter(col("bucket") =!=
+      pmod(graft.functions.GraftFunctions.mix64Col(col("cluster_id")),
+        lit(10L))).count() == 0)
+    // split is a pure function of cluster_id: re-running under different
+    // partitioning moves nothing
+    val again = Curation.clusterSplit(clusters.repartition(13))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
+
+  test("clusterChurn on planted assignments: moved/split/merged counted exactly") {
+    // old: {1,2,3}=c1  {4,5}=c2  {6}=c6
+    // new: {1,2}=c1    {3}=c3    {4,5,6}=c4
+    // -> old c1 SPLIT across {c1,c3}; new c4 MERGED from {c2,c6};
+    //    docs 3,4,5,6 changed label (min-id labels comparable by design)
+    val oldC = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 6L))
+      .toDF("doc_id", "cluster_id")
+    val newC = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val r = Curation.clusterChurn(oldC, newC)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((6L, 4L, 3L, 3L, 1L, 1L)))
+    // identical assignments -> zero churn
+    val z = Curation.clusterChurn(oldC, oldC)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(z == ((6L, 0L, 3L, 3L, 0L, 0L)))
+  }
+
   test("canonicalizeUrl: every normalization rule, one messy URL each") {
     val cases = Seq(
       // case-folding of scheme + host, never of path or params

@@ -1451,14 +1451,20 @@ object SparkEntry {
     // T43: dedup-run churn audit — one summary row comparing the τ=0.5
     // and τ=0.3 assignments of the same slice (a config change an
     // operator would actually ship): docs moved, clusters split/merged.
-    // Oracle recomputes BOTH recursive-CTE clusterings off shared
-    // MATERIALIZED shingle/pair tables and the same contingency algebra.
+    // The quadratic pair scoring runs ONCE (localCheckpointed scored
+    // table, filtered per τ) — only the cheap CC rounds run twice. On
+    // nested edge sets (loosening τ strictly adds edges) old clusters
+    // can only MERGE, so n_split = 0 here by construction; the split
+    // direction is pinned by CurationSpec's planted scenario. Oracle
+    // recomputes BOTH recursive-CTE clusterings off shared MATERIALIZED
+    // shingle/pair tables and the same contingency algebra.
     "q_cluster_churn" -> ((s, d) => {
       val docs = t(s, d, "documents").where(col("doc_id") < 500)
         .select(col("doc_id"), col("text"))
+      val scored = TieredDedup.exactPairsScored(docs).localCheckpoint()
       Curation.clusterChurn(
-        TieredDedup.exactClusters(docs, 0.5),
-        TieredDedup.exactClusters(docs, 0.3))
+        TieredDedup.exactClustersAt(docs, scored, 0.5),
+        TieredDedup.exactClustersAt(docs, scored, 0.3))
     }),
 
     // T38: tiered dedup — the standard web-curation cascade run as ONE

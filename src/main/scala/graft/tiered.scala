@@ -43,7 +43,18 @@ object TieredDedup {
     * (q_doc_near_dup_lsh), which emits the same pair set at its
     * threshold with P(miss) ≤ 2e-8 per true pair. Returns (a, b), a < b.
     */
-  def exactPairsJaccard(docs: DataFrame, tau: Double): DataFrame = {
+  def exactPairsJaccard(docs: DataFrame, tau: Double): DataFrame =
+    exactPairsScored(docs).where(col("j") >= tau).select(col("a"), col("b"))
+
+  /** The scored form of [[exactPairsJaccard]]: every co-shingled pair
+    * with its exact Jaccard, threshold NOT applied — so a consumer that
+    * needs several τ settings (T43's churn audit compares two) pays the
+    * quadratic shingle join ONCE and filters the scored table per
+    * setting; the per-τ CC rounds that follow are cheap by comparison.
+    * Callers fanning out over thresholds should localCheckpoint the
+    * result (it is lazily recomputed per consumer otherwise).
+    */
+  def exactPairsScored(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(transform(
         sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
@@ -55,9 +66,17 @@ object TieredDedup {
       .agg(count(lit(1)).as("inter"))
       .join(na.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
       .join(na.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
-      .where(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= tau)
-      .select(col("a"), col("b"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("j"))
   }
+
+  /** Cluster a pre-scored pair table ([[exactPairsScored]]) at `tau` —
+    * the multi-threshold companion of [[exactClusters]]. */
+  def exactClustersAt(docs: DataFrame, scoredPairs: DataFrame,
+      tau: Double): DataFrame =
+    clustersFrom(docs,
+      scoredPairs.where(col("j") >= tau).select(col("a"), col("b")))
 
   /** [[exactPairsJaccard]] + connected components → (doc_id, cluster_id),
     * cluster_id = min doc_id of the component. Numeric ids straight

@@ -2208,13 +2208,13 @@ object SparkEntry {
            SELECT image_id, w, h, n_bytes,
              CAST(len(regexp_split_to_array(trim(caption), '\s+')) AS BIGINT)
                AS n_cap_toks,
-             (w >= 64 AND h >= 64) AS ok_size,
-             (greatest(w, h) <= 4 * least(w, h)) AS ok_aspect,
-             (n_bytes * 100 >= w * h * 2 AND n_bytes * 100 <= w * h * 1200)
-               AS ok_bpp,
-             (length(caption) BETWEEN 5 AND 512) AS ok_caption,
-             (len(regexp_split_to_array(trim(caption), '\s+'))
-               BETWEEN 2 AND 128) AS ok_cap_toks
+             coalesce(w >= 64 AND h >= 64, FALSE) AS ok_size,
+             coalesce(greatest(w, h) <= 4 * least(w, h), FALSE) AS ok_aspect,
+             coalesce(n_bytes * 100 >= w * h * 2
+               AND n_bytes * 100 <= w * h * 1200, FALSE) AS ok_bpp,
+             coalesce(length(caption) BETWEEN 5 AND 512, FALSE) AS ok_caption,
+             coalesce(len(regexp_split_to_array(trim(caption), '\s+'))
+               BETWEEN 2 AND 128, FALSE) AS ok_cap_toks
            FROM m)
          SELECT *,
            (ok_size AND ok_aspect AND ok_bpp AND ok_caption AND ok_cap_toks)

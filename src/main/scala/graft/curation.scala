@@ -352,18 +352,26 @@ object Curation {
     val w = col("w").cast("long")
     val h = col("h").cast("long")
     val nb = col("n_bytes").cast("long")
+    // every gate coalesces NULL → false: a row with a missing caption or
+    // dimension plainly fails that gate. Without this, NULL propagates
+    // through the conjunction and the row vanishes from BOTH
+    // filter(keep) and filter(!keep) — kept + dropped ≠ input, a silent
+    // accounting leak on raw crawl metadata (this gate runs FIRST,
+    // before any isNotNull clean stage).
+    def gate(c: Column): Column = coalesce(c, lit(false))
     imgs
       .withColumn("n_cap_toks",
         size(split(trim(col("caption")), "\\s+")).cast("long"))
-      .withColumn("ok_size", w >= minSide && h >= minSide)
-      .withColumn("ok_aspect", greatest(w, h) <= lit(maxAspect.toLong) * least(w, h))
+      .withColumn("ok_size", gate(w >= minSide && h >= minSide))
+      .withColumn("ok_aspect",
+        gate(greatest(w, h) <= lit(maxAspect.toLong) * least(w, h)))
       .withColumn("ok_bpp",
-        nb * 100L >= w * h * bppLoX100.toLong &&
-        nb * 100L <= w * h * bppHiX100.toLong)
+        gate(nb * 100L >= w * h * bppLoX100.toLong &&
+          nb * 100L <= w * h * bppHiX100.toLong))
       .withColumn("ok_caption",
-        length(col("caption")).between(minCapChars, maxCapChars))
+        gate(length(col("caption")).between(minCapChars, maxCapChars)))
       .withColumn("ok_cap_toks",
-        col("n_cap_toks").between(minCapToks.toLong, maxCapToks.toLong))
+        gate(col("n_cap_toks").between(minCapToks.toLong, maxCapToks.toLong)))
       .withColumn("keep", col("ok_size") && col("ok_aspect") && col("ok_bpp") &&
         col("ok_caption") && col("ok_cap_toks"))
   }

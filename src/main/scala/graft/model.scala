@@ -115,19 +115,27 @@ final case class DedupConfig(
     //   caption fixture.
     seed: Long = 42L,
     exactTier: Boolean = false // T38 tier-1 for the image pipeline: group
-    //   byte-identical images by md5(bytes) BEFORE signatures, keep one
-    //   representative per group, and feed (canon, dup) edges straight to
-    //   the CC stage. A web crawl is typically 30–50%% byte-identical
-    //   refetches; collapsing them first (a) removes the dominant
-    //   LSH-bucket skew source (a 10k-copy viral image becomes ONE
-    //   signature row instead of a capped 256-id bucket with logged
-    //   drops), (b) shrinks candidates/scoring/verify by the dup share,
-    //   and (c) catches byte-identical pairs whose captions differ —
-    //   which caption-keyed retrieval can miss entirely but which ARE
-    //   dups under the pixel keep rule (PSNR = ∞). Semantics-preserving:
-    //   is_dup is pixels-only (scoring.scala), so every exact edge is a
-    //   true dup edge; cluster labels stay min-public-id. Default OFF to
-    //   keep pre-existing snapshots resumable and golden pins unchanged.
+    //   byte-identical images by md5(bytes) BEFORE signatures, drop
+    //   SAME-CAPTION dup members from the signature table, and feed
+    //   (canon, dup) edges straight to the CC stage. A web crawl is
+    //   typically 30–50%% byte-identical refetches; collapsing them
+    //   first (a) removes the dominant LSH-bucket skew source (a
+    //   10k-copy viral image's same-caption copies become ONE signature
+    //   row instead of a capped 256-id bucket with logged drops),
+    //   (b) shrinks candidates/scoring/verify by the same-caption dup
+    //   share, and (c) catches byte-identical pairs whose captions
+    //   differ — which caption-keyed retrieval can miss entirely but
+    //   which ARE dups under the pixel keep rule (PSNR = ∞). The drop
+    //   is recall-PRESERVING, not merely plausible: only members whose
+    //   caption EQUALS the canon's are dropped, so every candidate
+    //   their caption would retrieve is retrieved by the canon's
+    //   identical caption against identical bytes; caption-rewritten
+    //   copies keep their own signature row because theirs may be the
+    //   only retrieval path to a third near-dup (PipelineSpec pins that
+    //   scenario). Every exact edge is a true dup edge (is_dup is
+    //   pixels-only, scoring.scala); cluster labels stay min-public-id.
+    //   Default OFF to keep pre-existing snapshots resumable and golden
+    //   pins unchanged.
 ) {
   require(bands * rowsPerBand <= numPerms, "b*r must fit in numPerms")
   require(!useOphSignatures || (numPerms & (numPerms - 1)) == 0,

@@ -103,16 +103,19 @@ object Pipeline {
       .where(col("caption").isNotNull && length(col("caption")) > 0)
       .where(col("w") > 0 && col("h") > 0)
 
-    // stage E (cfg.exactTier): byte-identical groups collapse to one
-    // representative BEFORE any signature work — the crawl-scale lever
-    // (30–50% refetches) and the LSH-skew killer (a viral exact-dup group
-    // becomes ONE signature row instead of a capped bucket with logged
-    // drops). Committed, so a resumed run replays the (canon, dup) edges
-    // without re-digesting bytes. The edges go straight to the CC stage;
-    // see TieredDedup.exactImageEdges for why the digest is un-gated.
+    // stage E (cfg.exactTier): byte-identical groups collapse BEFORE any
+    // signature work — the crawl-scale lever (30–50% refetches) and the
+    // LSH-skew killer (a viral exact-dup group's same-caption copies
+    // become ONE signature row instead of a capped bucket with logged
+    // drops). Committed, so a resumed run replays the (canon, dup,
+    // same_caption) edges without re-digesting bytes. The edges go
+    // straight to the CC stage; see TieredDedup.exactImageEdges for the
+    // recall contract carried by same_caption and for why the digest is
+    // un-gated.
     val exactEdges: Option[DataFrame] =
       if (!cfg.exactTier) None
-      else Some(ckpt("exact_groups")(TieredDedup.exactImageEdges(clean)))
+      else Some(ckpt("exact_groups")(
+        TieredDedup.exactImageEdges(clean, repairs)))
 
     // stage 0–1: filters + signatures (row-local, one codegen stage).
     // Committed BUCKETED by the i64 id (Iceberg bucket transform): the
@@ -121,14 +124,19 @@ object Pipeline {
     // pair) and at 10¹² rows it cannot broadcast — the bucketed scan
     // reports HashPartitioning(id), so those joins shuffle only the pair
     // side, within this run and on resume in a fresh JVM. With the exact
-    // tier on, only group representatives get signatures (the anti-join
-    // is narrow — sketch rows against the dup ids, and Catalyst pushes
-    // the anti through the sketch projection so dropped rows never pay
-    // the MinHash; the commit write re-buckets by id regardless).
+    // tier on, SAME-CAPTION dup members are dropped from the signature
+    // table (recall-safe: the canon's identical caption retrieves every
+    // candidate theirs would have, and the pixel verify sees identical
+    // bytes) while caption-REWRITTEN byte copies keep their own row —
+    // their caption may be the only retrieval path to a third near-dup
+    // (the anti-join is narrow — sketch rows against the dup ids, and
+    // Catalyst pushes the anti through the sketch projection so dropped
+    // rows never pay the MinHash; the commit re-buckets by id anyway).
     def repSigs: DataFrame = {
       val s0 = Signatures.signatures(clean, cfg, repairs)
       exactEdges.fold(s0)(e =>
-        s0.join(e.select(col("b").as("image_id")), Seq("image_id"), "left_anti"))
+        s0.join(e.where(col("same_caption")).select(col("b").as("image_id")),
+          Seq("image_id"), "left_anti"))
     }
     val sigs = io match {
       case Some(t) => t.commitBucketed("signatures", repSigs, "id", cfg.sigBuckets)

@@ -92,30 +92,56 @@ object TieredDedup {
       .select(col("image_id").as("doc_id"), col("cluster_id"))
 
   /** Tier 1 for the IMAGE pipeline (DedupConfig.exactTier): byte-identical
-    * groups as (canon, dup) PUBLIC-id edges, canon = min image_id — the
-    * same id space as the verified pair edges they union with
-    * (ConnectedComponents.clusterHashed derives the repaired i64 ids for
-    * BOTH edge kinds itself, so this op does no hashing at all).
+    * groups as (canon, dup, same_caption) PUBLIC-id edges. The
+    * `same_caption` flag is the RECALL contract: the pipeline may drop a
+    * dup member's signature row only when its caption equals the canon's
+    * — then any candidate the member's caption would have retrieved is
+    * retrieved by the canon's identical caption, and the pixel verify
+    * sees identical bytes, so the emitted cluster set is provably
+    * unchanged. A caption-REWRITTEN byte copy keeps its own signature
+    * row (its caption may be the only retrieval path to a third near-dup
+    * — dropping it would silently lose those pairs), and its exact edge
+    * still merges it with the canon. PipelineSpec pins both directions.
     *
-    * The digest is computed IN the scan projection — md5 over the bytes
-    * column is row-local codegen, so pixels never ride a shuffle here:
-    * only (image_id, 32-char digest) rows reach the grouping exchange,
-    * and the group state is a single min per digest with map-side combine.
+    * Plan shape: the digest is computed IN the scan projection — md5
+    * over bytes is row-local codegen, so pixels never ride a shuffle:
+    * only (i64 id, public id, 32-char digest, caption) rows leave the
+    * scan, localCheckpointed ONCE because two consumers read them
+    * (grouping + the member join; without it the corpus would be
+    * scanned and digested twice — swap for a table checkpoint when the
+    * narrow projection exceeds cluster storage). Canon = min of the
+    * REPAIRED i64 id, a codegen HashAggregate with O(1) group state —
+    * min over the public STRING id would silently plan SortAggregate
+    * over the corpus-scale digest relation (strings have no mutable
+    * agg buffer; the same trap ConnectedComponents.clusterHashed
+    * documents), and the i64→public translation is one id-keyed join
+    * against the canon rows already present in the member relation.
     * Suspect-gating the digest on cheap columns (phash, w, h, fmt) was
-    * considered and rejected: the bytes column is already being read off
-    * parquet either way, md5 is ~two orders cheaper than an image decode,
-    * and the gating join would either broadcast an unbounded suspect set
-    * or drag bytes through a shuffle to meet it.
+    * considered and rejected: bytes are already being read off parquet
+    * either way, md5 is ~two orders cheaper than an image decode, and
+    * the gating join would either broadcast an unbounded suspect set or
+    * drag bytes through a shuffle to meet it.
     *
     * 128-bit digest ⇒ no collision repair needed at 10¹² rows (the same
-    * birthday-bound argument as [[cascade]]'s text tier).
+    * birthday-bound argument as [[cascade]]'s text tier); the i64 id
+    * reuses the pipeline's repair table, so colliding PUBLIC ids cannot
+    * corrupt canon selection either.
     */
-  def exactImageEdges(clean: DataFrame): DataFrame = {
-    val ek = clean.select(col("image_id"), md5(col("bytes")).as("ek"))
-    val canon = ek.groupBy("ek").agg(min("image_id").as("canon"))
-    ek.join(canon, "ek")
-      .where(col("image_id") =!= col("canon"))
-      .select(col("canon").as("a"), col("image_id").as("b"))
+  def exactImageEdges(clean: DataFrame,
+      repairs: Option[DataFrame] = None): DataFrame = {
+    val ek = IdHash.withId(
+      clean.select(col("image_id"), col("caption"), md5(col("bytes")).as("ek")),
+      "image_id", "id", repairs)
+      .localCheckpoint()
+    val canon = ek.groupBy("ek").agg(min(col("id")).as("cid"))
+    val members = ek.join(canon, "ek")
+    val canonRows = members.where(col("id") === col("cid"))
+      .select(col("cid"), col("image_id").as("canon_pub"),
+        col("caption").as("canon_cap"))
+    members.where(col("id") =!= col("cid"))
+      .join(canonRows, "cid")
+      .select(col("canon_pub").as("a"), col("image_id").as("b"),
+        (col("caption") === col("canon_cap")).as("same_caption"))
   }
 
   /** The cascade. `docs` = (doc_id: long, text), `emb` = (id: long,

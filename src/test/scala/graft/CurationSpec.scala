@@ -211,6 +211,30 @@ class CurationSpec extends SparkSpec {
     assert(out("onetok") == ("onetok", true, true, true, true, false, false))
   }
 
+  test("imageMetaFilter: null metadata fails its gates instead of vanishing") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("image_id", StringType), StructField("w", IntegerType),
+      StructField("h", IntegerType), StructField("n_bytes", LongType),
+      StructField("caption", StringType)))
+    val rows = spark.createDataFrame(java.util.Arrays.asList(
+      Row("ok", 640, 480, 640L * 480 * 3, "a clear photo of a dog"),
+      Row("nullcap", 640, 480, 640L * 480 * 3, null),
+      Row("nullw", null, 480, 10L, "a clear photo of a dog")), schema)
+    val out = Curation.imageMetaFilter(rows).cache()
+    // keep is never NULL: kept + dropped must account for every row
+    assert(out.filter(col("keep")).count() +
+      out.filter(!col("keep")).count() == 3)
+    val m = out.select("image_id", "ok_size", "ok_caption", "ok_cap_toks", "keep")
+      .as[(String, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(m("ok") == ("ok", true, true, true, true))
+    assert(m("nullcap") == ("nullcap", true, false, false, false))
+    assert(m("nullw") == ("nullw", false, true, true, false))
+    out.unpersist()
+  }
+
   test("imageMetaFilter runs on the real fixture corpus (n_bytes = file size)") {
     // keep must equal the rule conjunction row-by-row, ok_size must be
     // exactly the 64-px side floor, and the gate must genuinely split

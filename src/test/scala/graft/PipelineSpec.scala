@@ -113,6 +113,37 @@ class PipelineSpec extends SparkSpec {
     pairs.unpersist(); clusters.unpersist()
   }
 
+  test("exact tier keeps caption-rewritten copies retrievable (no recall loss)") {
+    // B = byte copy of image a with rewritten caption g; c = pixel
+    // near-dup of a whose caption is ALSO rewritten to g, so g is the
+    // ONLY retrieval path to c. Dropping every dup member's signature
+    // would silently lose pair (B, c) — the same_caption contract keeps
+    // B's row (its caption differs from the canon's), (B, c) buckets and
+    // verifies (B carries a's pixels), and the exact edge (a, B) closes
+    // the triangle into one cluster.
+    val g = "zq xj qv wk jz vq kx"
+    val base = corpus.toDF()
+    val (aId, cId) = {
+      val p = Fixtures.pairLabels(spark, nClusters).toDF()
+        .filter($"label").orderBy("a", "b")
+        .select("a", "b").as[(String, String)].head()
+      (p._1, p._2)
+    }
+    val rewired = base.withColumn("caption",
+      when($"image_id" === cId, g).otherwise($"caption"))
+    val bcopy = base.filter($"image_id" === aId)
+      .withColumn("image_id", concat($"image_id", lit("_bcopy")))
+      .withColumn("caption", lit(g))
+    val r = Pipeline.run(rewired.unionByName(bcopy), cfg.copy(exactTier = true))
+    val cl = r.clusters
+      .filter($"image_id".isin(aId, cId, aId + "_bcopy"))
+      .select("image_id", "cluster_id").as[(String, String)].collect().toMap
+    assert(cl.size == 3)
+    assert(cl(aId) == cl(aId + "_bcopy"), "exact edge must merge the byte copy")
+    assert(cl(aId) == cl(cId),
+      "the rewritten caption must keep retrieving the pixel near-dup")
+  }
+
   test("OPH signature path reproduces the golden clusters (drop-in sketch swap)") {
     val r = Pipeline.run(corpus.toDF(), cfg.copy(useOphSignatures = true))
     val clusters = r.clusters.cache()

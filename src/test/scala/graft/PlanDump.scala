@@ -582,9 +582,14 @@ object PlanDump {
           "covers it end-to-end. Because the rules use the recorded " +
           "n_bytes rather than length(bytes), a pruned read never " +
           "materializes the pixel column for rows this gate drops.",
+        // n_bytes here is a derived stand-in for the crawl's RECORDED
+        // file size, deliberately NOT length(bytes): the whole point of
+        // the dumped plan is that the scan's ReadSchema excludes the
+        // pixel column.
         Curation.imageMetaFilter(corpus
-          .withColumn("n_bytes", length(col("bytes")).cast("long"))
-          .select("image_id", "w", "h", "n_bytes", "caption")))
+          .select(col("image_id"), col("w"), col("h"),
+            (col("w") * col("h") * 3).cast("long").as("n_bytes"),
+            col("caption"))))
       dump("T41 — cluster-representative selection (Curation.clusterRepresentatives)",
         "Two codegen HashAggregates and nothing else. The obvious " +
           "one-agg form, max(struct(len, -doc_id)), was written first " +

@@ -609,6 +609,19 @@ object PlanDump {
             pmod(col("doc_id"), lit(50L)).as("cluster_id"))
           Curation.clusterRepresentatives(clusters, docs)
         })
+      dump("T38/exactTier — byte-identical group edges (TieredDedup.exactImageEdges)",
+        "md5 runs IN the scan projection (pixels never shuffle; only the " +
+          "i64 id + public id + 32-char digest + caption leave the scan, " +
+          "checkpointed once for the two consumers — the Scan " +
+          "ExistingRDD below). Canon per digest = min REPAIRED i64 id: " +
+          "a codegen HashAggregate with O(1) group state. min over the " +
+          "public STRING id was written first and REJECTED — strings " +
+          "have no mutable agg buffer, so Spark silently plans that as " +
+          "SortAggregate over the corpus-scale digest relation. The " +
+          "i64→public translation is one digest-keyed join against the " +
+          "canon rows already in the member relation.",
+        TieredDedup.exactImageEdges(
+          corpus.select(col("image_id"), col("caption"), col("bytes"))))
     }
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)

@@ -1448,6 +1448,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // T44: reference-set decontamination by SimHash Hamming radius —
+    // the image analogue of q_decontamination (eval images leak into
+    // crawls as re-encoded near-copies; a perceptual-hash radius catches
+    // what md5 misses). refs = every 7th doc, drawn FROM the corpus so
+    // each ref self-matches at Hamming 0 and near-dups exercise the
+    // radius. Oracle = the full ALL-PAIRS corpus×refs popcount in DuckDB
+    // over the recomputed simhash twin, so the green row also certifies
+    // pigeonhole prefilter COMPLETENESS (every ≤h match retrieved).
+    "q_hamming_decontamination" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val cfg = DedupConfig(simhashMaxHamming = 5, bucketCap = 8192)
+      val sims = t(s, d, "documents").where(col("doc_id") < 800)
+        .withColumn("norm", Text.normalizeCol(col("text")))
+        .select(col("doc_id").as("id"),
+          graft.functions.GraftFunctions.simhashCol(col("norm"), lit(0L))
+            .as("simhash"))
+        .localCheckpoint() // keys + popcount re-check + annotate read it
+      val refs = sims.where(pmod(col("id"), lit(7)) === 0)
+      Curation.hammingDecontaminate(sims, refs, cfg)
+        .select(col("id").as("doc_id"), col("min_hamming"), col("n_refs"),
+          col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // T43: dedup-run churn audit — one summary row comparing the τ=0.5
     // and τ=0.3 assignments of the same slice (a config change an
     // operator would actually ship): docs moved, clusters split/merged.
@@ -2289,6 +2313,26 @@ object SparkEntry {
            CASE WHEN sb.bucket < 8 THEN 'train'
                 WHEN sb.bucket = 8 THEN 'val' ELSE 'test' END AS split
          FROM cl JOIN sb USING (cluster_id) ORDER BY doc_id""",
+
+    // T44: full all-pairs corpus×refs popcount over the recomputed
+    // simhash twin — candidate completeness included in the check.
+    "q_hamming_decontamination" ->
+      s"""WITH sims AS (
+           SELECT * FROM (${simhashOracleSql(
+             "(SELECT * FROM documents WHERE doc_id < 800) dd")})),
+         refs AS (SELECT * FROM sims WHERE doc_id % 7 = 0),
+         m AS (
+           SELECT s.doc_id,
+             min(bit_count(xor(s.simhash, r.simhash))) AS min_hamming,
+             count(*) AS n_refs
+           FROM sims s JOIN refs r
+             ON bit_count(xor(s.simhash, r.simhash)) <= 5
+           GROUP BY 1)
+         SELECT s.doc_id AS doc_id, CAST(m.min_hamming AS BIGINT) AS min_hamming,
+           CAST(coalesce(m.n_refs, 0) AS BIGINT) AS n_refs,
+           (m.doc_id IS NOT NULL) AS contaminated
+         FROM sims s LEFT JOIN m ON s.doc_id = m.doc_id
+         ORDER BY s.doc_id""",
 
     // T43: both clusterings recomputed off shared MATERIALIZED
     // shingle/pair tables (two recursive walks), then the identical

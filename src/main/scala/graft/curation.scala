@@ -479,4 +479,50 @@ object Curation {
       .select(col("n_docs"), col("n_moved"), col("n_old_clusters"),
         col("n_new_clusters"), col("n_split"), col("n_merged"))
   }
+
+  /** T44: reference-set decontamination by Hamming radius over a 64-bit
+    * perceptual signature — pHash for images, SimHash for text: flag
+    * every corpus row within `cfg.simhashMaxHamming` of ANY reference
+    * row. The image-side analogue of T26's gram-overlap text
+    * decontamination: eval-set images leak into crawls as re-encoded
+    * near-copies, which byte/md5 checks miss but a perceptual-hash
+    * radius catches (the DataComp/LAION eval-dedup step).
+    *
+    * Scale shape: refs are eval-set sized, so their pigeonhole subset
+    * keys ([[Lsh.simhashKeys]] — agree-on-some-(q−h)-block-subset, a
+    * COMPLETE prefilter for Hamming ≤ h by pigeonhole) BROADCAST; the
+    * corpus derives the same keys row-locally and probes map-side. The
+    * candidate set is decon-regime small (eval leakage, not corpus
+    * dedup), so candidates, the exact-popcount re-check against
+    * broadcast ref hashes, and the per-id hit rollup all broadcast back
+    * — the corpus is scanned twice (key probe + final annotate) and
+    * never shuffled. If contamination were corpus-scale the broadcast
+    * hints would be the wrong shape — that regime is corpus dedup and
+    * belongs to the J3/LSH self-join paths, as with T26b's
+    * train≫eval asymmetry.
+    *
+    * Output: `corpus.*` + min_hamming (null when clean), n_refs (refs
+    * within radius, 0 when clean), contaminated.
+    */
+  def hammingDecontaminate(corpus: DataFrame, refs: DataFrame,
+      cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val ck = Lsh.simhashKeys(corpus.select(col("id"), col("simhash")), cfg)
+    val rk = Lsh.simhashKeys(refs.select(col("id"), col("simhash")), cfg)
+      .select(col("id").as("ref_id"), col("cid"), col("key"))
+    val cand = ck.join(broadcast(rk), Seq("cid", "key"))
+      .select(col("id"), col("ref_id")).dropDuplicates("id", "ref_id")
+    val hits = corpus.select(col("id"), col("simhash"))
+      .join(broadcast(cand), "id")
+      .join(broadcast(refs.select(col("id").as("ref_id"),
+        col("simhash").as("__rsim"))), "ref_id")
+      .withColumn("hamming",
+        bit_count(col("simhash").bitwiseXOR(col("__rsim"))).cast("long"))
+      .where(col("hamming") <= cfg.simhashMaxHamming)
+      .groupBy("id")
+      .agg(min(col("hamming")).as("min_hamming"),
+        count(lit(1)).as("n_refs"))
+    corpus.join(broadcast(hits), Seq("id"), "left")
+      .withColumn("n_refs", coalesce(col("n_refs"), lit(0L)))
+      .withColumn("contaminated", col("min_hamming").isNotNull)
+  }
 }

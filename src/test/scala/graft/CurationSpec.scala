@@ -326,6 +326,37 @@ class CurationSpec extends SparkSpec {
     assert(z == ((6L, 0L, 3L, 3L, 0L, 0L)))
   }
 
+  test("hammingDecontaminate: exact radius semantics against a reference set") {
+    val cfg = DedupConfig(simhashMaxHamming = 5)
+    val corpus = Seq((1L, 0L), (2L, 31L), (3L, 63L), (4L, -1L),
+      (5L, (1L << 40) | (1L << 20))).toDF("id", "simhash")
+    val refs = Seq((100L, 0L), (101L, 3L)).toDF("id", "simhash")
+    val out = Curation.hammingDecontaminate(corpus, refs, cfg)
+      .select("id", "min_hamming", "n_refs", "contaminated")
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    // hand popcounts: 31^0=5 (the ≤h boundary), 31^3=28→3, 63^0=6 (out),
+    // 63^3=60→4, r5 vs 0 → 2, r5 vs 3 → 4
+    assert(out(1L) == ((0L, 2L, true)))
+    assert(out(2L) == ((3L, 2L, true)))
+    assert(out(3L) == ((4L, 1L, true)))
+    assert(out(4L) == ((-1L, 0L, false)))
+    assert(out(5L) == ((2L, 2L, true)))
+  }
+
+  test("hammingDecontaminate is partition- and input-order independent") {
+    val cfg = DedupConfig(simhashMaxHamming = 3)
+    val corpus = Seq.tabulate(400)(i =>
+      (i.toLong, Hashing.mix64(i.toLong))).toDF("id", "simhash")
+    val refs = Seq.tabulate(40)(i =>
+      (1000L + i, Hashing.mix64(i.toLong * 10))).toDF("id", "simhash")
+    val a = Curation.hammingDecontaminate(corpus, refs, cfg)
+    val b = Curation.hammingDecontaminate(
+      corpus.orderBy(col("id").desc).repartition(13), refs.repartition(3), cfg)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("canonicalizeUrl: every normalization rule, one messy URL each") {
     val cases = Seq(
       // case-folding of scheme + host, never of path or params

@@ -622,6 +622,20 @@ object PlanDump {
           "canon rows already in the member relation.",
         TieredDedup.exactImageEdges(
           corpus.select(col("image_id"), col("caption"), col("bytes"))))
+      dump("T44 — reference-set Hamming decontamination (Curation.hammingDecontaminate)",
+        "Decon-regime asymmetry: every join the corpus participates in " +
+          "is a BroadcastHashJoin probed map-side (ref subset keys, the " +
+          "candidate set, ref hashes for the popcount re-check, the " +
+          "per-id hit rollup) — the corpus-scale relation appears only " +
+          "as scan+project inputs and crosses NO Exchange. The one " +
+          "Exchange in the plan carries the candidate pairs " +
+          "(dropDuplicates), which are eval-leakage sized.",
+        {
+          val sims = corpus.select(xxhash64(col("image_id")).as("id"),
+            col("phash").as("simhash"))
+          Curation.hammingDecontaminate(sims,
+            sims.where(pmod(col("id"), lit(7L)) === 0))
+        })
     }
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)

@@ -97,7 +97,49 @@ object StreamJob {
     val clean = newRows
       .where(col("caption").isNotNull && length(col("caption")) > 0)
       .where(col("w") > 0 && col("h") > 0)
-    val sigsNew = Signatures.signatures(clean, cfg, repairs).localCheckpoint()
+    val tag = s"b$batchId"
+
+    // stage E (cfg.exactTier), the streaming twin of the batch exact
+    // pre-tier: the committed "exact_keys" index carries every clean
+    // row's (md5(bytes), md5(caption)); a batch's keys probe it as a
+    // scan ⋈ broadcast(batch keys) join — shuffle-free like every other
+    // history touch — and within-batch groups come from the SAME
+    // TieredDedup.exactImageEdges operator as batch. The same_caption
+    // recall contract carries over verbatim: a batch row byte-identical
+    // AND caption-identical to some committed/batch row is dropped from
+    // signature + routing-key commits (its retrieval is covered by the
+    // covering row's identical caption against identical bytes — the
+    // first committed row of every (ek, ck) class keeps live signatures,
+    // so the cover holds transitively across batches), while a
+    // caption-REWRITTEN byte copy keeps its own keys. The committed side
+    // is pre-batch-pruned like the repair path, so a crash-replayed
+    // batch cannot self-match; the tagged appends make the replay a
+    // no-op anyway.
+    val exactEdges: Option[DataFrame] =
+      if (!cfg.exactTier) None
+      else {
+        val ekNew = clean.select(col("image_id"),
+          md5(col("bytes")).as("ek"),
+          md5(col("caption").cast("binary")).as("ck"))
+          .localCheckpoint()
+        val within = TieredDedup.exactImageEdges(clean, repairs)
+        val cross = io.load("exact_keys").map(preBatch).map { h =>
+          h.join(broadcast(ekNew.select(col("ek"), col("ck").as("__ckn"),
+              col("image_id").as("b"))), Seq("ek"))
+            .select(col("image_id").as("a"), col("b"),
+              (col("ck") === col("__ckn")).as("same_caption"))
+        }
+        io.append("exact_keys", ekNew, tag)
+        Some(cross.fold(within)(within.unionByName(_)).localCheckpoint())
+      }
+
+    val sigsNew = {
+      val s0 = Signatures.signatures(clean, cfg, repairs)
+      exactEdges.fold(s0)(e => s0.join(
+        e.where(col("same_caption")).select(col("b").as("image_id"))
+          .dropDuplicates("image_id"),
+        Seq("image_id"), "left_anti"))
+    }.localCheckpoint()
 
     val bandsNew = Lsh.bands(sigsNew, cfg)
     val simKeysNew = Lsh.simhashKeys(sigsNew, cfg)
@@ -176,12 +218,12 @@ object StreamJob {
 
     // commits: index tables + verified pairs appended, clusters replaced,
     // corpus appended LAST (the batch's replay guard)
-    val tag = s"b$batchId"
     io.append("signatures", sigsNew, tag)
     io.append("bands", bandsNew, tag)
     io.append("simhash_keys", simKeysNew, tag)
     io.append("span_fps", fpsNew, tag)
     io.append("verified", verifiedNew, tag)
+    exactEdges.foreach(e => io.append("exact_edges", e, tag))
     // Incremental connected components: re-clustering over ALL accumulated
     // dup edges per batch reads a table that grows without bound (dup
     // pairs are superlinear in dup-heavy streams). Instead, history is
@@ -194,8 +236,13 @@ object StreamJob {
     // accumulated pair count. The endpoint/affected relations are
     // batch-bounded, so they ride as broadcasts into pruned semi-joins of
     // the committed assignment.
-    val newEdges = io.loadTagged("verified", tag).get
+    // exact-tier group edges are verified-dup edges by the keep rule
+    // (identical bytes ⇒ PSNR = ∞) and enter CC at zero decode cost
+    val dupEdges = io.loadTagged("verified", tag).get
       .where(col("is_dup")).select(col("a"), col("b"))
+    val newEdges = io.loadTagged("exact_edges", tag)
+      .map(e => dupEdges.unionByName(e.select(col("a"), col("b"))))
+      .getOrElse(dupEdges)
     val clusters = liveClusters(io) match {
       case None => // first batch: plain CC, committed as the base snapshot
         val cc = ConnectedComponents.clusterHashed(
@@ -327,8 +374,8 @@ object StreamJob {
       checkpointDir: String,
       runId: String,
       maxFilesPerTrigger: Int = 1,
-      verbose: Boolean = true): Unit = {
-    val cfg = DedupConfig()
+      verbose: Boolean = true,
+      cfg: DedupConfig = DedupConfig()): Unit = {
     val io = new ParquetTableIO(spark, outDir, runId, cfg.configHash)
     val stream = spark.readStream
       .schema(Encoders.product[ImageRow].schema)
@@ -347,7 +394,10 @@ object StreamJob {
   }
 
   /** `graft.StreamJob --input <parquet dir> --out <table dir>
-    *  [--checkpoint <dir>] [--run-id <id>] [--max-files-per-trigger N]`
+    *  [--checkpoint <dir>] [--run-id <id>] [--max-files-per-trigger N]
+    *  [--exact-tier true] [--oph-signatures true]` — the config flags
+    * mirror DedupJob's and flow into configHash, so a stream resumed
+    * against tables committed under a different tier/sketch refuses.
     */
   def main(args: Array[String]): Unit = {
     val (argMap, _) = DedupJob.parseArgs(args)
@@ -356,6 +406,9 @@ object StreamJob {
     val ckpt = argMap.getOrElse("--checkpoint", s"$out/_stream_checkpoint")
     val runId = argMap.getOrElse("--run-id", "stream-" + System.currentTimeMillis())
     val maxFiles = argMap.getOrElse("--max-files-per-trigger", "1").toInt
+    val cfg = DedupConfig(
+      useOphSignatures = argMap.get("--oph-signatures").exists(_.toBoolean),
+      exactTier = argMap.get("--exact-tier").exists(_.toBoolean))
 
     val builder = SparkSession.builder()
       .appName("graft-stream")
@@ -372,7 +425,7 @@ object StreamJob {
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    runOnce(spark, input, out, ckpt, runId, maxFiles)
+    runOnce(spark, input, out, ckpt, runId, maxFiles, cfg = cfg)
     spark.stop()
   }
 }

@@ -310,4 +310,67 @@ class StreamingSpec extends SparkSpec {
     assert(clusterSet(io.load("clusters").get) == expected)
     assert(io.load("corpus").get.count() == corpus.count())
   }
+
+  /** Write one explicit DataFrame as one batch file (ordered names). */
+  private def writeOneBatch(df: org.apache.spark.sql.DataFrame,
+      dir: java.nio.file.Path, b: Int): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"sjx_tmp$b")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    java.nio.file.Files.move(java.nio.file.Paths.get(part),
+      dir.resolve(f"batch$b%03d.parquet"))
+    Thread.sleep(5)
+  }
+
+  test("StreamJob exact tier: stream clusters equal the batch exact-tier run") {
+    val cfg = DedupConfig(exactTier = true)
+    val corpus = Fixtures.corpus(spark, 40, seed = 11L).toDF().localCheckpoint()
+    val batchRef = Pipeline.run(corpus, cfg)
+    val expected = clusterSet(batchRef.clusters)
+    batchRef.unpersist()
+    val in = java.nio.file.Files.createTempDirectory("sjet_in")
+    val out = java.nio.file.Files.createTempDirectory("sjet_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sjet_ckpt").toString
+    writeBatchFiles(corpus, in, 3)
+    StreamJob.runOnce(spark, in.toString, out, ckpt, "sjet1", cfg = cfg)
+    val io = new ParquetTableIO(spark, out, "sjet1", cfg.configHash)
+    assert(clusterSet(io.load("clusters").get) == expected)
+  }
+
+  test("StreamJob exact tier: cross-batch byte copies merge; same-caption copies suppressed") {
+    val cfg = DedupConfig(exactTier = true)
+    val corpus = Fixtures.corpus(spark, 15, seed = 5L).toDF().localCheckpoint()
+    val base = corpus.orderBy("image_id").limit(1)
+      .select("image_id").as[String].head()
+    // batch 1 arrives LATER with two byte copies of a batch-0 row: one
+    // caption-identical (must merge via the cross exact edge AND commit
+    // no signature row — the committed canon's identical caption covers
+    // its retrieval) and one caption-rewritten (must merge via the exact
+    // edge AND keep its own signature row — its caption is a retrieval
+    // path the canon does not cover)
+    val sameCap = corpus.filter($"image_id" === base)
+      .withColumn("image_id", concat($"image_id", lit("_sc")))
+    val rewCap = corpus.filter($"image_id" === base)
+      .withColumn("image_id", concat($"image_id", lit("_rw")))
+      .withColumn("caption", lit("totally unrelated rewritten words zz"))
+    val in = java.nio.file.Files.createTempDirectory("sjet2_in")
+    val out = java.nio.file.Files.createTempDirectory("sjet2_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sjet2_ckpt").toString
+    writeOneBatch(corpus, in, 0)
+    writeOneBatch(sameCap.unionByName(rewCap), in, 1)
+    StreamJob.runOnce(spark, in.toString, out, ckpt, "sjet2", cfg = cfg)
+    val io = new ParquetTableIO(spark, out, "sjet2", cfg.configHash)
+    val cl = io.load("clusters").get
+      .filter($"image_id".isin(base, base + "_sc", base + "_rw"))
+      .select("image_id", "cluster_id").as[(String, String)].collect().toMap
+    assert(cl.size == 3)
+    assert(cl(base) == cl(base + "_sc") && cl(base) == cl(base + "_rw"))
+    val sigIds = io.load("signatures").get
+      .select("image_id").as[String].collect().toSet
+    assert(!sigIds.contains(base + "_sc"),
+      "same-caption byte copy must not bloat the signature index")
+    assert(sigIds.contains(base + "_rw"),
+      "caption-rewritten byte copy must keep its signature row")
+  }
 }

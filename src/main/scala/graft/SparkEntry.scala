@@ -1160,6 +1160,11 @@ object SparkEntry {
       recallOf(Ann.annTopK(corpus, queries, k), "lsh")
         .unionByName(recallOf(
           Ivf.ivfTopK(corpus, queries, k, nList = 16, nProbe = 4), "ivf"))
+        .unionByName(recallOf(
+          Pq.adcTopK(corpus, queries, k, m = 8, kCent = 64), "pq"))
+        .unionByName(recallOf(
+          Pq.ivfAdcTopK(corpus, queries, k, nList = 16, nProbe = 4,
+            m = 8, kCent = 64), "ivfpq"))
         .orderBy("method")
     }),
 
@@ -1207,6 +1212,67 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Ivf.ivfTopK(corpus, queries, k = 5, nList = 16, nProbe = 16,
         twoLevelFrom = 1).orderBy("qid", "rk")
+    }),
+
+    // similarity search: product-quantization ADC ANN (Jégou et al., TPAMI
+    // 2011) — the memory-scale path (m-byte codes instead of dim·4-byte
+    // vectors on the index side). Compressed regime: rows-only by nature;
+    // its planted-twin recall is pinned in PqSpec and measured in
+    // q_ann_recall. The distributed machinery is oracled by q_ann_pq_exact.
+    "q_ann_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Pq.adcTopK(corpus, queries, k = 5, m = 8, kCent = 64)
+        .orderBy("qid", "rk")
+    }),
+
+    // similarity search, fully DuckDB-oracled: PQ in its provably-exact
+    // configuration — kCent = corpus size with the training sample = the
+    // whole corpus, so every distinct subvector is its own centroid,
+    // reconstruction is exact, and the ADC top-k EQUALS the brute-force
+    // cosine top-k under (round(cos,4) desc, id). The oracle recomputes
+    // the exact top-k independently, value-checking sub-quantizer
+    // training, corpus encoding, per-query LUT build and the HOF scoring
+    // end-to-end — same escape-hatch pattern as q_ann_ivf_exhaustive.
+    "q_ann_pq_exact" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val n = corpus.count().toInt
+      Pq.adcTopK(corpus, queries, k = 5, m = 8, kCent = n,
+        iters = 2, sampleN = n).orderBy("qid", "rk")
+    }),
+
+    // similarity search: IVF+PQ composition (the FAISS IndexIVFPQ shape,
+    // no-residual variant) — coarse cells prune WHICH candidates each
+    // query scores, PQ codes compress WHAT rides the probe join.
+    // Compressed regime, rows-only; machinery oracled by q_ann_ivfpq_exact.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Pq.ivfAdcTopK(corpus, queries, k = 5, nList = 16, nProbe = 4,
+        m = 8, kCent = 64).orderBy("qid", "rk")
+    }),
+
+    // similarity search, fully DuckDB-oracled: IVF+PQ with BOTH exactness
+    // escape hatches engaged — nProbe = nList scans every cell AND
+    // kCent = corpus makes reconstruction exact, so the result provably
+    // equals the brute-force top-k; the oracle value-checks the composed
+    // coarse-quantizer + PQ-code + probe-join + LUT-scoring machinery
+    // end-to-end.
+    "q_ann_ivfpq_exact" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val n = corpus.count().toInt
+      Pq.ivfAdcTopK(corpus, queries, k = 5, nList = 16, nProbe = 16,
+        m = 8, kCent = n, iters = 2, sampleN = n).orderBy("qid", "rk")
     }),
 
     // multimodal: image decode + resize + phash features over the
@@ -2801,6 +2867,36 @@ object SparkEntry {
              WHERE q.vec_id < 10))
          WHERE rk <= 5 ORDER BY qid, rk""",
     "q_ann_ivf_twolevel" ->
+      """SELECT qid, id, cos, rk FROM (
+           SELECT qid, id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+           FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS id,
+               round(list_dot_product(q.embedding, c.embedding) /
+                 (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                  sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cos
+             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id < 10))
+         WHERE rk <= 5 ORDER BY qid, rk""",
+    // T45: kCent = corpus ⇒ exact reconstruction ⇒ ADC == brute force;
+    // the oracle is the same exact-cosine top-k as the other exhaustive
+    // ANN twins (ranking (round(cos,4) DESC, id)).
+    "q_ann_pq_exact" ->
+      """SELECT qid, id, cos, rk FROM (
+           SELECT qid, id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+           FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS id,
+               round(list_dot_product(q.embedding, c.embedding) /
+                 (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                  sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cos
+             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id < 10))
+         WHERE rk <= 5 ORDER BY qid, rk""",
+    // T45: nProbe = nList (every cell scanned) AND kCent = corpus (exact
+    // reconstruction) ⇒ the composed IVF+PQ result is provably the exact
+    // brute-force top-k.
+    "q_ann_ivfpq_exact" ->
       """SELECT qid, id, cos, rk FROM (
            SELECT qid, id, cos,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk

@@ -1340,6 +1340,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // T46: HTML main-text extraction (jusText-lite block classifier —
+    // strip script/style/comments, split on closing block tags, keep
+    // blocks with >= 3 words and link density <= 1/3 by the integer-
+    // scaled rule). The page is synthesized deterministically from
+    // doc_id + text (the q_pii_redact pattern) so every rule is
+    // load-bearing: the nav/share/footer blocks fail link density, the
+    // title/heading blocks fail minWords, one block carries entities
+    // (decode checked), the content block embeds a script + comment
+    // (strip checked inside KEPT text), and doc_id%5 toggles a dropped
+    // short block so n_blocks varies. Oracle recomputes the whole
+    // pipeline in DuckDB with the same RE2-subset patterns.
+    "q_html_extract" -> ((s, d) => {
+      val idS = col("doc_id").cast("string")
+      val page = concat(
+        lit("<html><head><title>Doc "), idS,
+        lit("</title><style>body{c:#000}</style></head><body>"),
+        lit("<div><a href=\"/\">Home</a> <a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>"),
+        lit("<h1>Post "), idS, lit("</h1>"),
+        lit("<p>"), col("text"),
+        lit(" <script>track("), idS, lit(");</script><!-- hidden "), idS,
+        lit(" --></p>"),
+        lit("<p>Q&amp;A: 5 &lt; 7 &gt; 3 with doc "),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit("</p>"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("<p>Short note.</p>")).otherwise(lit("")),
+        lit("<div>Copyright 2026 Example <a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a> <a href=\"/s\">Sitemap</a></div>"),
+        lit("</body></html>"))
+      val ex = Curation.extractHtmlText(page)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          ex("n_blocks").as("n_blocks"), ex("n_kept").as("n_kept"),
+          length(ex("text")).cast("long").as("ext_len"),
+          md5(ex("text").cast("binary")).as("ext_hash"))
+        .orderBy("doc_id")
+    }),
+
     // T30: paragraph-level exact dedup (fixed 8-token windows; see
     // Curation.chunkDedup for the keeper rule and the plan shape). The
     // driver corpus genuinely repeats chunks across its planted near-dups
@@ -2908,6 +2944,51 @@ object SparkEntry {
              FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
              WHERE q.vec_id < 10))
          WHERE rk <= 5 ORDER BY qid, rk""",
+    // T46: the oracle synthesizes the identical page, then recomputes the
+    // whole extraction — script/style/comment strip, block split, per-
+    // block tag strip + entity decode + whitespace squash, the integer-
+    // scaled minWords/link-density keep rule, and the joined text — with
+    // the same RE2-subset patterns ('g' = replace-all parity with Spark).
+    "q_html_extract" ->
+      """WITH page AS (SELECT doc_id,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+           '</title><style>body{c:#000}</style></head><body>' ||
+           '<div><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>' ||
+           '<h1>Post ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+           '<p>' || text || ' <script>track(' || CAST(doc_id AS VARCHAR) ||
+           ');</script><!-- hidden ' || CAST(doc_id AS VARCHAR) || ' --></p>' ||
+           '<p>Q&amp;A: 5 &lt; 7 &gt; 3 with doc ' ||
+           CAST(doc_id % 7 AS VARCHAR) || '</p>' ||
+           CASE WHEN doc_id % 5 = 0 THEN '<p>Short note.</p>' ELSE '' END ||
+           '<div>Copyright 2026 Example <a href="/t">Terms</a> <a href="/p">Privacy</a> <a href="/s">Sitemap</a></div>' ||
+           '</body></html>' AS p
+         FROM documents),
+         b AS (SELECT doc_id, string_split_regex(
+             regexp_replace(regexp_replace(regexp_replace(p,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+             '</(?:p|div|h[1-6]|li|ul|ol|table|tr|blockquote)>') AS blocks
+           FROM page),
+         sc AS (SELECT doc_id, blocks, list_transform(blocks, x -> struct_pack(
+             t := trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(x, '<[^>]*>', ' ', 'g'),
+                 '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',CHR(39)),
+                 '&nbsp;',' '),'&amp;','&'),
+               '\s+', ' ', 'g')),
+             l := len(string_split_regex(x, '<a[\s>]')) - 1)) AS s
+           FROM b),
+         k AS (SELECT doc_id, len(blocks) AS n_blocks,
+             list_filter(s, y -> y.t <> '' AND len(string_split(y.t, ' ')) >= 3
+               AND y.l * 3 <= len(string_split(y.t, ' '))) AS kept
+           FROM sc),
+         fin AS (SELECT doc_id, n_blocks, len(kept) AS n_kept,
+             array_to_string(list_transform(kept, y -> y.t), ' ') AS ext
+           FROM k)
+         SELECT doc_id, n_blocks, n_kept,
+           CAST(length(ext) AS BIGINT) AS ext_len, md5(ext) AS ext_hash
+         FROM fin ORDER BY doc_id""",
     // T29: the oracle PLANTS the identical contact line, then recomputes
     // counts (string_split_regex keeps empty fields, matching Spark's
     // split(_, _, -1): matches = fields - 1) and the full redaction with

@@ -43,6 +43,69 @@ object Curation {
         Ipv4Pat, "[IP]"),
       PhonePat, "[PHONE]")
 
+  /** T46 — HTML main-text extraction (boilerplate removal): the FIRST
+    * content step of every web-crawl pipeline (C4 strips lines by
+    * rule, CCNet/RefinedWeb run jusText/trafilatura-style block
+    * classifiers) — raw crawl HTML goes in, the article text comes out,
+    * nav/footer/script chrome is dropped. This is the jusText-lite block
+    * form (Pomikálek 2011): kill non-content elements, split on closing
+    * block tags, score each block, keep content-like blocks.
+    *
+    * Per block the classifier keeps text with ≥ `minWords` words AND
+    * link density ≤ linkNum/linkDen — the two strongest jusText
+    * signals; the comparison is INTEGER-scaled (`links·linkDen ≤
+    * words·linkNum`), no FP boundary to diverge across engines (the T40
+    * bpp discipline). Everything is a row-local codegen projection —
+    * regex strips + ONE split + transform/filter/array_join HOFs, zero
+    * shuffles, and the whole rule set lives in the Java-regex ∩ RE2
+    * subset so the DuckDB oracle runs the same patterns verbatim.
+    */
+  val BlockClosePat = "</(?:p|div|h[1-6]|li|ul|ol|table|tr|blockquote)>"
+  val HtmlTagPat = "<[^>]*>"
+
+  /** Remove the elements whose CONTENT must never reach text: script,
+    * style, comments ((?s): a block may span lines; .*? : nearest close).
+    */
+  def stripNonContent(html: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(html,
+      "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+
+  /** Decode the core HTML entities, single pass; `&amp;` LAST so entity
+    * names it produces are not re-decoded (`&amp;lt;` → the literal text
+    * `&lt;`, the HTML-correct result).
+    */
+  def decodeEntities(t: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(t,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&nbsp;", " "), "&amp;", "&")
+
+  /** Extracted main text + block census as a struct column
+    * `(n_blocks, n_kept, text)`. See the T46 scaladoc above for the
+    * block rule.
+    */
+  def extractHtmlText(html: Column, minWords: Int = 3,
+                      linkNum: Int = 1, linkDen: Int = 3): Column = {
+    val blocks = split(stripNonContent(html), BlockClosePat)
+    // score each block ONCE (text + link count as a struct), then filter
+    val scored = transform(blocks, b => {
+      val raw = regexp_replace(b, HtmlTagPat, " ")
+      val txt = trim(regexp_replace(decodeEntities(raw), "\\s+", " "))
+      struct(txt.as("t"),
+        (size(split(b, "<a[\\s>]", -1)) - 1).as("l"))
+    })
+    val kept = filter(scored, s => {
+      val w = size(split(s("t"), " "))
+      s("t") =!= "" && w >= minWords && s("l") * linkDen <= w * linkNum
+    })
+    struct(
+      size(blocks).as("n_blocks"),
+      size(kept).as("n_kept"),
+      array_join(transform(kept, s => s("t")), " ").as("text"))
+  }
+
   /** T39 — URL canonicalization (RFC 3986 §6 normalization, the
     * crawl-frontier subset every web pipeline applies before URL-level
     * dedup: C4/CCNet drop refetches of the same canonical URL before any

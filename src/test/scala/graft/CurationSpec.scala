@@ -394,4 +394,50 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) === ((3L, 0)))
     assert(got(4L) === ((4L, 0)))
   }
+
+  private def extractOne(html: String,
+      minWords: Int = 3, linkNum: Int = 1, linkDen: Int = 3): (Int, Int, String) = {
+    val r = Seq(html).toDF("h")
+      .select(Curation.extractHtmlText(col("h"), minWords, linkNum, linkDen).as("e"))
+      .select(col("e.n_blocks"), col("e.n_kept"), col("e.text")).head()
+    (r.getInt(0), r.getInt(1), r.getString(2))
+  }
+
+  test("extractHtmlText: each boilerplate rule fires on its designed block") {
+    // content survives; nav fails link density; heading fails minWords;
+    // script/style/comment content never reaches text
+    val (nb, nk, text) = extractOne(
+      "<html><head><style>body{x}</style><script>var i=1;</script></head>" +
+        "<body><div><a href=\"/\">Home</a> <a href=\"/b\">Blog</a></div>" +
+        "<h1>My Title</h1>" +
+        "<p>the actual article body text <!-- tracker --> survives here</p>" +
+        "<div>Share: <a href=\"/x\">X</a> <a href=\"/f\">FB</a> <a href=\"/i\">IG</a></div>" +
+        "</body></html>")
+    assert(nb == 5) // 4 closed blocks + the </body></html> tail
+    assert(nk == 1)
+    assert(text == "the actual article body text survives here")
+  }
+
+  test("extractHtmlText: link-density boundary is the exact integer rule") {
+    // 1 link / 3 words: 1*3 <= 3*1 -> kept; 1 link / 2 words: dropped by
+    // minWords=2? no - use minWords=1 so only density decides
+    val keepEdge = extractOne("<p>alpha beta <a href=\"/x\">gamma</a></p>",
+      minWords = 1)
+    assert(keepEdge._2 == 1 && keepEdge._3 == "alpha beta gamma")
+    val dropEdge = extractOne("<p>alpha <a href=\"/x\">gamma</a></p>",
+      minWords = 1) // 1 link * 3 > 2 words * 1
+    assert(dropEdge._2 == 0 && dropEdge._3 == "")
+  }
+
+  test("extractHtmlText: entities decode once, &amp; last (no re-decoding)") {
+    val (_, _, text) = extractOne("<p>Q&amp;A: 5 &lt; 7 and &amp;lt; stays literal</p>")
+    assert(text == "Q&A: 5 < 7 and &lt; stays literal")
+  }
+
+  test("extractHtmlText: multi-line script blocks and empty tails drop cleanly") {
+    val (nb, nk, text) = extractOne(
+      "<p>real words kept here</p><script>\nline1();\nline2();\n</script><div> </div>")
+    assert(nk == 1 && text == "real words kept here")
+    assert(nb == 3)
+  }
 }

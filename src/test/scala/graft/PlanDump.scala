@@ -636,6 +636,47 @@ object PlanDump {
           Curation.hammingDecontaminate(sims,
             sims.where(pmod(col("id"), lit(7L)) === 0))
         })
+      // deterministic vector column for the ANN-compression dumps
+      val vecs = corpus.select(xxhash64(col("image_id")).as("id"),
+        transform(sequence(lit(0), lit(15)), i =>
+          (pmod(xxhash64(col("image_id"), i), lit(1000)) / lit(1000.0))
+            .cast("float")).as("vec"))
+      val qvecs = vecs.where(pmod(col("id"), lit(11L)) === 0)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      dump("T45 — PQ-ADC ANN (Pq.adcTopK)",
+        "The corpus NEVER shuffles: encode is a map-side UDF projection " +
+          "(float vector in, m-int code out — the vector column is " +
+          "dropped from the index relation), scoring is a " +
+          "BroadcastNestedLoopJoin against the tiny LUT-carrying query " +
+          "side, the ADC sum is a codegen zip_with/aggregate HOF (m " +
+          "lookups per candidate, not a dim-length dot), and the rank " +
+          "filter sits directly above the window so WindowGroupLimit " +
+          "pre-trims to top-k per query on both sides of the one " +
+          "qid exchange.",
+        Pq.adcTopK(vecs, qvecs, k = 5, m = 4, kCent = 16))
+      dump("T45 — IVF+PQ composed ANN (Pq.ivfAdcTopK)",
+        "The coarse cell prunes WHICH candidates score; the PQ code " +
+          "compresses WHAT rides the probe join — the capKeyed bounded " +
+          "aggregate and the gkey equi-join carry (cell, id, m-int code), " +
+          "never float vectors. Same census'd cell cap " +
+          "(ObjectHashAggregate over BoundedMinIds) as IVF-Flat; the " +
+          "LUT stays on the query side.",
+        Pq.ivfAdcTopK(vecs, qvecs, k = 5, nList = 8, nProbe = 2,
+          m = 4, kCent = 16))
+      dump("T46 — HTML main-text extraction (Curation.extractHtmlText)",
+        "One row-local codegen Project over the scan — regex strips, ONE " +
+          "block split, transform/filter/array_join HOFs — zero " +
+          "Exchanges, zero UDFs; the only post-projection operators " +
+          "belong to the caller (here an orderBy for the golden). The " +
+          "whole classifier vanishes into the scan stage at any corpus " +
+          "size.",
+        {
+          val ex = Curation.extractHtmlText(
+            concat(lit("<div><a href=\"/\">Home</a></div><p>"),
+              col("caption"), lit("</p>")))
+          corpus.select(col("image_id"), ex("n_blocks").as("n_blocks"),
+            ex("n_kept").as("n_kept"), md5(ex("text").cast("binary")).as("h"))
+        })
     }
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)

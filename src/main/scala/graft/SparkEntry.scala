@@ -1236,9 +1236,14 @@ object SparkEntry {
     // the exact top-k independently, value-checking sub-quantizer
     // training, corpus encoding, per-query LUT build and the HOF scoring
     // end-to-end — same escape-hatch pattern as q_ann_ivf_exhaustive.
+    // Corpus bounded to a 500-vector slice (the q_emb_near_dup pattern):
+    // exactness needs kCent >= corpus, so the exact config's encode cost
+    // is O(n·kCent·dim) — the slice pins that constant as SF grows while
+    // still value-checking every moving part on hundreds of vectors.
     "q_ann_pq_exact" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = emb.where(col("vec_id") < 500)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val n = corpus.count().toInt
@@ -1267,7 +1272,8 @@ object SparkEntry {
     // end-to-end.
     "q_ann_ivfpq_exact" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = emb.where(col("vec_id") < 500)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val n = corpus.count().toInt
@@ -2926,7 +2932,8 @@ object SparkEntry {
                round(list_dot_product(q.embedding, c.embedding) /
                  (sqrt(list_dot_product(q.embedding, q.embedding)) *
                   sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cos
-             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             FROM embeddings q JOIN embeddings c
+               ON c.vec_id <> q.vec_id AND c.vec_id < 500
              WHERE q.vec_id < 10))
          WHERE rk <= 5 ORDER BY qid, rk""",
     // T45: nProbe = nList (every cell scanned) AND kCent = corpus (exact
@@ -2941,7 +2948,8 @@ object SparkEntry {
                round(list_dot_product(q.embedding, c.embedding) /
                  (sqrt(list_dot_product(q.embedding, q.embedding)) *
                   sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cos
-             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             FROM embeddings q JOIN embeddings c
+               ON c.vec_id <> q.vec_id AND c.vec_id < 500
              WHERE q.vec_id < 10))
          WHERE rk <= 5 ORDER BY qid, rk""",
     // T46: the oracle synthesizes the identical page, then recomputes the

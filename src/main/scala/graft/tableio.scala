@@ -82,6 +82,23 @@ trait TableIO {
     */
   def appendChainLength(stage: String): Int
 
+  /** The live manifest entry (opaque cursor for [[incrementalScan]]) —
+    * an Iceberg reader would record the snapshot id it consumed; here the
+    * entry string plays that role.
+    */
+  def liveEntry(stage: String): Option[String]
+
+  /** Incremental append scan (Iceberg: incremental read between two
+    * snapshots): the rows ADDED after `sinceEntry` — i.e. the files of
+    * the live entry that `sinceEntry` did not already contain. Only
+    * meaningful along an append chain; if the table was REPLACED since
+    * the cursor (live entry is not a superset of `sinceEntry`), the
+    * cursor is stale and this throws rather than silently re-reading the
+    * whole table — the caller must restart from a full [[load]].
+    * Returns None when nothing was appended since the cursor.
+    */
+  def incrementalScan(stage: String, sinceEntry: String): Option[DataFrame]
+
   /** Drop the stage's live view — load() returns None afterwards
     * (manifest-level, atomic; snapshot files stay on disk for audit,
     * matching [[rollback]]'s non-deleting contract). Used to clear a
@@ -270,6 +287,24 @@ final class ParquetTableIO(
 
   override def appendChainLength(stage: String): Int =
     readManifest(stage).headOption.map(_.split(';').length).getOrElse(0)
+
+  override def liveEntry(stage: String): Option[String] =
+    readManifest(stage).headOption
+
+  override def incrementalScan(stage: String, sinceEntry: String): Option[DataFrame] = {
+    val live = readManifest(stage).headOption.getOrElse(
+      throw new IllegalStateException(s"stage $stage has no committed snapshot"))
+    val seen = sinceEntry.split(';').toSet
+    val cur = live.split(';').toSeq
+    // append-only check: a replace/compaction rewrote the table and the
+    // cursor no longer names a prefix of the live file set — re-reading
+    // everything here would double-count rows the consumer already saw
+    require(seen.subsetOf(cur.toSet),
+      s"incremental cursor for $stage is stale (table was replaced since); " +
+        s"restart from a full load")
+    val fresh = cur.filterNot(seen)
+    if (fresh.isEmpty) None else Some(spark.read.parquet(fresh: _*))
+  }
 
   override def resetStage(stage: String): Unit =
     writeManifest(stage, Seq.empty)

@@ -116,6 +116,31 @@ class TableIOSpec extends SparkSpec {
     assert(io.load("c").get.as[(Int, String)].collect().toSeq == Seq((1, "x")))
   }
 
+  test("incremental scan reads only rows appended after the cursor") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "run1", "cfgA")
+    io.append("t", Seq((1, "a")).toDF("k", "v"), "b0")
+    val cursor = io.liveEntry("t").get
+    // nothing appended yet: None, not an empty frame
+    assert(io.incrementalScan("t", cursor).isEmpty)
+    io.append("t", Seq((2, "b")).toDF("k", "v"), "b1")
+    io.append("t", Seq((3, "c")).toDF("k", "v"), "b2")
+    // only b1+b2 rows, never the already-consumed b0
+    assert(io.incrementalScan("t", cursor).get
+      .as[(Int, String)].collect().toSet == Set((2, "b"), (3, "c")))
+    // advancing the cursor makes the earlier increment invisible
+    val cursor2 = io.liveEntry("t").get
+    io.append("t", Seq((4, "d")).toDF("k", "v"), "b3")
+    assert(io.incrementalScan("t", cursor2).get
+      .as[(Int, String)].collect().toSet == Set((4, "d")))
+    // a REPLACE (compaction/rewrite) invalidates cursors: re-reading the
+    // whole table would double-count, so the scan must refuse
+    io.replace("t", Seq((9, "z")).toDF("k", "v"))
+    intercept[IllegalArgumentException] { io.incrementalScan("t", cursor2) }
+    // a never-committed stage is an error, not an empty increment
+    intercept[IllegalStateException] { io.incrementalScan("nope", "x") }
+  }
+
   test("snapshot history + rollback restore an earlier snapshot atomically") {
     val root = tmpDir()
     val io = new ParquetTableIO(spark, root, "run1", "cfgA")

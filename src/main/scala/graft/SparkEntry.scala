@@ -1151,13 +1151,16 @@ object SparkEntry {
       val queries = base.where(col("id") < 100)
         .select(col("id").as("qid"), col("vec").as("qvec"))
       val nQueries = queries.count()
+      // base + twins: known without a count job — annTopK would otherwise
+      // pay a corpus count per invocation (×2 under the bench's min-of-2)
+      val nCorpus = 2 * base.count()
       val k = 5
       def recallOf(approx: DataFrame, method: String): DataFrame =
         approx.where(col("id") === col("qid") + TwinOffset)
           .groupBy().agg(count(lit(1)).as("hits"))
           .select(lit(method).as("method"), lit(k).as("k"),
             round(col("hits") / lit(nQueries.toDouble), 4).as("recall"))
-      recallOf(Ann.annTopK(corpus, queries, k), "lsh")
+      recallOf(Ann.annTopK(corpus, queries, k, corpusCount = nCorpus), "lsh")
         .unionByName(recallOf(
           Ivf.ivfTopK(corpus, queries, k, nList = 16, nProbe = 4), "ivf"))
         .unionByName(recallOf(

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Change-data-feed export: the downstream consumer of
+  * [[TableIO.incrementalScan]] (Iceberg: incremental read between the
+  * snapshot a consumer last processed and the current one). Each run
+  * exports ONLY the rows appended to a committed stage since the persisted
+  * cursor, then advances the cursor — so an external indexer, replication
+  * target, or downstream Spark job tails a stage (verified pairs, cluster
+  * deltas, the corpus itself) without ever rescanning the accumulated
+  * table. This is the batch pull twin of the stream's own history touches
+  * (those prune via broadcast semi-joins because they need keyed LOOKUP;
+  * a feed needs everything-new-once, which is exactly the append-chain
+  * delta).
+  *
+  * Delivery contract: exactly-once per cursor position. The delta
+  * directory name is derived from the cursor transition (digest of the
+  * live manifest entry), and the cursor file is renamed into place
+  * ATOMICALLY after the export lands — a crash between export and cursor
+  * advance re-runs the SAME transition into the SAME directory (an
+  * overwrite, not a duplicate). If the stage was replaced/compacted since
+  * the cursor, [[TableIO.incrementalScan]] refuses (a silent full re-read
+  * would double-count rows the consumer already saw); re-running with
+  * `--restart true` re-exports the full table under a fresh cursor, which
+  * is the documented Iceberg-consumer recovery path too.
+  */
+object FeedJob {
+
+  /** One feed pull. Returns (rows exported, delta dir) — (0, None) when
+    * nothing was appended since the cursor.
+    */
+  def pull(io: TableIO, spark: SparkSession, stage: String,
+           exportDir: String, restart: Boolean = false): (Long, Option[String]) = {
+    val cursorPath = Paths.get(exportDir, "_cursor", s"$stage.entry")
+    Files.createDirectories(cursorPath.getParent)
+    val live = io.liveEntry(stage).getOrElse(
+      sys.error(s"stage $stage has no committed snapshot"))
+    val prior = if (restart || !Files.exists(cursorPath)) None
+                else Some(Files.readString(cursorPath).trim)
+
+    val delta: Option[DataFrame] = prior match {
+      case Some(cur) if cur == live => None // cursor already at head
+      case Some(cur) => io.incrementalScan(stage, cur)
+      case None => io.load(stage) // first pull (or --restart): full export
+    }
+    delta match {
+      case None => (0L, None)
+      case Some(df) =>
+        // dir named by the live entry the export corresponds to: a crash
+        // before the cursor advance replays the same transition into the
+        // same dir (overwrite), never a second copy under a new name
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(live.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val dir = s"$exportDir/$stage-delta-$tag"
+        df.write.mode("overwrite").parquet(dir)
+        val rows = spark.read.parquet(dir).count()
+        // atomic cursor advance (same rename discipline as the manifests)
+        val tmp = cursorPath.resolveSibling(s"$stage.entry.tmp")
+        Files.writeString(tmp, live)
+        Files.move(tmp, cursorPath, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        (rows, Some(dir))
+    }
+  }
+
+  /** `graft.FeedJob --tables <TableIO root> --stage <name>
+    *  --export <dir> [--restart true]` — prints one JSON line:
+    * `{"stage":…,"rows":N,"delta_dir":…}` (rows = 0, delta_dir = null
+    * when the cursor is already at the head).
+    */
+  def main(args: Array[String]): Unit = {
+    val (argMap, _) = DedupJob.parseArgs(args)
+    val tables = argMap.getOrElse("--tables", sys.error("--tables required"))
+    val stage = argMap.getOrElse("--stage", sys.error("--stage required"))
+    val export = argMap.getOrElse("--export", sys.error("--export required"))
+    val restart = argMap.get("--restart").exists(_.toBoolean)
+
+    val builder = SparkSession.builder()
+      .appName("graft-feed")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = sys.props.get("spark.master")
+      .orElse(sys.env.get("SPARK_MASTER"))
+      .map(builder.master)
+      .getOrElse(builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // read-side config handshake: a feed consumer adopts the producer's
+    // committed config hash (it validates nothing config-dependent itself;
+    // the guard exists to stop WRITERS mixing configs)
+    val cfgFile = Paths.get(tables, "_manifest", "config.hash")
+    require(Files.exists(cfgFile), s"$tables is not a committed TableIO dir")
+    val io = new ParquetTableIO(spark, tables, "feed", Files.readString(cfgFile).trim)
+    val (rows, dir) = pull(io, spark, stage, export, restart)
+    println(s"""{"stage":"$stage","rows":$rows,"delta_dir":${dir.map("\"" + _ + "\"").getOrElse("null")}}""")
+    spark.stop()
+  }
+}

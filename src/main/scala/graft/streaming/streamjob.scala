@@ -375,7 +375,8 @@ object StreamJob {
       runId: String,
       maxFilesPerTrigger: Int = 1,
       verbose: Boolean = true,
-      cfg: DedupConfig = DedupConfig()): Unit = {
+      cfg: DedupConfig = DedupConfig(),
+      expireKeep: Int = 0): Unit = {
     val io = new ParquetTableIO(spark, outDir, runId, cfg.configHash)
     val stream = spark.readStream
       .schema(Encoders.product[ImageRow].schema)
@@ -391,11 +392,24 @@ object StreamJob {
     // complete assignment, so external readers (duckdb over the snapshot
     // dir, the batch CC resume path) need no merge-on-read logic
     compactClusters(io)
+    // optional table maintenance while the table is quiesced: every
+    // compaction above left a full-assignment snapshot in `clusters`
+    // history (O(corpus) bytes EACH) and resetStage orphaned the folded
+    // delta-log dirs — a stream that never expires grows its at-rest
+    // storage by a full corpus copy per compaction interval. minAge 0 is
+    // safe here and only here: no write is in flight after
+    // awaitTermination, which is why this doesn't run per-batch.
+    if (expireKeep > 0) {
+      val expired = io.expireSnapshots("clusters", expireKeep)
+      val orphans = io.vacuumOrphans(minAgeMs = 0L)
+      if (verbose)
+        println(s"""{"maintenance":"expire","clusters_expired":${expired.length},"orphans_removed":${orphans.length}}""")
+    }
   }
 
   /** `graft.StreamJob --input <parquet dir> --out <table dir>
     *  [--checkpoint <dir>] [--run-id <id>] [--max-files-per-trigger N]
-    *  [--exact-tier true] [--oph-signatures true]` — the config flags
+    *  [--exact-tier true] [--oph-signatures true] [--expire-keep K]` — the config flags
     * mirror DedupJob's and flow into configHash, so a stream resumed
     * against tables committed under a different tier/sketch refuses.
     */
@@ -406,6 +420,7 @@ object StreamJob {
     val ckpt = argMap.getOrElse("--checkpoint", s"$out/_stream_checkpoint")
     val runId = argMap.getOrElse("--run-id", "stream-" + System.currentTimeMillis())
     val maxFiles = argMap.getOrElse("--max-files-per-trigger", "1").toInt
+    val expireKeep = argMap.getOrElse("--expire-keep", "0").toInt
     val cfg = DedupConfig(
       useOphSignatures = argMap.get("--oph-signatures").exists(_.toBoolean),
       exactTier = argMap.get("--exact-tier").exists(_.toBoolean))
@@ -425,7 +440,8 @@ object StreamJob {
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    runOnce(spark, input, out, ckpt, runId, maxFiles, cfg = cfg)
+    runOnce(spark, input, out, ckpt, runId, maxFiles, cfg = cfg,
+      expireKeep = expireKeep)
     spark.stop()
   }
 }

@@ -105,6 +105,33 @@ trait TableIO {
     * delta log once compaction has folded it into a base snapshot.
     */
   def resetStage(stage: String): Unit
+
+  /** Expire old snapshots (Iceberg: `expire_snapshots`): truncate the
+    * stage's history to the newest `keepLast` manifest entries and DELETE
+    * the snapshot directories referenced only by the expired entries.
+    * Directories shared with a kept entry are never touched — along an
+    * un-compacted append chain every historical entry is a prefix of the
+    * live file set, so expiry there trims only manifest lines; it is the
+    * REPLACED tables (per-compaction full assignment rewrites, rolled-back
+    * experiments) whose bytes this reclaims. Without it a long-running
+    * sink's storage grows O(corpus · compactions), which at 10¹² rows is
+    * the dominant cost of the table, not a hygiene detail. `keepLast ≥ 1`:
+    * the live snapshot is not expirable. The manifest truncation is the
+    * atomic commit point and happens BEFORE any delete — a crash
+    * mid-delete leaves unreferenced dirs that [[vacuumOrphans]] reclaims,
+    * never a referenced-but-deleted snapshot. Returns the deleted dirs.
+    */
+  def expireSnapshots(stage: String, keepLast: Int): Seq[String]
+
+  /** Delete snapshot directories no manifest entry references (Iceberg:
+    * `remove_orphan_files`) — debris of writes that crashed before their
+    * manifest swap, delta logs cleared by [[resetStage]], and the tail of
+    * an interrupted [[expireSnapshots]]. Only dirs whose last modification
+    * is older than `minAgeMs` are touched, so a concurrent in-flight
+    * write (its manifest swap not yet landed) is never vacuumed — the
+    * same age guard Iceberg's procedure defaults to. Returns deleted dirs.
+    */
+  def vacuumOrphans(minAgeMs: Long = 3600000L): Seq[String]
   def runId: String
 }
 
@@ -308,6 +335,81 @@ final class ParquetTableIO(
 
   override def resetStage(stage: String): Unit =
     writeManifest(stage, Seq.empty)
+
+  private def deleteRecursively(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+
+  /** Drop a bucketed snapshot's catalog registration if one exists —
+    * catalog metadata only (the table is LOCATION-external); data deletion
+    * is the caller's. Safe for non-bucketed dirs (name never registered).
+    */
+  private def dropCatalogEntry(stage: String, dir: String): Unit =
+    if (Files.exists(bucketSpecPath(stage)))
+      spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(stage, dir)}")
+
+  override def expireSnapshots(stage: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1,
+      s"keepLast must be ≥ 1 (the live snapshot is not expirable), got $keepLast")
+    val lines = readManifest(stage)
+    if (lines.length <= keepLast) Seq.empty
+    else {
+      val (kept, expired) = lines.splitAt(keepLast)
+      val keptDirs = kept.flatMap(_.split(';')).toSet
+      val doomed = expired.flatMap(_.split(';')).distinct.filterNot(keptDirs)
+      writeManifest(stage, kept) // atomic commit point, then delete
+      doomed.foreach { d =>
+        dropCatalogEntry(stage, d)
+        deleteRecursively(Paths.get(d))
+      }
+      doomed
+    }
+  }
+
+  override def vacuumOrphans(minAgeMs: Long): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val manifestDir = rootPath.resolve("_manifest")
+    val referenced: Set[String] = {
+      val ms = Files.list(manifestDir)
+      try ms.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .flatMap(m => Files.readString(m).trim.split('\n').iterator)
+        .filter(_.nonEmpty).flatMap(_.split(';').iterator)
+        .map(Paths.get(_).normalize().toString).toSet
+      finally ms.close()
+    }
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val stagesList = Files.list(rootPath)
+    val stageDirs =
+      try stagesList.iterator().asScala.filter(Files.isDirectory(_))
+        .filterNot(p => Set("_manifest", "_metrics").contains(p.getFileName.toString))
+        .toList
+      finally stagesList.close()
+    stageDirs.flatMap { sd =>
+      val snaps = Files.list(sd)
+      val orphans =
+        try snaps.iterator().asScala.filter(Files.isDirectory(_))
+          // only snapshot dirs are vacuum candidates: a table root also
+          // hosts non-snapshot state (the stream's checkpoint offsets/
+          // commits live under the same out dir) that no manifest will
+          // ever reference — deleting it would silently reset the
+          // stream's progress tracking
+          .filter(_.getFileName.toString.startsWith("snapshot-"))
+          .filterNot(p => referenced.contains(p.normalize().toString))
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+          .toList
+        finally snaps.close()
+      orphans.map { p =>
+        dropCatalogEntry(sd.getFileName.toString, p.toString)
+        deleteRecursively(p)
+        p.toString
+      }
+    }
+  }
 
   def metrics(): Option[DataFrame] = {
     val p = s"$root/_metrics/rows"

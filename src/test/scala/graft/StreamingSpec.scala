@@ -199,6 +199,38 @@ class StreamingSpec extends SparkSpec {
     assert(io.load("corpus").get.count() == corpus.count())
   }
 
+  test("StreamJob e2e: --expire-keep trims cluster history + orphans, output unchanged") {
+    val corpus = Fixtures.corpus(spark, 60).toDF().localCheckpoint()
+    val batchRef = Pipeline.run(corpus, DedupConfig())
+    val expected = clusterSet(batchRef.clusters)
+    batchRef.unpersist()
+
+    val in = java.nio.file.Files.createTempDirectory("sj4_in")
+    val out = java.nio.file.Files.createTempDirectory("sj4_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sj4_ckpt").toString
+    writeBatchFiles(corpus, in, 3)
+    // compactEvery=1 forces a full-assignment rewrite per batch — the
+    // regime expiry exists for (history grows one corpus copy per batch)
+    StreamJob.runOnce(spark, in.toString, out, ckpt, "sj4",
+      cfg = DedupConfig(streamCompactEvery = 1), expireKeep = 1)
+    val io = new ParquetTableIO(spark, out, "sj4",
+      DedupConfig(streamCompactEvery = 1).configHash)
+    assert(clusterSet(io.load("clusters").get) == expected) // output intact
+    assert(io.history("clusters").size == 1) // history trimmed to live
+    // and the bytes are actually gone: live dirs are all that remain on
+    // disk under clusters/ and cluster_deltas/ (folded deltas vacuumed)
+    val live = io.liveEntry("clusters").get.split(';').map(
+      p => java.nio.file.Paths.get(p).normalize().toString).toSet
+    for (stage <- Seq("clusters", "cluster_deltas")) {
+      val dir = java.nio.file.Paths.get(out, stage)
+      if (java.nio.file.Files.exists(dir)) {
+        val onDisk = java.nio.file.Files.list(dir).toArray
+          .map(_.toString).filterNot(_.contains("_SUCCESS")).toSet
+        assert(onDisk.subsetOf(live), s"$stage retains expired dirs: ${onDisk -- live}")
+      }
+    }
+  }
+
   test("StreamJob e2e: incremental CC merges two clusters committed in different batches") {
     // the adversarial incremental-CC case: rows A (batch 0) and B (batch 1)
     // are committed as SEPARATE clusters — disjoint-alphabet captions, so

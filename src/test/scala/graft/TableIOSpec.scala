@@ -155,6 +155,75 @@ class TableIOSpec extends SparkSpec {
     intercept[IllegalArgumentException] { io.rollback("s", "/nope/snapshot") }
   }
 
+  test("expireSnapshots: replaced history reclaims bytes, live + kept survive") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "run1", "cfgA")
+    io.commit("s", Seq((1, "v1")).toDF("k", "v"))
+    io.replace("s", Seq((2, "v2")).toDF("k", "v"))
+    io.replace("s", Seq((3, "v3")).toDF("k", "v"))
+    val hist = io.history("s") // oldest → newest
+    assert(hist.size == 3)
+    val deleted = io.expireSnapshots("s", keepLast = 2)
+    assert(deleted == Seq(hist.head)) // only the oldest dir goes
+    assert(!Files.exists(java.nio.file.Paths.get(hist.head)))
+    assert(Files.exists(java.nio.file.Paths.get(hist(1))))
+    assert(io.history("s").size == 2)
+    assert(io.load("s").get.as[(Int, String)].collect().toSeq == Seq((3, "v3")))
+    // an expired snapshot is no longer a rollback target
+    intercept[IllegalArgumentException] { io.rollback("s", hist.head) }
+    // idempotent: nothing left past the horizon
+    assert(io.expireSnapshots("s", keepLast = 2).isEmpty)
+    intercept[IllegalArgumentException] { io.expireSnapshots("s", 0) }
+  }
+
+  test("expireSnapshots: append-chain ancestors shared with live are never deleted") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "run1", "cfgA")
+    io.append("s", Seq((1, "a")).toDF("k", "v"), "t1")
+    io.append("s", Seq((2, "b")).toDF("k", "v"), "t2")
+    io.append("s", Seq((3, "c")).toDF("k", "v"), "t3")
+    assert(io.history("s").size == 3) // entries: t1 / t1;t2 / t1;t2;t3
+    // every historical entry is a prefix of the live file set → expiry
+    // trims manifest lines only, all data dirs survive
+    assert(io.expireSnapshots("s", keepLast = 1).isEmpty)
+    assert(io.history("s").size == 1)
+    assert(io.load("s").get.count() == 3)
+    // a compaction REPLACES the chain; expiring now reclaims the chain dirs
+    val chainDirs = io.liveEntry("s").get.split(';').toSeq
+    io.replace("s", io.load("s").get)
+    val deleted = io.expireSnapshots("s", keepLast = 1)
+    assert(deleted.toSet == chainDirs.toSet)
+    chainDirs.foreach(d => assert(!Files.exists(java.nio.file.Paths.get(d))))
+    assert(io.load("s").get.count() == 3)
+  }
+
+  test("vacuumOrphans: unreferenced dirs go, referenced and fresh dirs stay") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "run1", "cfgA")
+    io.commit("s", Seq((1, "a")).toDF("k", "v"))
+    // a crashed write: snapshot dir on disk, no manifest entry
+    val orphan = java.nio.file.Paths.get(root, "s", "snapshot-crashed")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-0.parquet"), "debris")
+    // a delta log cleared by resetStage orphans its dirs the same way
+    io.append("deltas", Seq((9, "d")).toDF("k", "v"), "t1")
+    val deltaDir = io.liveEntry("deltas").get
+    io.resetStage("deltas")
+    // non-snapshot state sharing the out dir (stream checkpoint offsets)
+    // is never a vacuum candidate, referenced or not
+    val ckptState = java.nio.file.Paths.get(root, "_stream_checkpoint", "offsets")
+    Files.createDirectories(ckptState)
+    Files.writeString(ckptState.resolve("0"), "offset state")
+    // age guard: nothing young enough to be in-flight is touched
+    assert(io.vacuumOrphans(minAgeMs = 3600000L).isEmpty)
+    val gone = io.vacuumOrphans(minAgeMs = 0L)
+    assert(gone.toSet == Set(orphan.toString, deltaDir))
+    assert(!Files.exists(orphan))
+    assert(!Files.exists(java.nio.file.Paths.get(deltaDir)))
+    assert(Files.exists(ckptState.resolve("0"))) // checkpoint spared
+    assert(io.load("s").get.count() == 1) // committed data untouched
+  }
+
   test("config hash mismatch refuses resume") {
     val root = tmpDir()
     new ParquetTableIO(spark, root, "run1", "cfgA")

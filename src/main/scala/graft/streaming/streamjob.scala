@@ -224,6 +224,26 @@ object StreamJob {
     io.append("span_fps", fpsNew, tag)
     io.append("verified", verifiedNew, tag)
     exactEdges.foreach(e => io.append("exact_edges", e, tag))
+    // Fold the PROBE-PATH key tables when their append chains get long
+    // (same schedule and cost model as the cluster sink): every batch's
+    // history joins open each chain's snapshot dirs, so an uncompacted
+    // stream pays O(batches) file-opens per batch — at 10⁴ micro-batches
+    // the metadata cost dwarfs the scans. A compaction rewrites the table
+    // once per `streamCompactEvery` batches — amortized O(rows/
+    // compactEvery) per batch on NARROW (i64-key) tables. `verified`/
+    // `exact_edges` stay append-only: nothing re-reads them in full
+    // (CC reads star-compressed assignments), and append chains are what
+    // FeedJob consumers tail. The corpus stays append-only too — its
+    // rows carry image bytes, and rewriting O(corpus) payload bytes per
+    // interval is the one cost this schedule cannot amortize (Iceberg's
+    // bin-packing data compaction owns that in production). Replay-safe
+    // in the crash window between this fold and the corpus append because
+    // TableIO.append no-ops on tags found anywhere in HISTORY, not just
+    // the live entry.
+    for (st <- Seq("signatures", "bands", "simhash_keys", "span_fps") ++
+               (if (cfg.exactTier) Seq("exact_keys") else Nil))
+      if (io.appendChainLength(st) >= cfg.streamCompactEvery)
+        io.replaceTagged(st, io.load(st).get, s"compact-$tag")
     // Incremental connected components: re-clustering over ALL accumulated
     // dup edges per batch reads a table that grows without bound (dup
     // pairs are superlinear in dup-heavy streams). Instead, history is
@@ -400,10 +420,17 @@ object StreamJob {
     // safe here and only here: no write is in flight after
     // awaitTermination, which is why this doesn't run per-batch.
     if (expireKeep > 0) {
-      val expired = io.expireSnapshots("clusters", expireKeep)
+      // every stage the stream writes: replaced histories (clusters,
+      // id_repairs, the folded key tables) reclaim bytes; append-only
+      // chains (corpus, verified, exact_edges) just trim manifest lines —
+      // expireSnapshots never deletes dirs shared with the live entry
+      val expired = Seq("clusters", "signatures", "bands", "simhash_keys",
+          "span_fps", "exact_keys", "id_repairs", "corpus", "verified",
+          "exact_edges", "cluster_deltas")
+        .map(st => io.expireSnapshots(st, expireKeep).length).sum
       val orphans = io.vacuumOrphans(minAgeMs = 0L)
       if (verbose)
-        println(s"""{"maintenance":"expire","clusters_expired":${expired.length},"orphans_removed":${orphans.length}}""")
+        println(s"""{"maintenance":"expire","snapshots_expired":$expired,"orphans_removed":${orphans.length}}""")
     }
   }
 

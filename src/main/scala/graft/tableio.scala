@@ -61,7 +61,11 @@ trait TableIO {
     * snapshot is the old one's files plus the batch's). `tag` makes the
     * append IDEMPOTENT: re-appending an already-committed tag (a replayed
     * micro-batch after a crash) is a no-op, so exactly-once stream commits
-    * need no external transaction log.
+    * need no external transaction log. The replay check scans the WHOLE
+    * manifest history, not just the live entry — a tag whose rows were
+    * folded into a compacted snapshot since its commit must still no-op,
+    * or a crash between compaction and the batch's final commit would
+    * duplicate its rows on replay.
     */
   def append(stage: String, df: DataFrame, tag: String): DataFrame
 
@@ -292,10 +296,12 @@ final class ParquetTableIO(
     }
 
   override def append(stage: String, df: DataFrame, tag: String): DataFrame = {
-    val head = readManifest(stage).headOption
+    val manifest = readManifest(stage)
     val dir = s"$root/$stage/snapshot-$tag"
-    if (head.exists(_.split(';').contains(dir))) load(stage).get // replayed batch: no-op
-    else writeSnapshot(stage, df, Seq.empty, Some(tag), appendTo = head)
+    // replay no-op if the tag appears ANYWHERE in history: a compaction
+    // may have folded it out of the live entry since (trait scaladoc)
+    if (manifest.exists(_.split(';').contains(dir))) load(stage).get
+    else writeSnapshot(stage, df, Seq.empty, Some(tag), appendTo = manifest.headOption)
   }
 
   override def replaceTagged(stage: String, df: DataFrame, tag: String): DataFrame = {

@@ -217,11 +217,22 @@ class StreamingSpec extends SparkSpec {
       DedupConfig(streamCompactEvery = 1).configHash)
     assert(clusterSet(io.load("clusters").get) == expected) // output intact
     assert(io.history("clusters").size == 1) // history trimmed to live
+    // probe-path key tables were folded per batch (compactEvery=1) and
+    // their pre-compact chains expired: one live snapshot each, with the
+    // full accumulated content
+    for (st <- Seq("signatures", "bands", "simhash_keys", "span_fps")) {
+      assert(io.appendChainLength(st) == 1, s"$st chain not folded")
+      assert(io.history(st).size == 1, s"$st history not expired")
+    }
+    assert(io.load("signatures").get.count() == io.load("corpus").get
+      .where(length(col("caption")) > 0 && col("w") > 0 && col("h") > 0).count())
     // and the bytes are actually gone: live dirs are all that remain on
-    // disk under clusters/ and cluster_deltas/ (folded deltas vacuumed)
-    val live = io.liveEntry("clusters").get.split(';').map(
-      p => java.nio.file.Paths.get(p).normalize().toString).toSet
-    for (stage <- Seq("clusters", "cluster_deltas")) {
+    // disk for every replaced/folded stage (expired dirs deleted, folded
+    // deltas vacuumed)
+    for (stage <- Seq("clusters", "cluster_deltas", "signatures", "bands",
+        "simhash_keys", "span_fps")) {
+      val live = io.liveEntry(stage).toSeq.flatMap(_.split(';')).map(
+        p => java.nio.file.Paths.get(p).normalize().toString).toSet
       val dir = java.nio.file.Paths.get(out, stage)
       if (java.nio.file.Files.exists(dir)) {
         val onDisk = java.nio.file.Files.list(dir).toArray

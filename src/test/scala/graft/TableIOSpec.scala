@@ -155,6 +155,21 @@ class TableIOSpec extends SparkSpec {
     intercept[IllegalArgumentException] { io.rollback("s", "/nope/snapshot") }
   }
 
+  test("append: a tag folded into a compacted snapshot still no-ops on replay") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "run1", "cfgA")
+    io.append("s", Seq((1, "a")).toDF("k", "v"), "b0")
+    io.append("s", Seq((2, "b")).toDF("k", "v"), "b1")
+    io.replaceTagged("s", io.load("s").get, "compact-b1") // fold the chain
+    assert(io.appendChainLength("s") == 1)
+    // the crash window: batch b1 replays AFTER its rows were folded out of
+    // the live entry — head-only replay detection would duplicate them
+    val replayed = io.append("s", Seq((2, "b")).toDF("k", "v"), "b1")
+    assert(replayed.count() == 2)
+    assert(io.load("s").get.count() == 2)
+    assert(io.appendChainLength("s") == 1) // still the compacted entry
+  }
+
   test("expireSnapshots: replaced history reclaims bytes, live + kept survive") {
     val root = tmpDir()
     val io = new ParquetTableIO(spark, root, "run1", "cfgA")

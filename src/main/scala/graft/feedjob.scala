@@ -99,3 +99,62 @@ object FeedJob {
     spark.stop()
   }
 }
+
+/** Standalone table maintenance (the Iceberg `expire_snapshots` +
+  * `remove_orphan_files` procedures as a CLI, decoupled from any
+  * producing job): `graft.MaintenanceJob --tables <TableIO root>
+  * [--expire-keep K] [--vacuum-min-age-ms M] [--stages a,b,c]`.
+  * Without `--expire-keep` only the orphan vacuum runs; `--stages`
+  * defaults to every committed stage in the manifest dir. The vacuum age
+  * guard defaults to one hour so the job is safe to run beside a LIVE
+  * writer (an in-flight snapshot write is younger than that); expiry is
+  * manifest-atomic, so a concurrent reader holding the old live entry
+  * keeps a consistent (already-materialized) view, same as Iceberg.
+  */
+object MaintenanceJob {
+
+  def run(io: ParquetTableIO, tablesRoot: String, expireKeep: Int,
+          vacuumMinAgeMs: Long, stagesArg: Option[String]): (Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    val stages = stagesArg.map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse {
+        val ls = Files.list(Paths.get(tablesRoot, "_manifest"))
+        try ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
+          .filterNot(_.startsWith(".")).toList.sorted
+        finally ls.close()
+      }
+    val expired =
+      if (expireKeep < 1) 0
+      else stages.map(st => io.expireSnapshots(st, expireKeep).length).sum
+    val orphans = io.vacuumOrphans(vacuumMinAgeMs).length
+    (expired, orphans)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (argMap, _) = DedupJob.parseArgs(args)
+    val tables = argMap.getOrElse("--tables", sys.error("--tables required"))
+    val expireKeep = argMap.getOrElse("--expire-keep", "0").toInt
+    val minAge = argMap.getOrElse("--vacuum-min-age-ms", "3600000").toLong
+
+    val builder = SparkSession.builder()
+      .appName("graft-maintenance")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = sys.props.get("spark.master")
+      .orElse(sys.env.get("SPARK_MASTER"))
+      .map(builder.master)
+      .getOrElse(builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfgFile = Paths.get(tables, "_manifest", "config.hash")
+    require(Files.exists(cfgFile), s"$tables is not a committed TableIO dir")
+    val io = new ParquetTableIO(spark, tables, "maintenance",
+      Files.readString(cfgFile).trim)
+    val (expired, orphans) =
+      run(io, tables, expireKeep, minAge, argMap.get("--stages"))
+    println(s"""{"snapshots_expired":$expired,"orphans_removed":$orphans}""")
+    spark.stop()
+  }
+}

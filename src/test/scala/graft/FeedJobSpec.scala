@@ -63,6 +63,28 @@ class FeedJobSpec extends SparkSpec {
       .map(_.getPath).toSet)
   }
 
+  test("MaintenanceJob: default stage enumeration expires replaced history and vacuums") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "run1", "cfgA")
+    io.commit("a", Seq(1L).toDF("x"))
+    io.replace("a", Seq(2L).toDF("x"))
+    io.replace("a", Seq(3L).toDF("x"))
+    io.commit("b", Seq(4L).toDF("x")) // single snapshot: nothing to expire
+    val orphan = Paths.get(root, "b", "snapshot-crashed")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("junk"), "debris")
+    // without --expire-keep: vacuum only
+    val (e0, o0) = MaintenanceJob.run(io, root, expireKeep = 0,
+      vacuumMinAgeMs = 0L, stagesArg = None)
+    assert(e0 == 0 && o0 == 1 && !Files.exists(orphan))
+    // with it: stage `a`'s two replaced snapshots go, live survives
+    val (e1, o1) = MaintenanceJob.run(io, root, expireKeep = 1,
+      vacuumMinAgeMs = 0L, stagesArg = None)
+    assert(e1 == 2 && o1 == 0)
+    assert(io.load("a").get.as[Long].collect().toSeq == Seq(3L))
+    assert(io.load("b").get.count() == 1)
+  }
+
   test("replace since the cursor refuses rather than double-counting; --restart recovers") {
     val root = tmpDir(); val exp = tmpDir()
     val io = new ParquetTableIO(spark, root, "run1", "cfgA")

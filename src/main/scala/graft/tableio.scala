@@ -50,6 +50,16 @@ trait TableIO {
     */
   def rollback(stage: String, snapshotDir: String): Unit
 
+  /** Time-travel read (Iceberg: `VERSION AS OF`): read any entry still in
+    * [[history]] WITHOUT mutating the manifest — the read twin of
+    * [[rollback]]. The operational consumer is the churn audit
+    * ([[Curation.clusterChurn]]): diff the live assignment against the
+    * pre-change snapshot directly, no rollback/re-rollback dance. Throws
+    * if the entry was expired or never committed (an expired snapshot's
+    * files are gone — a silent partial read would be worse).
+    */
+  def loadAt(stage: String, entry: String): DataFrame
+
   /** Write a NEW snapshot for a stage that may already be committed
     * (Iceberg: every write is a new snapshot; prior ones stay in
     * [[history]] for rollback). Unlike [[commit]], does NOT short-circuit
@@ -213,6 +223,16 @@ final class ParquetTableIO(
     }
 
   override def history(stage: String): Seq[String] = readManifest(stage).reverse
+
+  override def loadAt(stage: String, entry: String): DataFrame = {
+    val lines = readManifest(stage)
+    require(lines.contains(entry),
+      s"snapshot $entry is not in $stage's history (expired or never " +
+        s"committed): $lines")
+    if (!entry.contains(';') && Files.exists(bucketSpecPath(stage)))
+      bucketedTable(stage, entry)
+    else spark.read.parquet(entry.split(';').toSeq: _*)
+  }
 
   override def rollback(stage: String, snapshotDir: String): Unit = {
     val lines = readManifest(stage)

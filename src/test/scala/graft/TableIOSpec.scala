@@ -155,6 +155,28 @@ class TableIOSpec extends SparkSpec {
     intercept[IllegalArgumentException] { io.rollback("s", "/nope/snapshot") }
   }
 
+  test("loadAt: time-travel read of a historical snapshot, live untouched") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "run1", "cfgA")
+    io.commit("s", Seq((1, "old")).toDF("k", "v"))
+    val first = io.history("s").head
+    io.replace("s", Seq((2, "new")).toDF("k", "v"))
+    // read the pre-change snapshot without a rollback — the churn-audit
+    // shape: clusterChurn(loadAt(old), load(live))
+    assert(io.loadAt("s", first).as[(Int, String)].collect().toSeq == Seq((1, "old")))
+    assert(io.load("s").get.as[(Int, String)].collect().toSeq == Seq((2, "new")))
+    assert(io.history("s").size == 2) // manifest not mutated
+    // an append-chain entry time-travels to its prefix of the chain
+    io.append("t", Seq(1L).toDF("x"), "b0")
+    val chainFirst = io.liveEntry("t").get
+    io.append("t", Seq(2L).toDF("x"), "b1")
+    assert(io.loadAt("t", chainFirst).count() == 1)
+    assert(io.load("t").get.count() == 2)
+    // expired → refuses instead of a partial read
+    io.expireSnapshots("s", keepLast = 1)
+    intercept[IllegalArgumentException] { io.loadAt("s", first) }
+  }
+
   test("append: a tag folded into a compacted snapshot still no-ops on replay") {
     val root = tmpDir()
     val io = new ParquetTableIO(spark, root, "run1", "cfgA")

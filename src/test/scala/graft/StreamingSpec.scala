@@ -340,18 +340,25 @@ class StreamingSpec extends SparkSpec {
     val in = java.nio.file.Files.createTempDirectory("sj2_in")
     val out = java.nio.file.Files.createTempDirectory("sj2_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("sj2_ckpt").toString
+    // compactEvery=2 puts a key-table fold INSIDE the first run, so the
+    // restart also proves appends stay idempotent across fold boundaries
+    val cfg = DedupConfig(streamCompactEvery = 2)
     // first run sees only batches 0–1 of the 3-way split
     writeBatchFiles(corpus, in, 3, until = 2)
-    StreamJob.runOnce(spark, in.toString, out, ckpt, "sj2")
-    val io = new ParquetTableIO(spark, out, "sj2", DedupConfig().configHash)
+    StreamJob.runOnce(spark, in.toString, out, ckpt, "sj2", cfg = cfg)
+    val io = new ParquetTableIO(spark, out, "sj2", cfg.configHash)
     val afterTwo = io.load("corpus").get.count()
     assert(afterTwo < corpus.count())
+    assert(io.appendChainLength("bands") == 1) // folded at batch 2
     // RESTART: the third batch file arrives; the same checkpoint must
     // skip the two committed batches and process only the new file
     writeBatchFiles(corpus, in, 3, from = 2)
-    StreamJob.runOnce(spark, in.toString, out, ckpt, "sj2")
+    StreamJob.runOnce(spark, in.toString, out, ckpt, "sj2", cfg = cfg)
     assert(clusterSet(io.load("clusters").get) == expected)
     assert(io.load("corpus").get.count() == corpus.count())
+    // key chains stay bounded by the fold cadence across restarts
+    for (st <- Seq("signatures", "bands", "simhash_keys", "span_fps"))
+      assert(io.appendChainLength(st) <= cfg.streamCompactEvery, st)
   }
 
   /** Write one explicit DataFrame as one batch file (ordered names). */

@@ -611,12 +611,29 @@ object SparkEntry {
 
     // T22 scale regime: k-means cells bound pair work to O(Σ|cell|²);
     // rows-only by nature (cross-cell pairs are misses, like q_ann_lsh /
-    // q_ann_ivf approximate regimes) — the exact twin above is the oracle
-    // for the machinery, SemDedupSpec pins subset/planted-twin recall.
+    // q_ann_ivf approximate regimes) — the exact twin above and the
+    // probe-all twin below oracle the machinery, SemDedupSpec pins
+    // subset/planted-twin recall.
     "q_semantic_dedup_clustered" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       SemDedup.prune(e, tau = 0.35, nList = 8)
+        .select(col("id").as("vec_id"), col("dup_of"), col("keep"))
+        .orderBy("vec_id")
+    }),
+
+    // T22 provably-exact MULTI-CELL configuration (the IVF exhaustive-twin
+    // pattern): probeAll replicates the j-side into every cell so the
+    // same-cell pair join reduces to all pairs while the i-side still
+    // flows through the trained 4-cell assignment and the bounded-cell
+    // aggregation (cap > slice ⇒ no drops) — the green row value-checks
+    // the clustered machinery end-to-end against the SAME all-pairs
+    // DuckDB oracle as q_semantic_dedup.
+    "q_semantic_dedup_allprobe" -> ((s, d) => {
+      val e = t(s, d, "embeddings").where(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SemDedup.prune(e, tau = 0.35, nList = 4, cellCap = 1 << 20,
+        probeAll = true)
         .select(col("id").as("vec_id"), col("dup_of"), col("keep"))
         .orderBy("vec_id")
     }),
@@ -1753,20 +1770,30 @@ object SparkEntry {
     // query and the absolute rank-normalized error, and OpsSpec pins the
     // sketch's rank-accuracy guarantee on synthetic data.
     "q_approx_quantiles" -> ((s, d) => {
+      // Bound-certified full oracle row (was rows-only): the exact
+      // percentiles are value-checked by DuckDB's quantile_cont (round
+      // to 4 dp — midpoints of 2-dp prices carry ≤ 3 decimals, so the
+      // rounding is boundary-free, same trick as q_percentiles), and the
+      // GK sketch's values ride as pXX_ok = |approx−exact|/exact ≤ 1%
+      // (accuracy 10000 over ~20k rows/group bounds rank error at 2
+      // ranks ⇒ observed relative error ~1e-4; the 1% gate holds under
+      // any partition-dependent sketch merge order). A sketch violation
+      // flips the int and hash-fails the row.
       val probs = array(lit(0.5), lit(0.9), lit(0.99))
+      def ok(i: Int) = (abs(col("ap").getItem(i) - col("ep").getItem(i)) /
+        col("ep").getItem(i) <= 0.01).cast("int")
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_percentile(col("l_extendedprice"), probs, lit(10000)).as("ap"),
-          percentile(col("l_extendedprice"), probs).as("ep"),
+          approx_percentile(col("l_extendedprice").cast("double"), probs,
+            lit(10000)).as("ap"),
+          percentile(col("l_extendedprice").cast("double"), probs).as("ep"),
           count(lit(1)).as("n_rows"))
         .select(col("l_returnflag"), col("n_rows"),
-          round(col("ap").getItem(0), 2).as("p50_approx"),
-          round(col("ep").getItem(0), 2).as("p50_exact"),
-          round(col("ap").getItem(1), 2).as("p90_approx"),
-          round(col("ep").getItem(1), 2).as("p90_exact"),
-          round(col("ap").getItem(2), 2).as("p99_approx"),
-          round(col("ep").getItem(2), 2).as("p99_exact"))
+          round(col("ep").getItem(0), 4).as("p50_exact"),
+          round(col("ep").getItem(1), 4).as("p90_exact"),
+          round(col("ep").getItem(2), 4).as("p99_exact"),
+          ok(0).as("p50_ok"), ok(1).as("p90_ok"), ok(2).as("p99_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -1796,12 +1823,18 @@ object SparkEntry {
         hll_union_agg(col("sk"), lit(false)).as("sk"))
         .crossJoin(broadcast(grams.select(count_distinct(col("h")).as("n_exact"))))
         .select(lit("~all").as("lang"), col("sk"), col("n_exact"))
+      // Bound-certified full oracle row (was rows-only): DuckDB
+      // recomputes n_exact from scratch — the same FNV+mix64 24-gram
+      // twin as the minhash oracle, distinct-counted per lang and
+      // globally — and the sketch estimate rides as est_ok =
+      // rel_err ≤ 5% (lgK=14 ⇒ RSE ≈ 0.81%, observed ≤ 0.6%; HLL
+      // register-max merge is order-free, so the estimate is a pure
+      // function of the data). An estimate violation hash-fails the row.
       perLang.unionByName(allRow)
         .select(col("lang"), col("n_exact"),
-          hll_sketch_estimate(col("sk")).as("n_est"))
-        .withColumn("rel_err",
-          round(abs(col("n_est") - col("n_exact")).cast("double") /
-            col("n_exact"), 4))
+          (round(abs(hll_sketch_estimate(col("sk")) - col("n_exact"))
+            .cast("double") / col("n_exact"), 4) <= 0.05).cast("int")
+            .as("est_ok"))
         .orderBy("lang")
     }),
 
@@ -1909,6 +1942,28 @@ object SparkEntry {
        SELECT doc_id,
          string_agg(CAST(mv AS VARCHAR), ',' ORDER BY lane) AS minhash_head
        FROM mins GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** Full SQL recomputation of q_hll_distinct's exact side: per-lang and
+    * global distinct 24-gram shingle-hash counts over normalized text,
+    * via the same FNV+mix64 twin as [[minhashOracleSql]] at k=24. Only
+    * distinctness matters, so the HUGEINT-vs-signed-i64 representation
+    * difference (congruent mod 2^64) cancels.
+    */
+  private def hllDistinctOracleSql: String = {
+    val ws = "\\s"
+    s"""WITH norm AS (
+         SELECT lang, trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9$ws]', ' ', 'g'), '$ws+', ' ', 'g')) AS s FROM documents),
+       grams AS (
+         SELECT lang, ${fnvFoldSql("substr(s, CAST(i AS INT), 24)")} AS zc0
+         FROM norm, unnest(generate_series(1, length(s) - 23)) AS t(i)
+         WHERE length(s) >= 24),
+       ${mix64Ctes("grams", "hm").replace("SELECT doc_id,", "SELECT lang,")},
+       pl AS (SELECT lang, count(DISTINCT h) AS n_exact FROM hm5 GROUP BY 1),
+       al AS (SELECT '~all' AS lang, count(DISTINCT h) AS n_exact FROM hm5)
+       SELECT lang, n_exact, 1 AS est_ok
+       FROM (SELECT * FROM pl UNION ALL SELECT * FROM al) ORDER BY lang"""
   }
 
   /** Full SQL recomputation of q_doc_simhash (phash = 0, weight = 2):
@@ -2093,6 +2148,43 @@ object SparkEntry {
            CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS keep
          FROM e LEFT JOIN p ON e.vec_id = p.i
          ORDER BY vec_id""",
+
+    // T22 probe-all twin: by construction the clustered machinery with
+    // a replicated j-side equals the exact all-pairs rule, so the oracle
+    // IS q_semantic_dedup's — any divergence in training/assignment/
+    // bounded-cell/join plumbing breaks the hash.
+    "q_semantic_dedup_allprobe" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+         p AS (
+           SELECT e1.vec_id AS i, min(e2.vec_id) AS dup_of
+           FROM e e1 JOIN e e2 ON e2.vec_id < e1.vec_id
+           WHERE round(list_dot_product(e1.embedding, e2.embedding) /
+             (sqrt(list_dot_product(e1.embedding, e1.embedding)) *
+              sqrt(list_dot_product(e2.embedding, e2.embedding))), 4) >= 0.35
+           GROUP BY 1)
+         SELECT e.vec_id AS vec_id, p.dup_of AS dup_of,
+           CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS keep
+         FROM e LEFT JOIN p ON e.vec_id = p.i
+         ORDER BY vec_id""",
+
+    // A10: exact percentiles recomputed by quantile_cont (same linear
+    // interpolation as Spark's percentile; round to 4 dp is boundary-free
+    // on 2-dp prices); the sketch bound columns are literal 1 — a Spark
+    // sketch excursion past 1% flips the int and hash-fails.
+    "q_approx_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50_exact,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90_exact,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 4) AS p99_exact,
+           1 AS p50_ok, 1 AS p90_ok, 1 AS p99_ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // A11: n_exact recomputed from scratch — normalize, 24-gram FNV+mix64
+    // shingle hashes (the minhash twin's machinery at k=24), distinct
+    // count per lang and globally. The HUGEINT twin values are congruent
+    // to the kernel's signed i64 mod 2^64 (a bijection), so distinct
+    // counts are identical. est_ok literal 1 gates the HLL estimate.
+    "q_hll_distinct" -> hllDistinctOracleSql,
 
     // T23: same \s+ tokenization twin as q_doc_repetition; idf is the
     // smoothed ln((N+1)/(df+1))+1; rank on the ROUNDED score with a term

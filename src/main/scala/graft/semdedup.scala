@@ -54,6 +54,18 @@ object SemDedup {
     *               and the exact path has no cells): passing one with
     *               nList = 1 is rejected loudly — silently never
     *               attaching it would make `Observation.get` hang
+    * @param probeAll clustered regime only: replicate the LOWER-id (j)
+    *               side of the pair join into every cell, so each (i, j)
+    *               pair meets in i's true cell exactly once and the
+    *               output equals the exact all-pairs rule — the same
+    *               provably-exact-configuration trick as
+    *               [[Ivf.ivfTopK]]'s probe-all twin. With `cellCap` above
+    *               the slice size this value-checks the multi-cell
+    *               machinery (training, codebook broadcast, assignment,
+    *               bounded-cell aggregation, cell-key pair join) against
+    *               a SQL oracle. Pair volume is O(n²) like the exact
+    *               path, plus an n·nList replication — a verification
+    *               configuration, not a scale path
     */
   def prune(
       emb: DataFrame,
@@ -63,7 +75,8 @@ object SemDedup {
       seed: Long = 42L,
       cellCap: Int = 65536,
       census: Option[Observation] = None,
-      corpusCount: Long = -1L): DataFrame = {
+      corpusCount: Long = -1L,
+      probeAll: Boolean = false): DataFrame = {
     val lists =
       if (nList > 0) nList
       else Ivf.deriveNList(if (corpusCount >= 0) corpusCount else emb.count())
@@ -110,8 +123,16 @@ object SemDedup {
         val cells = Ann.capKeyed(keys, vecs, cellCap, census, "max_cell")
         val l = cells.select(col("gkey"), col("id").as("i"),
           col("vecn.vec").as("vi"), col("vecn.nrm").as("ni"))
-        val r = cells.select(col("gkey"), col("id").as("j"),
-          col("vecn.vec").as("vj"), col("vecn.nrm").as("nj"))
+        // probeAll: j-side in EVERY cell — each pair meets once, in i's
+        // true cell, so the join reduces to the exact all-pairs rule
+        // while still flowing through the trained assignment on i
+        val r =
+          if (probeAll)
+            withNorm.select(
+              explode(sequence(lit(0), lit(lists - 1))).as("gkey"),
+              col("id").as("j"), col("vec").as("vj"), col("nrm").as("nj"))
+          else cells.select(col("gkey"), col("id").as("j"),
+            col("vecn.vec").as("vj"), col("vecn.nrm").as("nj"))
         dupOf(l.join(r, Seq("gkey")).where(col("j") < col("i")))
       }
 

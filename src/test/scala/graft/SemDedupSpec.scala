@@ -98,6 +98,17 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("semdedup: probeAll multi-cell configuration is provably exact") {
+    // the q_semantic_dedup_allprobe twin's property: j-side replicated
+    // into every cell ⇒ the clustered path equals brute force exactly,
+    // while the i-side still routes through the trained assignment
+    val rows = corpus(90, seed = 31)
+    val got = SemDedup.prune(rows.toDF("id", "vec"), tau = 0.6, nList = 5,
+        cellCap = 1 << 20, probeAll = true)
+      .select("id", "dup_of").as[(Long, Option[Long])].collect().toMap
+    assert(got == bruteForce(rows, tau = 0.6))
+  }
+
   test("semdedup: verdict is deterministic under repartitioning") {
     val rows = corpus(90, seed = 23)
     val df = rows.toDF("id", "vec")

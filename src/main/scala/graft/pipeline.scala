@@ -76,9 +76,13 @@ object Pipeline {
     // disk) when no TableIO materializes them; track what we persisted so
     // the caller can release it (cache hygiene in long-lived sessions).
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def ckpt(stage: String, partitionBy: Seq[String] = Seq.empty)(df: => DataFrame): DataFrame = io match {
+    def ckpt(stage: String, partitionBy: Seq[String] = Seq.empty,
+        sortedBy: Option[String] = None)(df: => DataFrame): DataFrame = io match {
       case Some(t) =>
-        if (partitionBy.nonEmpty) t.commitPartitioned(stage, df, partitionBy)
+        if (sortedBy.isDefined)
+          t.commitSorted(stage, df, sortedBy.get,
+            corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+        else if (partitionBy.nonEmpty) t.commitPartitioned(stage, df, partitionBy)
         else t.commit(stage, df)
       case None =>
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -198,7 +202,11 @@ object Pipeline {
     // and translates the representative back to the public min-image_id
     // once at the end — see its scaladoc for the SortAggregate-per-round
     // hazard this avoids.
-    val clusters = ckpt("clusters") {
+    // the assignment commits RANGE-CLUSTERED on cluster_id (zone map per
+    // file): cluster audits — churn, representatives, per-cluster
+    // inspection — are cluster-id range reads, served by loadRange from
+    // the overlapping files instead of a table scan
+    val clusters = ckpt("clusters", sortedBy = Some("cluster_id")) {
       // filter on the PARTITION column: a resumed run's scan of the
       // committed verified table prunes to the dup_part=1 directories.
       // Exact-tier groups enter here as ready-made dup edges (every

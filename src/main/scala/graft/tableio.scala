@@ -37,6 +37,32 @@ trait TableIO {
     * bucketing it would shuffle twice per run.
     */
   def commitBucketed(stage: String, df: DataFrame, bucketCol: String, nBuckets: Int): DataFrame
+
+  /** Like [[commit]] but RANGE-CLUSTERS the snapshot on `sortCol`
+    * (Iceberg: a write sort order + per-file column bounds in the
+    * manifest): rows land in up to `nFiles` range partitions, sorted
+    * within each, and the commit records every file's [min, max] of
+    * `sortCol` as a zone map beside the manifest. [[loadRange]] then
+    * serves range predicates from only the overlapping files — with
+    * disjoint ranges that is ONE file per point lookup, the difference
+    * between scanning a table and scanning a file at 10¹² rows. The
+    * pipeline commits the final cluster assignment this way: cluster
+    * audits (churn, representatives, per-cluster inspection) are
+    * cluster-id range reads. `sortCol` must be an integral or string
+    * column (the engine's two key shapes); the zone map keys the LIVE
+    * snapshot like the bucket spec — [[replace]]/[[rollback]] on a
+    * sorted stage drop the pruning (reads stay correct via fallback).
+    */
+  def commitSorted(stage: String, df: DataFrame, sortCol: String, nFiles: Int): DataFrame
+
+  /** Range-pruned scan: rows with `sortCol` in [lo, hi] (inclusive),
+    * reading ONLY the files whose committed zone overlaps when the stage
+    * was [[commitSorted]] on that column; any other stage falls back to
+    * a full scan + filter (correct, just unpruned). None if the stage
+    * was never committed.
+    */
+  def loadRange(stage: String, sortCol: String, lo: Any, hi: Any): Option[DataFrame]
+
   def load(stage: String): Option[DataFrame]
 
   /** Snapshot directories for a stage, oldest → newest (Iceberg: snapshot
@@ -313,6 +339,111 @@ final class ParquetTableIO(
         metrics.write.mode("append").parquet(s"$root/_metrics/rows")
         writeManifest(stage, snapshot +: readManifest(stage))
         committed
+    }
+
+  private def zoneMapPath(stage: String): Path =
+    rootPath.resolve(s"_manifest/$stage.zonemap")
+
+  /** Zone-map encoding: header `sortCol,type`, then `mn,mx,file` lines.
+    * String bounds ride Base64(UTF-8) so arbitrary key bytes survive the
+    * CSV framing; pruning compares the DECODED bytes unsigned-lexically,
+    * matching Spark's UTF8String binary ordering.
+    */
+  private def encodeBound(v: Any): String = v match {
+    case s: String => java.util.Base64.getEncoder
+      .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+    case n => n.toString
+  }
+
+  override def commitSorted(
+      stage: String, df: DataFrame, sortCol: String, nFiles: Int): DataFrame =
+    load(stage) match {
+      case Some(cached) => cached
+      case None =>
+        val keyType = df.schema(sortCol).dataType.typeName
+        require(Set("long", "integer", "string")(keyType),
+          s"commitSorted keys are integral or string, got $keyType for $sortCol")
+        val t0 = System.currentTimeMillis()
+        val snapshot = s"$root/$stage/snapshot-${System.nanoTime()}"
+        df.repartitionByRange(nFiles, col(sortCol))
+          .sortWithinPartitions(sortCol)
+          .write.mode("overwrite").parquet(snapshot)
+        val committed = spark.read.parquet(snapshot)
+        // per-file key bounds — ≤ nFiles driver rows, read from the one
+        // stats column. Null-key rows never match a range predicate, so
+        // they are excluded here (an all-null file simply has no zone).
+        val zones = committed.where(col(sortCol).isNotNull)
+          .groupBy(input_file_name().as("file"))
+          .agg(min(col(sortCol)).as("mn"), max(col(sortCol)).as("mx"))
+          .collect()
+        val tag = if (keyType == "string") "string" else "long"
+        val lines = s"$sortCol,$tag" +: zones.toSeq.map(r =>
+          s"${encodeBound(r.get(1))},${encodeBound(r.get(2))},${r.getString(0)}")
+        Files.write(zoneMapPath(stage),
+          lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        val metrics = committed
+          .select(spark_partition_id().as("partition_id"),
+            input_file_name().as("file"))
+          .groupBy("partition_id", "file")
+          .agg(count(lit(1)).as("rows"))
+          .withColumn("run_id", lit(runId))
+          .withColumn("stage", lit(stage))
+          .withColumn("wall_ms", lit(System.currentTimeMillis() - t0))
+        metrics.write.mode("append").parquet(s"$root/_metrics/rows")
+        writeManifest(stage, snapshot +: readManifest(stage))
+        committed
+    }
+
+  override def loadRange(
+      stage: String, sortCol: String, lo: Any, hi: Any): Option[DataFrame] =
+    load(stage).map { full =>
+      val pred = col(sortCol) >= lit(lo) && col(sortCol) <= lit(hi)
+      val zm = zoneMapPath(stage)
+      val lines =
+        if (Files.exists(zm))
+          Files.readString(zm).trim.split('\n').toSeq.filter(_.nonEmpty)
+        else Seq.empty
+      // prune only when the zone map is for THIS column, the live entry
+      // is the sorted snapshot (single dir, its files in the map), and
+      // the bound types line up — anything else reads unpruned
+      val header = lines.headOption.map(_.split(',').toSeq)
+      val usable = header.exists(h => h.headOption.contains(sortCol)) &&
+        readManifest(stage).headOption.exists(e => !e.contains(';') &&
+          lines.drop(1).forall(_.split(",", 3)(2).contains(e)))
+      def bytes(s: String) = java.util.Base64.getDecoder.decode(s)
+      def leqBytes(a: Array[Byte], b: Array[Byte]): Boolean = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        var c = 0
+        while (i < n && c == 0) { c = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+        if (c != 0) c < 0 else a.length <= b.length
+      }
+      // None = no safe pruning (wrong column/type, stale map) → full scan
+      val filesOpt: Option[Seq[String]] =
+        if (!usable) None
+        else (header.get.lift(1), lo, hi) match {
+          case (Some("long"), l: Number, h: Number) =>
+            Some(lines.drop(1).flatMap { ln =>
+              val Array(mn, mx, f) = ln.split(",", 3)
+              if (mx.toLong >= l.longValue && mn.toLong <= h.longValue)
+                Some(f) else None
+            })
+          case (Some("string"), l: String, h: String) =>
+            val (lb, hb) = (l.getBytes(StandardCharsets.UTF_8),
+              h.getBytes(StandardCharsets.UTF_8))
+            Some(lines.drop(1).flatMap { ln =>
+              val Array(mn, mx, f) = ln.split(",", 3)
+              if (leqBytes(lb, bytes(mx)) && leqBytes(bytes(mn), hb))
+                Some(f) else None
+            })
+          case _ => None
+        }
+      filesOpt match {
+        case None => full.where(pred)
+        case Some(Seq()) => full.where(lit(false)).where(pred)
+        case Some(files) =>
+          spark.read.schema(full.schema).parquet(files: _*).where(pred)
+      }
     }
 
   override def append(stage: String, df: DataFrame, tag: String): DataFrame = {

@@ -99,6 +99,47 @@ class TableIOSpec extends SparkSpec {
     assert(io.load("sigs").get.count() == 1000)
   }
 
+  test("commitSorted + loadRange: range reads touch only overlapping files") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "run1", "cfgA")
+    val df = spark.range(10000).toDF("id").withColumn("v", col("id") * 2)
+    io.commitSorted("sorted", df, "id", 8)
+    val full = io.load("sorted").get
+    assert(full.inputFiles.length >= 4) // range partitioner made real files
+    // point-ish range: same rows as a full filter, from a file subset
+    val pruned = io.loadRange("sorted", "id", 100L, 200L).get
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ==
+      (100L to 200L).toSeq)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"${pruned.inputFiles.length} vs ${full.inputFiles.length}")
+    assert(pruned.inputFiles.length <= 2) // disjoint zones: 1–2 files
+    // empty range beyond the max zone: zero rows, zero files
+    assert(io.loadRange("sorted", "id", 50000L, 60000L).get.count() == 0)
+    // stage committed WITHOUT a sort: fallback full scan, same answer
+    io.commit("plain", df)
+    val fb = io.loadRange("plain", "id", 100L, 200L).get
+    assert(fb.count() == 101)
+    assert(io.loadRange("nope", "id", 0L, 1L).isEmpty)
+  }
+
+  test("loadRange: string zone map prunes; replace staleness falls back") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "run1", "cfgA")
+    val df = spark.range(2000).toDF("n")
+      .select(format_string("img%08d", col("n")).as("cid"), col("n"))
+    io.commitSorted("clusters", df, "cid", 8)
+    val pruned = io.loadRange("clusters", "cid", "img00000100", "img00000200").get
+    assert(pruned.count() == 101)
+    assert(pruned.inputFiles.length <= 2)
+    // wrong-column range: correct via unpruned fallback
+    assert(io.loadRange("clusters", "n", 100L, 200L).get.count() == 101)
+    // replace makes the zone map stale → loadRange must NOT prune with it
+    io.replace("clusters", df.where(col("n") < 500))
+    val afterReplace = io.loadRange("clusters", "cid", "img00000100", "img00000200").get
+    assert(afterReplace.count() == 101)
+    assert(afterReplace.inputFiles.toSet == io.load("clusters").get.inputFiles.toSet)
+  }
+
   test("append: tagged snapshots accumulate; a replayed tag is a no-op") {
     val root = tmpDir()
     val io = new ParquetTableIO(spark, root, "run1", "cfgA")

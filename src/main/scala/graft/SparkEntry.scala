@@ -1410,6 +1410,29 @@ object SparkEntry {
     "q_chunk_dedup" -> ((s, d) =>
       Curation.chunkDedup(t(s, d, "documents"), w = 8).orderBy("doc_id")),
 
+    // T47: CCNet boilerplate line removal. The driver text has no line
+    // structure, so the page is synthesized deterministically (the
+    // q_html_extract pattern): a per-source nav line + the body split
+    // into 12-word lines + a global footer. At minDf=5 the nav/footer
+    // lines (df = per-source count / corpus) vanish from every doc, and
+    // body lines shared by ≥5 planted near-dup twins vanish too — the
+    // DF-threshold rule exercised on real repetition, no special cases.
+    // No-empty-text assumption: split('') = [''] on BOTH engines, so even
+    // a degenerate doc stays in parity (no guard needed).
+    "q_line_dedup" -> ((s, d) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val nb = floor((size(toks) + 11) / 12).cast("int")
+      val body = transform(sequence(lit(0), nb - 1),
+        i => array_join(slice(toks, i * 12 + 1, lit(12)), " "))
+      val lines = concat(
+        array(concat(lit("nav home about contact "), col("source"))),
+        body,
+        array(lit("copyright footer share subscribe")))
+      Curation.lineDedup(
+        t(s, d, "documents").select(col("doc_id"), lines.as("lines")),
+        minDf = 5).orderBy("doc_id")
+    }),
+
     // T31: shingle-containment pairs (quote / subset detection — the
     // asymmetric complement of q_ngram_jaccard: c_ab = |A∩B| / |A| flags
     // B swallowing A even when Jaccard is diluted by B's extra content).
@@ -3154,6 +3177,43 @@ object SparkEntry {
              string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY pos), ''))
              AS clean_hash
          FROM m GROUP BY 1 ORDER BY 1""",
+    // T47: the same page synthesis (nav + 12-word body lines + footer),
+    // DF = count(DISTINCT doc) per line, drop at >= 5 from every doc,
+    // rebuild ordered by position. Joins on the raw line where the Spark
+    // side keys md5(line) — equivalent within the 128-bit budget the op
+    // documents.
+    "q_line_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         nb AS (
+           SELECT doc_id, source, w,
+             CAST(floor((len(w) + 11) / 12) AS INT) AS n FROM d),
+         lines AS (
+           SELECT doc_id, 0 AS pos,
+             'nav home about contact ' || source AS line FROM nb
+           UNION ALL
+           SELECT doc_id, i + 1,
+             array_to_string(w[(i*12 + 1):(i*12 + 12)], ' ')
+           FROM nb, unnest(generate_series(0, n - 1)) AS t(i)
+           UNION ALL
+           SELECT doc_id, n + 1, 'copyright footer share subscribe' FROM nb),
+         boiler AS (
+           SELECT line FROM lines GROUP BY 1
+           HAVING count(DISTINCT doc_id) >= 5),
+         fl AS (
+           SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_b
+           FROM lines l LEFT JOIN boiler b ON l.line = b.line)
+         SELECT doc_id, count(*) AS n_lines,
+           CAST(count(*) FILTER (WHERE NOT is_b) AS BIGINT) AS n_kept,
+           CAST(length(coalesce(
+             string_agg(CASE WHEN NOT is_b THEN line END, ' | ' ORDER BY pos),
+             '')) AS BIGINT) AS clean_len,
+           md5(coalesce(
+             string_agg(CASE WHEN NOT is_b THEN line END, ' | ' ORDER BY pos),
+             '')) AS clean_hash
+         FROM fl GROUP BY 1 ORDER BY 1""",
+
     // T31: same shingle base as q_ngram_jaccard, asymmetric containment
     // both directions; threshold on the ROUNDED values like the Spark
     // side so no boundary pair can flip on FP division order.

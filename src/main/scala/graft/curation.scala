@@ -214,6 +214,59 @@ object Curation {
         md5(col("clean").cast("binary")).as("clean_hash"))
   }
 
+  /** T47 — boilerplate line removal (CCNet, Wenzek et al., LREC 2020
+    * §4.1: drop every line whose document frequency reaches `minDf` —
+    * navigation menus, footers, cookie banners — from ALL documents,
+    * including the first). The complement of [[chunkDedup]]: that keeps
+    * FIRST occurrences (content dedup), this removes EVERY occurrence of
+    * high-DF lines (boilerplate is defined by ubiquity, not precedence).
+    *
+    * Input: (idCol: long, linesCol: array&lt;string&gt;) — the caller owns
+    * line segmentation (real pages split on newline; the driver corpus
+    * has none, so q_line_dedup synthesizes page structure the way
+    * q_html_extract does).
+    *
+    * Plan shape (the 100 TB story): one posexplode to line granularity;
+    * the boilerplate set is ONE two-level hash aggregation —
+    * count_distinct(doc) per 128-bit line key, map-side partial — then a
+    * threshold filter, leaving the crawl's boilerplate VOCABULARY (tiny
+    * vs corpus; AQE broadcasts the rejoin, and a hot boilerplate key is
+    * exactly what the distinct-agg absorbs map-side). Per-doc rebuild is
+    * one hash aggregation with doc-length-bounded state, as in
+    * chunkDedup. Content key = md5(line), 128-bit, collisions out of the
+    * error budget without a repair pass.
+    *
+    * Returns one row per doc: n_lines, n_kept, clean_len, clean_hash
+    * (md5 of survivors rejoined in order with " | ").
+    */
+  def lineDedup(docs: DataFrame, minDf: Int, idCol: String = "doc_id",
+                linesCol: String = "lines"): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would drop every line, got $minDf")
+    val occ = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(col(linesCol)).as(Seq("pos", "line")))
+      .withColumn("lk", md5(col("line").cast("binary")))
+    val boiler = occ.groupBy("lk")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("lk"), lit(true).as("is_boiler"))
+    occ.join(boiler, Seq("lk"), "left")
+      .withColumn("kept", col("is_boiler").isNull)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          " | ").as("clean"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean").cast("binary")).as("clean_hash"))
+  }
+
   /** T35 — corpus-trained bigram-LM cross-entropy (the CCNet perplexity
     * quality filter, Wenzek et al., LREC 2020, self-trained instead of
     * Wikipedia-trained so it needs no external model): add-one-smoothed

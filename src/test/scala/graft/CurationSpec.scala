@@ -61,6 +61,47 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == Seq((3L, 1L)))
   }
 
+  test("lineDedup removes a >=minDf line from EVERY doc, keeps low-DF lines") {
+    // CCNet rule: ubiquity, not precedence — the first doc loses the
+    // boilerplate too (the distinction from chunkDedup's keep-first rule)
+    val docs = (0L until 6L).map { i =>
+      val shared = if (i < 2) Seq("common tail") else Seq.empty
+      (i, Seq("cookie banner", s"unique body $i") ++ shared)
+    }.toDF("doc_id", "lines")
+    val got = Curation.lineDedup(docs, minDf = 5)
+      .select("doc_id", "n_lines", "n_kept", "clean_len")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    got.foreach { case (id, nLines, nKept, cleanLen) =>
+      assert(nLines == (if (id < 2) 3L else 2L))
+      assert(nKept == nLines - 1, s"doc $id: banner (df=6) must drop")
+      assert(cleanLen > 0) // unique body survives in every doc
+    }
+    // df=2 < minDf: "common tail" kept in both its docs
+    val clean01 = Curation.lineDedup(docs, minDf = 5)
+      .where(col("doc_id") < 2).select("n_kept").as[Long].collect()
+    assert(clean01.forall(_ == 2L))
+  }
+
+  test("lineDedup is partition-independent and order-rebuilds survivors") {
+    val docs = Seq(
+      (1L, Seq("z last", "boiler", "a first")),
+      (2L, Seq("boiler", "mid")),
+      (3L, Seq("boiler")), (4L, Seq("boiler")), (5L, Seq("boiler")))
+      .toDF("doc_id", "lines")
+    def run(parts: Int) = Curation.lineDedup(docs.repartition(parts), minDf = 5)
+      .select("doc_id", "n_kept", "clean_hash")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(run(2) == run(7))
+    // doc 1 survivors rejoin in POSITION order (z before a), not sorted
+    val h = run(2).head._3
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("z last | a first".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h == expected)
+    // doc 3–5: all lines were boilerplate → empty survivor text, doc kept
+    assert(run(2).count(_._2 == 0L) == 3)
+  }
+
   test("ngramNovelty: first occurrence 1.0, verbatim copy 0.0, partial overlap in between") {
     val a = "the quick brown fox jumps over the lazy dog again and again tonight"
     val c = "completely different content describing distributed analytics engines"

@@ -335,6 +335,15 @@ object DedupJob {
     result.bucketCensus() // logs any cap overflow to stderr
     result.unpersist()
     println(s"""{"images":$n,"clusters":$nClusters,"run_id":"$runId"}""")
+    // --inspect <cluster_id>: point lookup on the committed assignment —
+    // the zone-map read path (files_read says how many of the snapshot's
+    // files the range actually touched; disjoint zones ⇒ 1)
+    argMap.get("--inspect").foreach { cid =>
+      val pruned = io.loadRange("clusters", "cluster_id", cid, cid)
+        .getOrElse(sys.error("clusters stage not committed"))
+      println(s"""{"inspect":"$cid","members":${pruned.count()},""" +
+        s""""files_read":${pruned.inputFiles.length}}""")
+    }
     spark.stop()
   }
 }

@@ -677,6 +677,18 @@ object PlanDump {
           corpus.select(col("image_id"), ex("n_blocks").as("n_blocks"),
             ex("n_kept").as("n_kept"), md5(ex("text").cast("binary")).as("h"))
         })
+      dump("T47 — boilerplate line removal (Curation.lineDedup)",
+        "DF counting is the two-phase distinct rewrite: a (line-key, doc) " +
+          "hash-agg absorbs hot boilerplate keys map-side BEFORE the " +
+          "per-key count, the thresholded boilerplate set re-joins the " +
+          "occurrences as the SMALL side (it is the crawl's boilerplate " +
+          "vocabulary, not the corpus — AQE broadcasts it at scale), and " +
+          "the per-doc rebuild is ONE hash aggregation whose " +
+          "collect_list state is bounded by the document's own length. " +
+          "No window, no sort, no corpus-sized driver state.",
+        Curation.lineDedup(
+          corpus.select(xxhash64(col("image_id")).as("doc_id"),
+            split(col("caption"), " ").as("lines")), minDf = 5))
     }
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)

@@ -65,8 +65,19 @@ object SparkEntry {
     * in the engine path.
     */
   private[graft] def nearDupExact(docs: DataFrame, sigs: DataFrame,
-                                  cfg: DedupConfig): DataFrame = {
-    val cands = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg)
+                                  cfg: DedupConfig): DataFrame =
+    exactVerifyPairs(docs, sigs,
+      Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg), cfg)
+
+  /** Shared signature-estimate gate + exact 5-gram Jaccard verify tail
+    * over a candidate pair set (columns a, b). Side-agnostic: used by the
+    * self-join near-dup queries (canonical a<b pairs) and the
+    * cross-corpus linkage (a ∈ A, b ∈ B orientation) alike — every join
+    * here keys on the pair ids, not on their order.
+    */
+  private[graft] def exactVerifyPairs(docs: DataFrame, sigs: DataFrame,
+                                      cands: DataFrame,
+                                      cfg: DedupConfig): DataFrame = {
     val est = cands
       .join(broadcast(sigs.select(col("id").as("a"), col("minhash").as("ma"))), "a")
       .join(broadcast(sigs.select(col("id").as("b"), col("minhash").as("mb"))), "b")
@@ -1057,6 +1068,44 @@ object SparkEntry {
           graft.functions.GraftFunctions.shinglesCol(col("text"), 5),
           cfg.numPerms).as("minhash")).localCheckpoint()
       nearDupExact(docs, sigs, cfg)
+    }),
+
+    // T49: cross-corpus LSH near-dup join — dedup a new batch AGAINST a
+    // committed corpus (A×B linkage, the batch complement of the
+    // streaming exact tier's index probe). Sides split deterministically
+    // by doc_id%3 (A = 0, B = rest); signatures computed ONCE over the
+    // union, band tables per side, co-occupied capped buckets joined on
+    // (band, band_hash), then the SAME estimate-gate + exact-Jaccard
+    // verify tail as the self-join queries. The oracle recomputes the
+    // exact all-pairs J>=0.7 CROSS pair set from scratch, so the green
+    // row certifies candidate completeness through the two-sided band
+    // join too.
+    "q_crosscorpus_near_dup" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val cfg = DedupConfig()
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val sigs = docs.select(col("id"),
+        graft.functions.GraftFunctions.minhashCol(
+          graft.functions.GraftFunctions.shinglesCol(col("text"), 5),
+          cfg.numPerms).as("minhash")).localCheckpoint()
+      val isRef = pmod(col("id"), lit(3L)) === 0L
+      val cands = Lsh.crossCandidates(
+        Lsh.bands(sigs.where(isRef), cfg),
+        Lsh.bands(sigs.where(!isRef), cfg), cfg)
+      exactVerifyPairs(docs, sigs, cands, cfg)
+    }),
+
+    // T48: linear-probe classifier gate over embeddings (LAION-style
+    // aesthetic/NSFW head inference). Head derived deterministically
+    // from seed 9001; the oracle rebuilds the identical head via the
+    // splitmix64 HUGEINT twin and re-scores every row end-to-end.
+    "q_linear_probe" -> ((s, d) => {
+      val w = Curation.probeWeights(64, 9001L)
+      Curation.linearProbe(t(s, d, "embeddings"), w, tau = 0.0)
+        .select(col("vec_id"), col("label"), col("logit"), col("score"),
+          col("keep"))
+        .orderBy("vec_id")
     }),
 
     // X1 suffix-array substring pass, fully oracled: winnowing guarantees
@@ -2930,6 +2979,50 @@ object SparkEntry {
     // same exact pair set: the OPH query differs only in which sketch
     // generates candidates, and the oracle is sketch-blind (all-pairs)
     "q_doc_near_dup_oph" -> nearDupExactOracleSql,
+    // T49: the same sketch-blind all-pairs recomputation restricted to
+    // CROSS pairs (a in A = doc_id%3==0, b in B = rest) — candidate
+    // completeness of the two-sided capped band join is value-checked
+    "q_crosscorpus_near_dup" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           FROM documents, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+           FROM sh x JOIN sh y ON x.shingle = y.shingle
+            AND x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
+           GROUP BY 1, 2)
+         SELECT a, b,
+           round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+         FROM pairs
+         JOIN counts ca ON pairs.a = ca.doc_id
+         JOIN counts cb ON pairs.b = cb.doc_id
+         WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) >= 0.7
+         ORDER BY a, b""",
+    // T48: the probe head rebuilt bit-for-bit via the splitmix64 HUGEINT
+    // twin (component i = mix64(9001+i) top-32 bits -> [-1,1), exactly
+    // representable), then every row re-scored end-to-end: sequential
+    // list_dot_product matches the zip_with/aggregate fold order, the
+    // sigmoid is evaluated on the ROUNDED logit on both sides, and the
+    // keep gate thresholds the rounded logit (FP-divergence-proof)
+    "q_linear_probe" ->
+      s"""WITH js AS (SELECT CAST(i AS BIGINT) AS doc_id,
+             CAST(9001 + i AS HUGEINT) AS zc0
+           FROM unnest(generate_series(0, 64)) AS t(i)),
+         ${mix64Ctes("js", "lp")},
+         wv AS (SELECT doc_id AS j,
+            CAST(h // 4294967296 AS DOUBLE) / 2147483648 - 1 AS w FROM lp5),
+         wl AS (SELECT list(w ORDER BY j) AS ws FROM wv WHERE j > 0),
+         bias AS (SELECT w AS b FROM wv WHERE j = 0),
+         sc AS (SELECT vec_id, label,
+            round(list_dot_product(
+                list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                (SELECT ws FROM wl)) + (SELECT b FROM bias), 4) AS logit
+           FROM embeddings)
+         SELECT vec_id, label, logit,
+           round(1.0 / (1.0 + exp(-logit)), 4) AS score,
+           logit >= 0.0 AS keep
+         FROM sc ORDER BY vec_id""",
     "q_doc_span_pairs" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
          g24 AS (

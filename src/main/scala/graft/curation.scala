@@ -641,4 +641,49 @@ object Curation {
       .withColumn("n_refs", coalesce(col("n_refs"), lit(0L)))
       .withColumn("contaminated", col("min_hamming").isNotNull)
   }
+
+  /** T48 — linear-probe classifier gate over frozen embeddings: the
+    * LAION-aesthetics / CLIP-NSFW head shape (Schuhmann et al. 2022;
+    * Gadre et al. 2023). Web-scale curation models are tiny linear heads
+    * trained offline on a few thousand labels over embeddings the
+    * pipeline already carries; the INFERENCE pass is the 10¹²-row job,
+    * and it is a pure row-local codegen projection — one fused
+    * zip_with/aggregate dot product per row, zero shuffles, no model
+    * runtime. The head ships as a plain array literal in the plan
+    * (dim+1 doubles — bytes, far below broadcast relevance).
+    *
+    * Determinism discipline (the T40/T46 integer/rounded-space rule):
+    *   logit = round(Σ_j w_j·v_j + b, 4)  — products in double, fold in
+    *           list order (= DuckDB's sequential list_dot_product);
+    *   score = round(σ(logit), 4) — the transcendental is evaluated on
+    *           the already-ROUNDED logit, so both engines feed exp() the
+    *           same exact double and any libm last-ulp divergence sits
+    *           ~8 decimal orders below the 4-dp boundary;
+    *   keep  = logit ≥ τ — the gate thresholds the rounded logit, never
+    *           the transcendental.
+    *
+    * `weights(0)` is the bias; `weights(1..dim)` the per-component head.
+    */
+  def linearProbe(embs: DataFrame, weights: Array[Double], tau: Double,
+      vecCol: String = "embedding"): DataFrame = {
+    require(weights.length >= 2, "need bias + at least one weight")
+    val w = typedlit(weights.drop(1).toSeq)
+    val dot = aggregate(
+      zip_with(col(vecCol), w, (v, wj) => v.cast("double") * wj),
+      lit(0.0), (acc, x) => acc + x)
+    embs
+      .withColumn("logit", round(dot + lit(weights(0)), 4))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 4))
+      .withColumn("keep", col("logit") >= lit(tau))
+  }
+
+  /** Deterministic probe head for tests/oracles: component i (0 = bias)
+    * is mix64(seed + i)'s top 32 bits mapped to [-1, 1) — k/2³¹−1 with
+    * k < 2³², every value exactly representable (the T25 uniform trick),
+    * so the DuckDB twin rebuilds the identical head bit-for-bit.
+    */
+  def probeWeights(dim: Int, seed: Long): Array[Double] =
+    Array.tabulate(dim + 1)(i =>
+      (Hashing.mix64(seed + i) >>> 32).toDouble / 2147483648.0 - 1.0)
 }

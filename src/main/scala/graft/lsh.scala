@@ -102,6 +102,52 @@ object Lsh {
       census: Option[Observation] = None): DataFrame =
     emitPairs(bandsDf, Seq("band", "band_hash"), "lsh", cfg, dedup, census)
 
+  /** Stage 3c — CROSS-corpus LSH candidates (T49): A×B record linkage,
+    * "which items of a new batch near-dup something in the committed
+    * corpus" — the batch complement of the streaming exact tier's
+    * committed-index probe, at MinHash granularity instead of byte
+    * identity. Both sides' band buckets are capped independently inside
+    * their own single hash aggregation (W2 — a boilerplate band key is
+    * hot on BOTH sides of a crawl linkage; map-side partial aggregation
+    * collapses it to ≤cap ids per side before either shuffle), then
+    * co-occupied buckets meet in ONE equi-join of two already-collapsed
+    * bucket tables — one row per (band, band_hash) per side, never a
+    * row-level band join — and the ≤cap² a×b cross pairs explode inside
+    * whole-stage codegen. Pairs are oriented (a ∈ A, b ∈ B), NOT
+    * canonicalized by id order: the sides are distinct relations, and
+    * the caller's ids may interleave arbitrarily.
+    *
+    * The census counts overflow only on CO-OCCUPIED buckets — an
+    * over-cap bucket with no counterpart on the other side can drop no
+    * cross pair, so it is not a recall event for this operator.
+    */
+  def crossCandidates(
+      bandsA: DataFrame,
+      bandsB: DataFrame,
+      cfg: DedupConfig,
+      census: Option[Observation] = None): DataFrame = {
+    val keys = Seq("band", "band_hash")
+    val ba = cappedBuckets(bandsA, keys, cfg)
+      .select(col("band"), col("band_hash"),
+        col("ids").as("ids_a"), col("n_seen").as("n_a"))
+    val bb = cappedBuckets(bandsB, keys, cfg)
+      .select(col("band"), col("band_hash"),
+        col("ids").as("ids_b"), col("n_seen").as("n_b"))
+    val joined0 = ba.join(bb, keys)
+    val joined = census.fold(joined0)(o => joined0.observe(o,
+      sum(when(col("n_a") > cfg.bucketCap, col("n_a") - cfg.bucketCap)
+          .otherwise(0L) +
+        when(col("n_b") > cfg.bucketCap, col("n_b") - cfg.bucketCap)
+          .otherwise(0L)).as("dropped_ids"),
+      max(greatest(col("n_a"), col("n_b"))).as("max_bucket"),
+      count(lit(1)).as("n_buckets")))
+    joined
+      .select(explode(flatten(transform(col("ids_a"), x =>
+        transform(col("ids_b"), y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .dropDuplicates("a", "b")
+  }
+
   /** Stage 3b: SimHash Hamming-≤h prefilter via block pigeonhole: split the
     * 64-bit signature into q blocks; if hamming(x,y) ≤ h then x and y agree
     * on SOME (q-h)-subset of blocks, so equi-joining on every C(q,h)

@@ -481,4 +481,45 @@ class CurationSpec extends SparkSpec {
     assert(nk == 1 && text == "real words kept here")
     assert(nb == 3)
   }
+
+  // ---- T48: linear-probe classifier gate over embeddings ----
+
+  test("probeWeights: deterministic, exactly-representable, in [-1,1)") {
+    val w = Curation.probeWeights(64, 9001L)
+    assert(w.length == 65)
+    assert(w.forall(x => x >= -1.0 && x < 1.0))
+    // bit-for-bit recompute from the kernel definition
+    (0 to 64).foreach { i =>
+      val expect = (Hashing.mix64(9001L + i) >>> 32).toDouble / 2147483648.0 - 1.0
+      assert(w(i) == expect)
+      // k/2^31 - 1 is exact: scaling back must recover the integer
+      assert(((w(i) + 1.0) * 2147483648.0).isWhole)
+    }
+    assert(w.toSeq != Curation.probeWeights(64, 9002L).toSeq)
+  }
+
+  test("linearProbe scores a hand-built head exactly; keep gates the ROUNDED logit") {
+    // head: bias 0.5, w = (0.25, -0.5); v1 = (1, 2) -> logit 0.5+0.25-1.0 = -0.25
+    //                                    v2 = (2, 0.5) -> 0.5+0.5-0.25 = 0.75
+    //                                    v3 = (-2, 0)  -> 0.5-0.5     = 0.0  (boundary)
+    val embs = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(2.0f, 0.5f)), (3L, Seq(-2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Curation.linearProbe(embs, Array(0.5, 0.25, -0.5), tau = 0.0)
+      .orderBy("vec_id")
+      .select("vec_id", "logit", "score", "keep")
+      .as[(Long, Double, Double, Boolean)].collect().toSeq
+    assert(out.map(_._2) == Seq(-0.25, 0.75, 0.0))
+    assert(out.map(_._4) == Seq(false, true, true), "tau boundary row keeps")
+    // sigmoid of the rounded logit, rounded
+    def sig(z: Double) = math.rint(1.0 / (1.0 + math.exp(-z)) * 1e4) / 1e4
+    assert(out.map(_._3) == Seq(sig(-0.25), sig(0.75), sig(0.0)))
+  }
+
+  test("linearProbe is a pure row-local projection: no exchange in the plan") {
+    val embs = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val plan = Curation.linearProbe(embs, Curation.probeWeights(2, 7L), tau = 0.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }

@@ -94,4 +94,67 @@ class SkewSpec extends SparkSpec {
     val pairs = Lsh.lshCandidates(Lsh.bands(sigs, cfg), cfg).count()
     assert(pairs == 20L * (40 * 39 / 2), s"got $pairs")
   }
+
+  // ---- T49: cross-corpus candidates (A×B linkage) ----
+
+  /** Two-sided corpus: ids encode the side (A = 100+, B = 200+). Captions
+    * with the same cluster letter are identical across sides; each side
+    * also carries a unique singleton.
+    */
+  private def twoSided(): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    def cap(c: Char) = (0 until 8).map(w => s"$c$c$c$c${('a' + w).toChar}$c").mkString(" ")
+    val a = Seq(
+      ("a-0", cap('x'), 100L), ("a-1", cap('y'), 101L), ("a-2", cap('q'), 102L))
+      .toDF("image_id", "caption", "phash")
+    val b = Seq(
+      ("b-0", cap('x'), 200L), ("b-1", cap('y'), 201L), ("b-2", cap('z'), 202L))
+      .toDF("image_id", "caption", "phash")
+    (a, b)
+  }
+
+  test("crossCandidates finds A×B matches, oriented (a in A, b in B), no within-side pairs") {
+    val (a, b) = twoSided()
+    val sa = Signatures.signatures(a, cfg).select(col("id"), col("minhash"))
+    val sb = Signatures.signatures(b, cfg).select(col("id"), col("minhash"))
+    val aIds = sa.select("id").as[Long].collect().toSet
+    val bIds = sb.select("id").as[Long].collect().toSet
+    val pairs = Lsh.crossCandidates(Lsh.bands(sa, cfg), Lsh.bands(sb, cfg), cfg)
+      .as[(Long, Long)].collect().toSet
+    // identical captions collide in every band: both planted cross pairs found
+    assert(pairs.size == 2, s"got $pairs")
+    pairs.foreach { case (x, y) =>
+      assert(aIds.contains(x) && bIds.contains(y),
+        s"pair ($x,$y) not oriented A->B")
+    }
+  }
+
+  test("crossCandidates caps both sides and censuses overflow on co-occupied buckets") {
+    val hotA = hotCorpus(300)
+    val hotB = (0 until 300).map { i =>
+      (f"bh$i%05d", f"identical caption for every single row here no42", 5000L + i)
+    }.toDF("image_id", "caption", "phash")
+    val sa = Signatures.signatures(hotA, cfg).select(col("id"), col("minhash"))
+    val sb = Signatures.signatures(hotB, cfg).select(col("id"), col("minhash"))
+    val obs = new org.apache.spark.sql.Observation()
+    val got = Lsh.crossCandidates(Lsh.bands(sa, cfg), Lsh.bands(sb, cfg), cfg,
+      census = Some(obs)).count()
+    val capSq = cfg.bucketCap.toLong * cfg.bucketCap
+    assert(got <= capSq, s"$got cross pairs exceeds the cap² bound $capSq")
+    assert(got == capSq, "identical captions → every band keeps the same capped sets")
+    val m = obs.get
+    assert(m("dropped_ids").asInstanceOf[Long] > 0L, "overflow must be censused")
+    assert(m("max_bucket").asInstanceOf[Long] == 300L)
+  }
+
+  test("crossCandidates is independent of input partitioning") {
+    val (a, b) = twoSided()
+    val sa = Signatures.signatures(a, cfg).select(col("id"), col("minhash"))
+    val sb = Signatures.signatures(b, cfg).select(col("id"), col("minhash"))
+    val p1 = Lsh.crossCandidates(Lsh.bands(sa, cfg), Lsh.bands(sb, cfg), cfg)
+      .as[(Long, Long)].collect().toSet
+    val p2 = Lsh.crossCandidates(Lsh.bands(sa.repartition(7), cfg),
+        Lsh.bands(sb.repartition(3), cfg), cfg)
+      .as[(Long, Long)].collect().toSet
+    assert(p1 == p2)
+  }
 }

@@ -689,6 +689,37 @@ object PlanDump {
         Curation.lineDedup(
           corpus.select(xxhash64(col("image_id")).as("doc_id"),
             split(col("caption"), " ").as("lines")), minDf = 5))
+      dump("T48 — linear-probe embedding gate (Curation.linearProbe)",
+        "ONE row-local codegen Project: the head rides as a dim+1 array " +
+          "literal, the dot product is a fused zip_with/aggregate HOF — " +
+          "zero Exchanges, zero UDFs, no broadcast (the head is bytes). " +
+          "The gate fuses into whatever scan feeds it at any corpus " +
+          "size; CurationSpec asserts the no-Exchange property " +
+          "mechanically.",
+        Curation.linearProbe(
+          corpus.select(col("image_id"),
+            transform(sequence(lit(1), lit(8)), i =>
+              (pmod(xxhash64(col("image_id"), i), lit(1000L))
+                .cast("double") / 500.0 - 1.0).cast("float")).as("embedding")),
+          Curation.probeWeights(8, 7L), tau = 0.0))
+      dump("T49 — cross-corpus LSH candidates (Lsh.crossCandidates)",
+        "A×B linkage: each side collapses to capped buckets in its OWN " +
+          "single hash aggregation (BoundedMinIds with map-side partial " +
+          "combine — a hot band key is bounded to cap ids per task " +
+          "BEFORE either Exchange), the two bucket tables meet in ONE " +
+          "equi-join on (band, band_hash) — one row per band key per " +
+          "side, never a row-level band join — and the ≤cap² id×id " +
+          "cross pairs explode inside codegen. No payload column " +
+          "crosses any Exchange.",
+        {
+          val sa = Signatures.signatures(corpus, cfg)
+            .select(col("id"), col("minhash"))
+            .where(pmod(col("id"), lit(2L)) === 0L)
+          val sb = Signatures.signatures(corpus, cfg)
+            .select(col("id"), col("minhash"))
+            .where(pmod(col("id"), lit(2L)) =!= 0L)
+          Lsh.crossCandidates(Lsh.bands(sa, cfg), Lsh.bands(sb, cfg), cfg)
+        })
     }
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)

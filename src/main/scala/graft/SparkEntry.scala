@@ -1108,6 +1108,54 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // T50: candidate pair FEATURE table — the reference's scoring-feature
+    // expectations as a first-class relation: per near-dup candidate
+    // pair, the signature estimate (fraction of equal MinHash lanes —
+    // "Jaccard-from-signature") side by side with the exact Jaccard,
+    // both containments, and the size ratio. The bounded doc_id<150
+    // slice pins exact all-pairs semantics (the q_emb_near_dup pattern);
+    // the scale path feeds the same projection from T2/T49 LSH
+    // candidates. The oracle recomputes EVERY column from scratch in
+    // DuckDB — including all 128 signature lanes via the splitmix64
+    // HUGEINT twin — so the green row certifies the estimator itself at
+    // pair level, not just the gated output.
+    "q_pair_features" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, d, "documents").where(col("doc_id") < 150)
+        .select(col("doc_id").as("id"),
+          Text.normalizeCol(col("text")).as("norm"))
+      val withSets = docs.select(col("id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(length(col("norm")) - 4, lit(1))),
+          i => col("norm").substr(i, lit(5)))).as("sh"),
+        graft.functions.GraftFunctions.minhashCol(
+          graft.functions.GraftFunctions.shinglesCol(col("norm"), 5),
+          128).as("mh"))
+      val lhs = broadcast(withSets
+        .select(col("id").as("a"), col("sh").as("sha"), col("mh").as("mha")))
+      val rhs = withSets
+        .select(col("id").as("b"), col("sh").as("shb"), col("mh").as("mhb"))
+      lhs.join(rhs, col("a") < col("b"))
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 4))
+        .where(col("jaccard") >= 0.1)
+        .withColumn("jaccard_sig", round(
+          aggregate(zip_with(col("mha"), col("mhb"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / 128, 4))
+        .withColumn("containment_a",
+          round(col("inter").cast("double") / size(col("sha")), 4))
+        .withColumn("containment_b",
+          round(col("inter").cast("double") / size(col("shb")), 4))
+        .withColumn("len_ratio", round(
+          least(size(col("sha")), size(col("shb"))).cast("double") /
+            greatest(size(col("sha")), size(col("shb"))), 4))
+        .select(col("a"), col("b"), col("jaccard"), col("jaccard_sig"),
+          col("containment_a"), col("containment_b"), col("len_ratio"))
+        .orderBy("a", "b")
+    }),
+
     // X1 suffix-array substring pass, fully oracled: winnowing guarantees
     // any two docs sharing a >=24-char span share a fingerprint, and the
     // SA+LCP kernel emits exactly the co-bucketed pairs with LCP >= 24 —
@@ -2014,6 +2062,60 @@ object SparkEntry {
        SELECT doc_id,
          string_agg(CAST(mv AS VARCHAR), ',' ORDER BY lane) AS minhash_head
        FROM mins GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** T50 oracle: every pair-feature column recomputed from scratch —
+    * normalized shingle sets for exact Jaccard/containment/size ratio,
+    * and ALL 128 MinHash lanes via the splitmix64 HUGEINT twin for the
+    * signature estimate, joined lane-by-lane per gated pair. The
+    * bounded doc_id<150 slice keeps the lane table at 150×128 rows.
+    */
+  private def pairFeaturesOracleSql: String = {
+    val lanes = Hashing.seeds(128, Hashing.MinHashSeedBase)
+    val laneVals = lanes.zipWithIndex
+      .map { case (s, i) => s"($i, ${unsigned(s)}::HUGEINT)" }.mkString(", ")
+    s"""WITH norm AS (${normSql("(SELECT * FROM documents WHERE doc_id < 150) dd")}),
+       shs AS (
+         SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), 5) AS shingle
+         FROM norm, unnest(generate_series(1, greatest(length(s) - 4, 1))) AS t(i)),
+       counts AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
+       grams AS (
+         SELECT doc_id, ${fnvFoldSql("substr(s, CAST(i AS INT), 5)")} AS zc0
+         FROM norm, unnest(generate_series(1, length(s) - 4)) AS t(i)),
+       ${mix64Ctes("grams", "pf")},
+       shh AS (SELECT DISTINCT doc_id, h FROM pf5),
+       lanes(lane, seed) AS (VALUES $laneVals),
+       lz AS (SELECT doc_id, lane, xor(h, seed) AS zc0 FROM shh CROSS JOIN lanes),
+       ${mix64Ctes("lz", "pm").replace("SELECT doc_id,", "SELECT doc_id, lane,")},
+       lo AS (SELECT doc_id, lane, h % 4294967296 AS lo FROM pm5),
+       mins AS (
+         SELECT doc_id, lane,
+           min(CASE WHEN lo >= 2147483648 THEN lo - 4294967296 ELSE lo END) AS mv
+         FROM lo GROUP BY 1, 2),
+       pairs AS (
+         SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         FROM shs x JOIN shs y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         GROUP BY 1, 2),
+       gated AS (
+         SELECT a, b, inter, ca.n_sh AS na, cb.n_sh AS nb,
+           round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+         FROM pairs JOIN counts ca ON pairs.a = ca.doc_id
+                    JOIN counts cb ON pairs.b = cb.doc_id
+         WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) >= 0.1),
+       sig AS (
+         SELECT g.a, g.b,
+           sum(CASE WHEN ma.mv = mb.mv THEN 1 ELSE 0 END) AS eq
+         FROM gated g
+         JOIN mins ma ON ma.doc_id = g.a
+         JOIN mins mb ON mb.doc_id = g.b AND mb.lane = ma.lane
+         GROUP BY 1, 2)
+       SELECT g.a, g.b, g.jaccard,
+         round(CAST(s.eq AS DOUBLE) / 128, 4) AS jaccard_sig,
+         round(CAST(g.inter AS DOUBLE) / g.na, 4) AS containment_a,
+         round(CAST(g.inter AS DOUBLE) / g.nb, 4) AS containment_b,
+         round(CAST(least(g.na, g.nb) AS DOUBLE) / greatest(g.na, g.nb), 4) AS len_ratio
+       FROM gated g JOIN sig s ON g.a = s.a AND g.b = s.b
+       ORDER BY g.a, g.b"""
   }
 
   /** Full SQL recomputation of q_hll_distinct's exact side: per-lang and
@@ -2979,6 +3081,7 @@ object SparkEntry {
     // same exact pair set: the OPH query differs only in which sketch
     // generates candidates, and the oracle is sketch-blind (all-pairs)
     "q_doc_near_dup_oph" -> nearDupExactOracleSql,
+    "q_pair_features" -> pairFeaturesOracleSql,
     // T49: the same sketch-blind all-pairs recomputation restricted to
     // CROSS pairs (a in A = doc_id%3==0, b in B = rest) — candidate
     // completeness of the two-sided capped band join is value-checked

@@ -1108,6 +1108,37 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // T51: corpus datasheet — the per-source data-card summary every
+    // released training set ships (Gebru et al., "Datasheets for
+    // Datasets"; Pile/ROOTS data cards): volume, language breadth,
+    // length/token totals, and the within-source exact-dup census, in
+    // one pass. TWO hash aggregations total (doc-level stats; an
+    // (source, md5) pre-collapse feeding the dup census) joined on the
+    // tiny source key — no window, no sort, no driver state; at 10¹²
+    // rows both aggs are map-side-combining shuffles on narrow keys.
+    "q_corpus_datasheet" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("lang"), col("text"),
+          length(col("text")).cast("long").as("len"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+          md5(col("text").cast("binary")).as("key"))
+      val dup = docs.groupBy("source", "key").agg(count(lit(1)).as("k"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_distinct_texts"),
+          sum(when(col("k") > 1, col("k")).otherwise(0L)).as("n_dup_docs"))
+      docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("len")).as("total_chars"),
+          round(avg(col("len")), 4).as("avg_chars"),
+          sum(col("n_tok")).as("n_tokens"))
+        .join(dup, "source")
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("total_chars"), col("avg_chars"), col("n_tokens"),
+          col("n_distinct_texts"), col("n_dup_docs"))
+        .orderBy("source")
+    }),
+
     // T50: candidate pair FEATURE table — the reference's scoring-feature
     // expectations as a first-class relation: per near-dup candidate
     // pair, the signature estimate (fraction of equal MinHash lanes —
@@ -3082,6 +3113,28 @@ object SparkEntry {
     // generates candidates, and the oracle is sketch-blind (all-pairs)
     "q_doc_near_dup_oph" -> nearDupExactOracleSql,
     "q_pair_features" -> pairFeaturesOracleSql,
+    // T51: every datasheet statistic recomputed independently (the
+    // validated \s+ token and md5 twins)
+    "q_corpus_datasheet" ->
+      """WITH d AS (SELECT source, lang, length(text) AS len,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             md5(text) AS key
+           FROM documents),
+         dup AS (SELECT source,
+             CAST(count(*) AS BIGINT) AS n_distinct_texts,
+             sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS n_dup_docs
+           FROM (SELECT source, key, count(*) AS k FROM d GROUP BY 1, 2)
+           GROUP BY 1)
+         SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(len) AS BIGINT) AS total_chars,
+           round(avg(len), 4) AS avg_chars,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           any_value(dup.n_distinct_texts) AS n_distinct_texts,
+           CAST(any_value(dup.n_dup_docs) AS BIGINT) AS n_dup_docs
+         FROM d JOIN dup ON d.source = dup.source
+         GROUP BY 1 ORDER BY 1""",
     // T49: the same sketch-blind all-pairs recomputation restricted to
     // CROSS pairs (a in A = doc_id%3==0, b in B = rest) — candidate
     // completeness of the two-sided capped band join is value-checked

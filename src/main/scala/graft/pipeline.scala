@@ -344,6 +344,45 @@ object DedupJob {
       println(s"""{"inspect":"$cid","members":${pruned.count()},""" +
         s""""files_read":${pruned.inputFiles.length}}""")
     }
+    // --report true: operator-facing run report — the T28 cluster-size
+    // histogram over the COMMITTED assignment (how much of the corpus is
+    // duplicated, at what cluster granularity), committed as its own
+    // `report` snapshot and printed as one JSON line. Reads the clusters
+    // commit, not the in-memory result: two hash aggregations over a
+    // two-column table, collect bounded by distinct sizes.
+    if (argMap.get("--report").exists(_.toBoolean)) {
+      val clusters = io.load("clusters")
+        .getOrElse(sys.error("clusters stage not committed"))
+      val hist = io.commit("report",
+        clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs")))
+      val rows = hist.orderBy("cluster_size").collect()
+        .map(r => s"""{"size":${r.getLong(0)},"n_clusters":${r.getLong(1)},""" +
+          s""""n_docs":${r.getLong(2)}}""")
+        .mkString(",")
+      println(s"""{"report":[$rows]}""")
+    }
+    // --decontaminate <refs.parquet>: reference-set Hamming
+    // decontamination (T44) against this run's committed signatures —
+    // the refs corpus (same image+caption shape) goes through the SAME
+    // signature kernel, contaminated images are committed as their own
+    // snapshot, and the hit count is summarized on stdout. Refs are
+    // eval-sized, so their pigeonhole keys broadcast (the T44 regime);
+    // the corpus-side signatures come from the committed table, not a
+    // recompute.
+    argMap.get("--decontaminate").foreach { refsPath =>
+      val sigs = io.load("signatures")
+        .getOrElse(sys.error("signatures stage not committed"))
+      val refSigs = Signatures.signatures(spark.read.parquet(refsPath), cfg)
+        .select(col("id"), col("simhash"))
+      val hits = Curation.hammingDecontaminate(
+        sigs.select(col("image_id"), col("id"), col("simhash")), refSigs, cfg)
+        .where(col("contaminated"))
+        .select(col("image_id"), col("min_hamming"), col("n_refs"))
+      val committed = io.commit("decontaminated", hits)
+      println(s"""{"decontaminated":${committed.count()},"refs":"$refsPath"}""")
+    }
     spark.stop()
   }
 }

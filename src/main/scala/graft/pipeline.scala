@@ -371,6 +371,30 @@ object DedupJob {
     // eval-sized, so their pigeonhole keys broadcast (the T44 regime);
     // the corpus-side signatures come from the committed table, not a
     // recompute.
+    // --churn-against <other_out_dir>: T43 churn audit between THIS
+    // run's committed clusters and another run's (yesterday's corpus, a
+    // config A/B) — one summary JSON line computed off the collapsed
+    // (old,new) contingency; nothing rescans images. The other run may
+    // well have a different config (that is the POINT of a churn
+    // audit), so its clusters are read under ITS OWN recorded config
+    // hash — the idempotence guard stays intact for writes.
+    argMap.get("--churn-against").foreach { otherOut =>
+      val mine = io.load("clusters")
+        .getOrElse(sys.error("clusters stage not committed"))
+      val otherHash = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$otherOut/_manifest/config.hash")).trim
+      val other = new ParquetTableIO(spark, otherOut, runId, otherHash)
+        .load("clusters")
+        .getOrElse(sys.error(s"$otherOut has no clusters commit"))
+      // min-member-id labels are comparable across runs (A5 canon)
+      def asDocs(df: DataFrame) = df.select(
+        col("image_id").as("doc_id"), col("cluster_id"))
+      val r = Curation.clusterChurn(asDocs(other), asDocs(mine)).collect()(0)
+      println(s"""{"churn":{"n_docs":${r.getLong(0)},""" +
+        s""""n_moved":${r.getLong(1)},"n_old_clusters":${r.getLong(2)},""" +
+        s""""n_new_clusters":${r.getLong(3)},"n_split":${r.getLong(4)},""" +
+        s""""n_merged":${r.getLong(5)}}}""")
+    }
     argMap.get("--decontaminate").foreach { refsPath =>
       val sigs = io.load("signatures")
         .getOrElse(sys.error("signatures stage not committed"))

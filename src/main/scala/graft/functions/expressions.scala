@@ -159,6 +159,29 @@ case class Mix64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** (string, string) → Jaro-Winkler similarity (double) — the fuzzy-ratio
+  * pair feature of the reference's scoring stage ([[graft.StringSim]]).
+  * Runs per candidate pair inside the record-linkage feature projection,
+  * so it follows the same static-call codegen pattern as the signature
+  * expressions instead of a UDF boundary.
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.StringSim.jaroWinkler(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.StringSim.jaroWinkler($a.toString(), $b.toString());")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerExpr =
+    copy(left = l, right = r)
+}
+
 object SimHashExpr {
   /** whitespace-token 64-bit hashes of a normalized caption. */
   def tokenHashes(s: String): Array[Long] = {
@@ -207,6 +230,10 @@ object GraftFunctions {
       "graft_oph_minhash",
       es => OphMinHashExpr(es.head, litInt(es(1))),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_jaro_winkler",
+      es => JaroWinklerExpr(es.head, es(1)),
+      "built-in")
   }
 
   private def litInt(e: Expression): Int = e.eval() match {
@@ -227,4 +254,6 @@ object GraftFunctions {
     call_function("graft_mix64", id)
   def ophMinhashCol(shingles: Column, numBins: Int): Column =
     call_function("graft_oph_minhash", shingles, lit(numBins))
+  def jaroWinklerCol(a: Column, b: Column): Column =
+    call_function("graft_jaro_winkler", a, b)
 }

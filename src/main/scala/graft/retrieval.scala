@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Jaro / Jaro-Winkler string similarity — the fuzzy-ratio pair feature
+  * of the reference's scoring stage (kkonevets/dedup scores Solr
+  * candidate pairs with fuzzy string ratios before thresholding; the
+  * mount is empty, so the binding spec is SURVEY.md §1.4's feature-table
+  * row). Implemented from the published definition (Winkler, 1990,
+  * "String Comparator Metrics and Enhanced Decision Rules in the
+  * Fellegi-Sunter Model of Record Linkage") with the de-facto standard
+  * parameterization, pinned against DuckDB's independent native
+  * implementation (the q_jaro_winkler oracle):
+  *
+  *   - match window = max(|a|,|b|)/2 - 1 (floor, min 0);
+  *   - transpositions t = k/2 with INTEGER division, where k = positions
+  *     at which the two matched-character sequences disagree (probed:
+  *     jaro("abczzzz","bcazzzz") = 0.952381 ⇒ floor, not k/2.0);
+  *   - empty-vs-anything (including empty-vs-empty) = 0.0;
+  *   - Winkler boost only when jaro > 0.7, prefix capped at 4, scale 0.1.
+  *
+  * Comparison is per Java char; DuckDB compares per BYTE, so the SQL twin
+  * is exact on ASCII input only — the query guards its input accordingly
+  * (the engine itself is correct for any BMP string).
+  */
+object StringSim {
+
+  /** Jaro similarity in [0,1]. O(|a|·window) time, two boolean arrays. */
+  def jaro(a: String, b: String): Double = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val aMatch = new Array[Boolean](la)
+    val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+          aMatch(i) = true
+          bMatch(j) = true
+          m += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var k = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(j)) j += 1
+        if (a.charAt(i) != b.charAt(j)) k += 1
+        j += 1
+      }
+      i += 1
+    }
+    val t = k / 2
+    (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+  }
+
+  /** Jaro-Winkler: boost by the common prefix (≤4 chars, weight 0.1),
+    * applied only above the standard 0.7 threshold.
+    */
+  def jaroWinkler(a: String, b: String): Double = {
+    val j = jaro(a, b)
+    if (j <= 0.7) return j
+    val cap = math.min(4, math.min(a.length, b.length))
+    var l = 0
+    while (l < cap && a.charAt(l) == b.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+}
+
+/** BM25 top-k retrieval + rule-scored record linkage — the Spark-native
+  * replacement for the reference's Solr round trip (SURVEY.md §1.4:
+  * "Solr index (inverted index over name tokens) → LSH band table";
+  * BASELINE.json:L6 "ad-hoc Solr-candidate-generation +
+  * feature-scoring scripts"). The LSH path replaced Solr for the DEDUP
+  * use; this module replaces it for the RETRIEVAL use — ranked top-k
+  * lexical candidates per query — so a reference user's full
+  * candidate-generation surface exists in-engine, with no external
+  * service and no network hop.
+  *
+  * Scale shape (the inverted index as relations, not a service):
+  *
+  *   - postings = ONE explode + ONE (doc,term) hash aggregation with
+  *     map-side combine; doc length rides the aggregation (`max(dl)` —
+  *     constant per doc) so no doc-level rejoin is needed;
+  *   - document frequency = ONE term-keyed hash aggregation over the
+  *     postings (map-side combined; a Zipfian hot term arrives
+  *     pre-collapsed to one row per map partition);
+  *   - the stopword guard (`maxDfFrac`) drops terms present in more than
+  *     that fraction of the corpus BEFORE the probe join — the same
+  *     hot-key discipline as T26's common-gram drop: a term with df ≈ N
+  *     would otherwise emit an O(N) candidate row per query containing
+  *     it, and carries no ranking signal (its idf ≈ 0);
+  *   - the probe: query terms (tiny side) join the postings on term —
+  *     AQE broadcasts the query side, so the corpus-sized postings
+  *     relation is probed MAP-SIDE and never reshuffled; only surviving
+  *     (query, doc) candidate rows enter the scoring aggregation;
+  *   - corpus-wide constants (N, Σdl) are a one-row broadcast;
+  *   - top-k per query = one rank-K window; Catalyst's WindowGroupLimit
+  *     pre-trims to k rows per query on both sides of its exchange.
+  *
+  * Scoring is the Lucene/ES BM25 form: idf = ln(1 + (N-df+.5)/(df+.5)),
+  * tf_norm = tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)). Per-candidate
+  * contributions are summed in double and ROUNDED to 4 dp, and the rank
+  * orders by (rounded score desc, doc_id) — the T23 FP-divergence
+  * discipline, so rank order is reproducible across engines.
+  */
+object Retrieval {
+
+  /** Top-k BM25 candidates per query. `queries` = (qid, qtext),
+    * `corpus` = (doc_id, text); emits (qid, rk, doc_id, score).
+    * `excludeSelf` drops doc_id == qid rows (queries drawn from the
+    * corpus itself — the dedup-retrieval shape).
+    *
+    * The corpus is scanned twice (the one-row stats aggregate and the
+    * postings build); persist upstream if the input is not a cheap scan.
+    */
+  def bm25TopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxDfFrac: Double = 0.5,
+      excludeSelf: Boolean = true): DataFrame = {
+    val base = corpus.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_dl"))
+    val postings = base
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .where(col("df") <= col("n_docs") * maxDfFrac)
+      .select("term", "df")
+    val qt = queries.select(col("qid"),
+      explode(array_distinct(split(trim(col("qtext")), "\\s+"))).as("term"))
+    // postings ⋈ qt first (AQE broadcasts the tiny query side — the
+    // postings are probed map-side), then df/stats onto the survivors.
+    val cand = postings.join(qt, "term")
+      .where(if (excludeSelf) col("doc_id") =!= col("qid") else lit(true))
+      .join(dfT, "term")
+      .crossJoin(broadcast(stats))
+    val scored = cand
+      .withColumn("contrib",
+        log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl") * col("n_docs") / col("sum_dl").cast("double")))))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("doc_id"), col("score"))
+  }
+
+  /** The reference's end-to-end linkage flow as ONE composed operator:
+    * BM25 top-k candidate generation → per-pair features (BM25 score,
+    * Jaro-Winkler on an 80-char text prefix, token-set Jaccard) → a
+    * deterministic decision rule replacing the reference's learned
+    * scorer (SURVEY.md §1.4: rule-based per BASELINE.json:L6).
+    * `matched` thresholds the ROUNDED features, so the boolean is
+    * bit-identical across engines.
+    *
+    * The feature joins re-attach each side's text by key — candidate
+    * volume is bounded at k rows per query, so both joins carry the
+    * bounded side against a pruned (doc_id, text) projection; the
+    * Jaro-Winkler kernel is a codegen-native expression
+    * ([[graft.functions.JaroWinklerExpr]]), not a UDF boundary.
+    */
+  def linkCandidates(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      tauJw: Double = 0.8,
+      tauJacc: Double = 0.95,
+      maxDfFrac: Double = 0.5): DataFrame = {
+    val cands = bm25TopK(queries, corpus, k, maxDfFrac = maxDfFrac)
+    def pfx(c: org.apache.spark.sql.Column) = substring(c, 1, 80)
+    def tokset(c: org.apache.spark.sql.Column) =
+      array_distinct(split(trim(c), "\\s+"))
+    val q = queries.select(col("qid"), col("qtext"))
+    val d = corpus.select(col("doc_id"), col("text"))
+    cands.join(q, "qid").join(d, "doc_id")
+      .withColumn("jw", round(
+        graft.functions.GraftFunctions.jaroWinklerCol(
+          pfx(col("qtext")), pfx(col("text"))), 4))
+      .withColumn("jacc", round(
+        size(array_intersect(tokset(col("qtext")), tokset(col("text"))))
+          .cast("double") /
+          greatest(size(array_union(tokset(col("qtext")), tokset(col("text")))),
+            lit(1)), 4))
+      .withColumn("matched", col("jw") >= tauJw || col("jacc") >= tauJacc)
+      .select(col("qid"), col("rk"), col("doc_id"), col("score"),
+        col("jw"), col("jacc"), col("matched"))
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** T52–T54: BM25 retrieval, Jaro-Winkler, record linkage.
+  *
+  * The Jaro-Winkler cases below were cross-checked against DuckDB's
+  * native jaro_winkler_similarity / jaro_similarity (the oracle engine)
+  * this session — including the probes that PIN the ambiguous corners of
+  * the published definition: floor transposition division
+  * ("abczzzz"/"bcazzzz" = 0.952381, not the 0.928571 a k/2.0 half-count
+  * would give), the 0.7 boost threshold ("abcdxxxx"/"abcdyyyy" stays at
+  * its jaro 2/3), and empty-vs-empty = 0.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def approx(a: Double, b: Double, eps: Double = 1e-12): Boolean =
+    math.abs(a - b) <= eps
+
+  test("jaro: DuckDB-pinned cases") {
+    assert(approx(StringSim.jaro("martha", "marhta"), 0.9444444444444445))
+    assert(approx(StringSim.jaro("dixon", "dicksonx"), 0.7666666666666666))
+    assert(approx(StringSim.jaro("dwayne", "duane"), 0.8222222222222223))
+    assert(approx(StringSim.jaro("crate", "trace"), 0.7333333333333334))
+    // floor transposition division (3 mismatch positions -> t = 1)
+    assert(approx(StringSim.jaro("abczzzz", "bcazzzz"), 0.9523809523809524))
+    // zero-width window: only diagonal matches
+    assert(StringSim.jaro("ab", "ba") == 0.0)
+    assert(approx(StringSim.jaro("aab", "aba"), 0.5555555555555555))
+    assert(approx(StringSim.jaro("abcd", "bcda"), 0.8333333333333334))
+    assert(StringSim.jaro("", "") == 0.0)
+    assert(StringSim.jaro("", "abc") == 0.0)
+    assert(StringSim.jaro("ab", "") == 0.0)
+    assert(StringSim.jaro("x", "x") == 1.0)
+    assert(StringSim.jaro("abc", "abc") == 1.0)
+  }
+
+  test("jaroWinkler: boost, cap, and threshold, DuckDB-pinned") {
+    assert(approx(StringSim.jaroWinkler("martha", "marhta"), 0.9611111111111111))
+    assert(approx(StringSim.jaroWinkler("dixon", "dicksonx"), 0.8133333333333332))
+    assert(approx(StringSim.jaroWinkler("dwayne", "duane"), 0.8400000000000001))
+    // jaro 2/3 <= 0.7: the 4-char common prefix must NOT boost
+    assert(approx(StringSim.jaroWinkler("abcdxxxx", "abcdyyyy"), 0.6666666666666666))
+    assert(approx(StringSim.jaroWinkler("jellyfish", "smellyfish"), 0.8962962962962964))
+    assert(approx(StringSim.jaroWinkler("hello world", "hello wrold"), 0.9818181818181818))
+    assert(StringSim.jaroWinkler("abc", "abc") == 1.0)
+  }
+
+  test("JaroWinklerExpr matches the kernel through codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(("martha", "marhta"), ("dixon", "dicksonx"), ("", ""))
+      .toDF("a", "b")
+      .select(graft.functions.GraftFunctions.jaroWinklerCol(col("a"), col("b")).as("jw"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(approx(got(0), 0.9611111111111111))
+    assert(approx(got(1), 0.8133333333333332))
+    assert(got(2) == 0.0)
+  }
+
+  test("bm25TopK: hand-computed scores on a 4-doc corpus") {
+    // corpus: dl = 3,3,2,2; query = doc 0's text, self excluded.
+    val corpus = Seq(
+      (0L, "red apple pie"),
+      (1L, "red apple tart"),
+      (2L, "green pear"),
+      (3L, "apple pie")).toDF("doc_id", "text")
+    val qs = corpus.where(col("doc_id") === 0)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val out = Retrieval.bm25TopK(qs, corpus, k = 3, maxDfFrac = 1.0)
+      .orderBy("rk").collect()
+    // N=4, sum_dl=10, avgdl=2.5. df: red 2, apple 3, pie 2.
+    def idf(df: Int) = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+    def tfn(tf: Int, dl: Int) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl * 4L / 10.0)))
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // doc 1 matches red+apple (dl 3), doc 3 apple+pie (dl 2), doc 2 none.
+    val d1 = r4(idf(2) * tfn(1, 3) + idf(3) * tfn(1, 3))
+    val d3 = r4(idf(3) * tfn(1, 2) + idf(2) * tfn(1, 2))
+    assert(out.length == 2)
+    val byDoc = out.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(approx(byDoc(1L), d1, 1e-9) && approx(byDoc(3L), d3, 1e-9))
+    // rank follows the rounded score desc
+    val ranked = out.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(ranked == (if (d1 >= d3) Seq(1L, 3L) else Seq(3L, 1L)))
+  }
+
+  test("bm25TopK: stopword-fraction drop excludes ubiquitous terms") {
+    val corpus = Seq(
+      (0L, "the apple"), (1L, "the pear"), (2L, "the plum"),
+      (3L, "the fig")).toDF("doc_id", "text")
+    val qs = Seq((0L, "the apple")).toDF("qid", "qtext")
+    // 'the' has df=4=N > 50%: with only 'apple' scoring, docs 1-3 never match
+    val out = Retrieval.bm25TopK(qs, corpus, k = 10, maxDfFrac = 0.5)
+    assert(out.count() == 0)
+    // raising the fraction readmits 'the' and the other docs appear
+    val all = Retrieval.bm25TopK(qs, corpus, k = 10, maxDfFrac = 1.0)
+    assert(all.count() == 3)
+  }
+
+  test("bm25TopK: partition-count independence") {
+    val corpus = (0L until 60L)
+      .map(i => (i, s"tok${i % 7} tok${i % 11} tok${i % 13} filler$i"))
+      .toDF("doc_id", "text")
+    val qs = corpus.where(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val a = Retrieval.bm25TopK(qs, corpus, 5).orderBy("qid", "rk").collect().toSeq
+    val b = Retrieval.bm25TopK(qs.repartition(7), corpus.repartition(5), 5)
+      .orderBy("qid", "rk").collect().toSeq
+    assert(a == b)
+  }
+
+  test("linkCandidates: near-identical doc matches, unrelated does not") {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (2L, "completely different subject matter entirely unrelated content here"),
+      (3L, "quick brown foxes jump over lazy dogs by the river bank")
+    ).toDF("doc_id", "text")
+    val qs = corpus.where(col("doc_id") === 0)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val out = Retrieval.linkCandidates(qs, corpus, k = 5, maxDfFrac = 1.0)
+      .collect().map(r => r.getLong(2) -> r.getBoolean(6)).toMap
+    assert(out(1L), "one-token-off twin must match")
+    assert(!out.getOrElse(2L, false), "unrelated doc must not match")
+  }
+
+  test("bm25TopK plan: no cartesian product; one-row stats broadcast only") {
+    val corpus = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
+    val qs = Seq((0L, "a b")).toDF("qid", "qtext")
+    val plan = Retrieval.bm25TopK(qs, corpus, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

@@ -39,8 +39,12 @@ def canon(df):
     rows.sort()
     return cols, len(rows), hashlib.md5("\n".join(rows).encode()).hexdigest(), rows
 
+only = set(sys.argv[3:])  # optional query-name filter for fast iteration
+
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
     try:
         got = duckdb.connect().execute("select 1")  # noop
         spark_df = con.execute(

@@ -2074,7 +2074,25 @@ object SparkEntry {
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
       Retrieval.linkCandidates(qs, docs, k = 10, maxDfFrac = 0.8)
         .orderBy("qid", "rk")
-    })
+    }),
+
+    // T55: TF-IDF cosine pair similarity — completes the reference's
+    // pair-feature triple (§3.0 "fuzzy ratios, n-gram jaccard, tf-idf
+    // cosine"; T4/T53 cover the first two) with the T23 weight
+    // definition shared verbatim. All-pairs 100-doc slice pins exact
+    // semantics; the scale path scores candidate pairs from T2/T49/T52.
+    "q_tfidf_cosine" -> ((s, d) =>
+      Retrieval.tfidfCosinePairs(
+        t(s, d, "documents").where(col("doc_id") < 100))
+        .orderBy("a", "b")),
+
+    // T56: blocked sorted-neighborhood candidates (Hernández-Stolfo
+    // merge/purge) — integer-exact end to end, so the FULL table runs
+    // under the oracle (rank recomputation per block + rank-distance
+    // join); near-dup twins share 24-char prefixes and land adjacent.
+    "q_sorted_neighborhood" -> ((s, d) =>
+      Retrieval.sortedNeighborhood(t(s, d, "documents"))
+        .orderBy("a", "b", "dist"))
   )
 
   // ---- SQL twins of the splitmix64 hash kernel (Hashing.scala) --------
@@ -3659,7 +3677,46 @@ object SparkEntry {
            JOIN documents d ON t.doc_id = d.doc_id)
          SELECT qid, rk, doc_id, score, jw, jacc,
            (jw >= 0.8 OR jacc >= 0.95) AS matched
-         FROM feat ORDER BY qid, rk"""
+         FROM feat ORDER BY qid, rk""",
+
+    // T55: the T23 weight formula verbatim, then dot/norm algebra over
+    // the shared-term self-join — every pair's cosine recomputed from
+    // raw text.
+    "q_tfidf_cosine" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents WHERE doc_id < 100),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 100),
+         w AS (SELECT doc_id, term,
+                 tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0) AS w
+               FROM tf JOIN dfx USING (term), nd),
+         nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+         dt AS (SELECT x.doc_id AS a, y.doc_id AS b, sum(x.w * y.w) AS dot
+                FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+         SELECT a, b, round(dot / (na.nrm * nb.nrm), 4) AS cos
+         FROM dt JOIN nrm na ON dt.a = na.doc_id
+         JOIN nrm nb ON dt.b = nb.doc_id
+         ORDER BY a, b""",
+
+    // T56: rank per block on (key, doc_id) — binary string order,
+    // identical on the ASCII corpus — then the rank-distance join;
+    // no FP anywhere, so the green row is an exact integer identity.
+    "q_sorted_neighborhood" ->
+      """WITH k AS (
+           SELECT doc_id, substring(trim(text), 1, 24) AS k,
+             substring(trim(text), 1, 4) AS block
+           FROM documents),
+         r AS (SELECT doc_id, block,
+                 row_number() OVER (PARTITION BY block ORDER BY k, doc_id) AS rk
+               FROM k)
+         SELECT least(a.doc_id, b.doc_id) AS a,
+           greatest(a.doc_id, b.doc_id) AS b,
+           CAST(b.rk - a.rk AS INT) AS dist
+         FROM r a JOIN r b ON a.block = b.block AND b.rk - a.rk BETWEEN 1 AND 3
+         ORDER BY a, b, dist"""
   )
 
   /** Shared BM25 CTE chain (T52/T54) over the 150-doc exact-pin slice:

@@ -213,4 +213,80 @@ object Retrieval {
       .select(col("qid"), col("rk"), col("doc_id"), col("score"),
         col("jw"), col("jacc"), col("matched"))
   }
+
+  /** TF-IDF cosine pair similarity — the third of the reference's pair
+    * features (SURVEY.md §3.0: "fuzzy ratios, n-gram jaccard, tf-idf
+    * cosine"; T4 and T53 cover the first two). Weights are the T23
+    * smoothed form (tf · (ln((N+1)/(df+1))+1)) so the two features share
+    * one definition; cosine = Σ w_a·w_b / (‖a‖·‖b‖) computed entirely in
+    * relational algebra: ONE term-keyed self-join of the weight table
+    * restricted to `a < b` (shared terms only — disjoint docs never pair),
+    * one dot-product hash-agg, two norm lookups. At corpus scale the pair
+    * set comes from a candidate generator (T2/T49/T52/`sortedNeighborhood`)
+    * and the same projection scores it; the all-pairs form here is the
+    * exact-semantics pin for the oracle (q_emb_near_dup pattern).
+    * Output is rounded to 4 dp (T23 FP discipline).
+    */
+  def tfidfCosinePairs(corpus: DataFrame): DataFrame = {
+    val tf = corpus
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = corpus.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfT, "term").crossJoin(broadcast(nd))
+      .withColumn("w", col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + lit(1.0)))
+      .select("doc_id", "term", "w")
+    val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val x = w.select(col("doc_id").as("a"), col("term"), col("w").as("wa"))
+    val y = w.select(col("doc_id").as("b"), col("term"), col("w").as("wb"))
+    x.join(y, Seq("term")).where(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(nrm.select(col("doc_id").as("a"), col("nrm").as("na")), "a")
+      .join(nrm.select(col("doc_id").as("b"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+  }
+
+  /** Blocked sorted-neighborhood candidate generation (Hernández &
+    * Stolfo, "The merge/purge problem for large databases", SIGMOD 1995)
+    * — the OTHER classic linkage candidate generator beside retrieval
+    * (T52) and LSH (T2/T49): sort records by a discriminating key and
+    * pair every record with its `w` successors in sort order. The
+    * single-sequence textbook form needs a GLOBAL sort whose window runs
+    * in one partition; this is the standard blocked variant — records
+    * partition into blocks (a key prefix), the rank window runs PER
+    * BLOCK (parallel, one shuffle on the block key), and pairs never
+    * cross blocks (recovered in practice by multi-pass runs with
+    * different keys, which is how merge/purge is actually deployed).
+    * Pure integer semantics end-to-end (rank arithmetic, no FP), so the
+    * oracle recomputes it exactly: rank per block on (key, doc_id), pair
+    * iff 1 ≤ rank_b − rank_a ≤ w.
+    */
+  def sortedNeighborhood(
+      corpus: DataFrame,
+      keyLen: Int = 24,
+      blockLen: Int = 4,
+      w: Int = 3): DataFrame = {
+    val keyed = corpus.select(col("doc_id"),
+      substring(trim(col("text")), 1, keyLen).as("k"))
+      .withColumn("block", substring(col("k"), 1, blockLen))
+    val win = Window.partitionBy(col("block"))
+      .orderBy(col("k"), col("doc_id"))
+    // all w leads share ONE WindowSpec ⇒ one Window operator, one
+    // shuffle+sort — not w unioned passes over the corpus; the explode
+    // runs in a SECOND projection (a generator may not contain window
+    // expressions directly)
+    val withLeads = keyed.select(col("doc_id") +: (1 to w).map { off =>
+      lead(col("doc_id"), off).over(win).as(s"b$off")
+    }: _*)
+    val leads = array((1 to w).map { off =>
+      struct(col(s"b$off").as("b_id"), lit(off).as("dist"))
+    }: _*)
+    withLeads.select(col("doc_id"), explode(leads).as("p"))
+      .where(col("p.b_id").isNotNull)
+      .select(least(col("doc_id"), col("p.b_id")).as("a"),
+        greatest(col("doc_id"), col("p.b_id")).as("b"),
+        col("p.dist").as("dist"))
+  }
 }

@@ -126,6 +126,49 @@ class RetrievalSpec extends SparkSpec {
     assert(!out.getOrElse(2L, false), "unrelated doc must not match")
   }
 
+  test("tfidfCosinePairs: hand-computed cosine; disjoint docs never pair") {
+    val corpus = Seq(
+      (0L, "apple pie"), (1L, "apple tart"), (2L, "plum jam")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.tfidfCosinePairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // N=3; df: apple 2, pie/tart/plum/jam 1. All tf=1.
+    val wApple = math.log(4.0 / 3) + 1
+    val wRare = math.log(4.0 / 2) + 1
+    val nrm = math.sqrt(wApple * wApple + wRare * wRare)
+    val exp = math.rint(wApple * wApple / (nrm * nrm) * 1e4) / 1e4
+    assert(out.keySet == Set((0L, 1L)), "only the apple pair shares a term")
+    assert(math.abs(out((0L, 1L)) - exp) < 1e-9)
+  }
+
+  test("sortedNeighborhood: window pairs per block, none across blocks") {
+    // two blocks by 4-char prefix; 'aaaa*' has 4 docs, 'bbbb*' has 2
+    val corpus = Seq(
+      (10L, "aaaa one"), (11L, "aaaa two"), (12L, "aaaa three"),
+      (13L, "aaaa four"), (20L, "bbbb one"), (21L, "bbbb two")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.sortedNeighborhood(corpus, w = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // block aaaa sort by 24-char key: "aaaa four"(13) < "aaaa one"(10)
+    //   < "aaaa three"(12) < "aaaa two"(11); block bbbb: one(20) < two(21)
+    val exp = Set(
+      (13L, 10L, 1), (10L, 12L, 1), (12L, 11L, 1), // w=1 neighbors
+      (13L, 12L, 2), (10L, 11L, 2), // w=2 neighbors
+      (20L, 21L, 1)
+    ).map { case (x, y, d) => (math.min(x, y), math.max(x, y), d) }
+    assert(out == exp)
+  }
+
+  test("sortedNeighborhood: partition-count independence") {
+    val corpus = (0L until 80L)
+      .map(i => (i, s"pfx${i % 5} body token $i")).toDF("doc_id", "text")
+    val a = Retrieval.sortedNeighborhood(corpus)
+      .orderBy("a", "b", "dist").collect().toSeq
+    val b = Retrieval.sortedNeighborhood(corpus.repartition(7))
+      .orderBy("a", "b", "dist").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bm25TopK plan: no cartesian product; one-row stats broadcast only") {
     val corpus = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
     val qs = Seq((0L, "a b")).toDF("qid", "qtext")

@@ -720,6 +720,27 @@ object PlanDump {
             .where(pmod(col("id"), lit(2L)) =!= 0L)
           Lsh.crossCandidates(Lsh.bands(sa, cfg), Lsh.bands(sb, cfg), cfg)
         })
+
+      val ldocs = spark.range(0, 400).select(col("id").as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(0, cast(pmod(id, 20) as int) + 5), " +
+          "j -> concat('w', pmod(id * j, 40))))").as("text"))
+      dump("T52 — BM25 top-k retrieval (Retrieval.bm25TopK)",
+        "The Solr inverted index as relations: postings and df are " +
+          "partial-combining HashAggregates; the tiny query-term side " +
+          "is BROADCAST into the postings probe, so the corpus-sized " +
+          "postings relation is filtered map-side and never reshuffled " +
+          "whole; corpus constants are a one-row broadcast; the rank-k " +
+          "cut sits directly above its window.",
+        Retrieval.bm25TopK(
+          ldocs.where(pmod(col("doc_id"), lit(13L)) === 0L)
+            .select(col("doc_id").as("qid"), col("text").as("qtext")),
+          ldocs, 5, maxDfFrac = 0.8))
+      dump("T56 — blocked sorted-neighborhood (Retrieval.sortedNeighborhood)",
+        "ONE Window operator carries all w lead offsets (one Exchange " +
+          "on the block key + one in-partition sort); pair expansion is " +
+          "a codegen explode above it — no self-join, no second " +
+          "shuffle, no global sort.",
+        Retrieval.sortedNeighborhood(ldocs))
     }
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)

@@ -2092,7 +2092,29 @@ object SparkEntry {
     // join); near-dup twins share 24-char prefixes and land adjacent.
     "q_sorted_neighborhood" -> ((s, d) =>
       Retrieval.sortedNeighborhood(t(s, d, "documents"))
-        .orderBy("a", "b", "dist"))
+        .orderBy("a", "b", "dist")),
+
+    // T57: Fellegi-Sunter three-region decision over the T54 feature
+    // table — agreement fields threshold the ROUNDED features (jw ≥ 0.8
+    // rare, jacc ≥ 0.9 and the BM25 score ≥ 7.5 each split the
+    // candidates at every SF — measured), weights are 4-dp literals
+    // shared verbatim with the oracle, so fs_score is bit-identical
+    // across engines and the decision is an exact comparison.
+    "q_fellegi_sunter" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, d, "documents").where(col("doc_id") < 150)
+      val qs = docs.where(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val feats = Retrieval.linkCandidates(qs, docs, k = 10, maxDfFrac = 0.8)
+      Retrieval.fellegiSunter(feats, Seq(
+        Retrieval.FsField(col("jw") >= 0.8, 0.9, 0.05, "a_jw"),
+        Retrieval.FsField(col("jacc") >= 0.9, 0.85, 0.2, "a_jacc"),
+        Retrieval.FsField(col("score") >= 7.5, 0.8, 0.4, "a_bm25")),
+        tauLink = 3.0, tauNonlink = -2.0)
+        .select(col("qid"), col("rk"), col("doc_id"), col("a_jw"),
+          col("a_jacc"), col("a_bm25"), col("fs_score"), col("decision"))
+        .orderBy("qid", "rk")
+    })
   )
 
   // ---- SQL twins of the splitmix64 hash kernel (Hashing.scala) --------
@@ -3660,24 +3682,34 @@ object SparkEntry {
     // token-set Jaccard, and `matched` recomputed from the ROUNDED
     // features.
     "q_record_linkage" ->
-      s"""WITH ${bm25Ctes(17)},
-         topk AS (SELECT qid, rk, doc_id, score FROM rnk WHERE rk <= 10),
-         feat AS (
-           SELECT t.qid, t.rk, t.doc_id, t.score,
-             round(jaro_winkler_similarity(
-               substring(q.text, 1, 80), substring(d.text, 1, 80)), 4) AS jw,
-             round(CAST(len(list_intersect(
-                 list_distinct(regexp_split_to_array(trim(q.text), '\\s+')),
-                 list_distinct(regexp_split_to_array(trim(d.text), '\\s+')))) AS DOUBLE) /
-               greatest(len(list_distinct(list_concat(
-                 regexp_split_to_array(trim(q.text), '\\s+'),
-                 regexp_split_to_array(trim(d.text), '\\s+')))), 1), 4) AS jacc
-           FROM topk t
-           JOIN documents q ON t.qid = q.doc_id
-           JOIN documents d ON t.doc_id = d.doc_id)
+      s"""WITH ${linkageFeatureCtes(17)}
          SELECT qid, rk, doc_id, score, jw, jacc,
            (jw >= 0.8 OR jacc >= 0.95) AS matched
          FROM feat ORDER BY qid, rk""",
+
+    // T57: the Fellegi-Sunter three-region decision re-derived on the
+    // same feature chain — agreement booleans from the rounded features,
+    // the composite weight as a sum of the IDENTICAL 4-dp literals the
+    // Spark plan folds in (fsWeights), thresholds on the rounded score.
+    "q_fellegi_sunter" -> {
+      val (jwA, jwD) = Retrieval.fsWeights(0.9, 0.05)
+      val (jaA, jaD) = Retrieval.fsWeights(0.85, 0.2)
+      val (bmA, bmD) = Retrieval.fsWeights(0.8, 0.4)
+      s"""WITH ${linkageFeatureCtes(17)},
+         fs AS (
+           SELECT qid, rk, doc_id,
+             (jw >= 0.8) AS a_jw, (jacc >= 0.9) AS a_jacc,
+             (score >= 7.5) AS a_bm25,
+             round((CASE WHEN jw >= 0.8 THEN $jwA ELSE $jwD END)
+               + (CASE WHEN jacc >= 0.9 THEN $jaA ELSE $jaD END)
+               + (CASE WHEN score >= 7.5 THEN $bmA ELSE $bmD END), 4) AS fs_score
+           FROM feat)
+         SELECT qid, rk, doc_id, a_jw, a_jacc, a_bm25, fs_score,
+           CASE WHEN fs_score >= 3.0 THEN 'link'
+                WHEN fs_score >= -2.0 THEN 'possible'
+                ELSE 'nonlink' END AS decision
+         FROM fs ORDER BY qid, rk"""
+    },
 
     // T55: the T23 weight formula verbatim, then dot/norm algebra over
     // the shared-term self-join — every pair's cosine recomputed from
@@ -3752,4 +3784,26 @@ object SparkEntry {
        rnk AS (SELECT qid, doc_id, score,
                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
                FROM sc)"""
+
+  /** T54/T57 shared chain: the BM25 CTEs plus the top-10 cut and the
+    * per-pair feature block (native jaro_winkler on 80-char prefixes,
+    * list-algebra token-set Jaccard), both rounded to 4 dp like the
+    * Spark side.
+    */
+  private def linkageFeatureCtes(qmod: Int): String =
+    s"""${bm25Ctes(qmod)},
+       topk AS (SELECT qid, rk, doc_id, score FROM rnk WHERE rk <= 10),
+       feat AS (
+         SELECT t.qid, t.rk, t.doc_id, t.score,
+           round(jaro_winkler_similarity(
+             substring(q.text, 1, 80), substring(d.text, 1, 80)), 4) AS jw,
+           round(CAST(len(list_intersect(
+               list_distinct(regexp_split_to_array(trim(q.text), '\\s+')),
+               list_distinct(regexp_split_to_array(trim(d.text), '\\s+')))) AS DOUBLE) /
+             greatest(len(list_distinct(list_concat(
+               regexp_split_to_array(trim(q.text), '\\s+'),
+               regexp_split_to_array(trim(d.text), '\\s+')))), 1), 4) AS jacc
+         FROM topk t
+         JOIN documents q ON t.qid = q.doc_id
+         JOIN documents d ON t.doc_id = d.doc_id)"""
 }

@@ -289,4 +289,55 @@ object Retrieval {
         greatest(col("doc_id"), col("p.b_id")).as("b"),
         col("p.dist").as("dist"))
   }
+
+  /** One comparison field of the Fellegi-Sunter model: an agreement
+    * predicate over the pair-feature columns plus its m = P(agree|match)
+    * and u = P(agree|non-match) priors. `name` becomes the emitted
+    * agreement column.
+    */
+  case class FsField(agree: org.apache.spark.sql.Column, m: Double,
+      u: Double, name: String)
+
+  /** Agreement/disagreement log₂ weights for (m, u), ROUNDED to 4 dp.
+    * The rounding is the cross-engine determinism trick: both the Spark
+    * plan and the SQL oracle embed the same 4-dp decimal literal, so the
+    * per-row score is a sum of IDENTICAL doubles in identical order —
+    * bit-equal across engines, no FP tolerance needed anywhere.
+    */
+  def fsWeights(m: Double, u: Double): (Double, Double) = {
+    def w4(x: Double) = math.rint(x * 1e4) / 1e4
+    (w4(math.log(m / u) / math.log(2.0)),
+      w4(math.log((1 - m) / (1 - u)) / math.log(2.0)))
+  }
+
+  /** Fellegi-Sunter probabilistic linkage decision (Fellegi & Sunter,
+    * "A Theory for Record Linkage", JASA 1969) — the statistical
+    * framework the reference's learned scorer approximates (SURVEY.md
+    * §1.4; the deterministic rule of [[linkCandidates]] is the
+    * always-on decision, this is the classical weighted alternative).
+    * Each field contributes log₂(m/u) on agreement and
+    * log₂((1−m)/(1−u)) on disagreement; the composite weight thresholds
+    * into link / possible / nonlink (the three-region decision rule of
+    * the paper — `possible` is the clerical-review band). m/u arrive as
+    * priors (production estimates them offline via EM); with the
+    * weights folded to literals the whole operator is ONE row-local
+    * codegen projection over the feature table — zero additional
+    * shuffles on top of the feature computation.
+    */
+  def fellegiSunter(
+      pairs: DataFrame,
+      fields: Seq[FsField],
+      tauLink: Double,
+      tauNonlink: Double): DataFrame = {
+    val score = fields.map { f =>
+      val (wa, wd) = fsWeights(f.m, f.u)
+      when(f.agree, lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    val withA = fields.foldLeft(pairs)((df, f) => df.withColumn(f.name, f.agree))
+    withA.withColumn("fs_score", round(score, 4))
+      .withColumn("decision",
+        when(col("fs_score") >= tauLink, lit("link"))
+          .when(col("fs_score") >= tauNonlink, lit("possible"))
+          .otherwise(lit("nonlink")))
+  }
 }

@@ -169,6 +169,27 @@ class RetrievalSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("fellegiSunter: weights, score, and three-region decision") {
+    // fields: f1 (m=.9,u=.05): +4.1699/-3.2479; f2 (m=.85,u=.2):
+    // +2.0875/-2.415 — both agree = 6.2574 (link at tau 3),
+    // one each = 4.1699-2.415 = 1.7549 or -3.2479+2.0875 = -1.1604
+    // (possible at tau -2), both disagree = -5.6629 (nonlink).
+    assert(Retrieval.fsWeights(0.9, 0.05) == (4.1699, -3.2479))
+    val pairs = Seq(
+      (1L, true, true), (2L, true, false), (3L, false, true),
+      (4L, false, false)).toDF("id", "x", "y")
+    val out = Retrieval.fellegiSunter(pairs, Seq(
+      Retrieval.FsField(col("x"), 0.9, 0.05, "a_x"),
+      Retrieval.FsField(col("y"), 0.85, 0.2, "a_y")),
+      tauLink = 3.0, tauNonlink = -2.0)
+      .select("id", "fs_score", "decision").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(out(1L) == (6.2574, "link"))
+    assert(out(2L) == (1.7549, "possible"))
+    assert(out(3L) == (-1.1604, "possible"))
+    assert(out(4L) == (-5.6629, "nonlink"))
+  }
+
   test("bm25TopK plan: no cartesian product; one-row stats broadcast only") {
     val corpus = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
     val qs = Seq((0L, "a b")).toDF("qid", "qtext")

@@ -2114,7 +2114,21 @@ object SparkEntry {
         .select(col("qid"), col("rk"), col("doc_id"), col("a_jw"),
           col("a_jacc"), col("a_bm25"), col("fs_score"), col("decision"))
         .orderBy("qid", "rk")
-    })
+    }),
+
+    // T58: Soundex phonetic blocking key over each doc's lead token —
+    // the classic multi-pass merge/purge second key. Pure string
+    // semantics (no FP anywhere), FULL table under the oracle; the
+    // canonical-name test vector in RetrievalSpec pins true Soundex
+    // semantics, the green row pins engine parity of the whole chain
+    // (upper/strip, H/W transparency, translate coding, per-digit
+    // collapse, vowel separators, pad).
+    "q_soundex_block" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          element_at(split(trim(col("text")), "\\s+"), 1).as("tok"))
+        .withColumn("sdx", Retrieval.soundexCol(col("tok")))
+        .orderBy("doc_id"))
   )
 
   // ---- SQL twins of the splitmix64 hash kernel (Hashing.scala) --------
@@ -3664,6 +3678,36 @@ object SparkEntry {
       s"""WITH ${bm25Ctes(13)}
          SELECT qid, rk, doc_id, score FROM rnk
          WHERE rk <= 5 ORDER BY qid, rk""",
+
+    // T58: the identical Soundex chain in DuckDB (regexp_replace with
+    // 'g' — DuckDB replaces first-only by default; Spark replaces all).
+    "q_soundex_block" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+')[1] AS tok
+           FROM documents),
+         l AS (SELECT doc_id, tok,
+                 regexp_replace(upper(tok), '[^A-Z]', '', 'g') AS letters
+               FROM tok),
+         t AS (SELECT doc_id, tok, letters, substring(letters, 1, 1) AS f,
+                 substring(letters, 1, 1) ||
+                   regexp_replace(substring(letters, 2), '[HW]', '', 'g') AS tl
+               FROM l),
+         c AS (SELECT doc_id, tok, letters, f,
+                 translate(translate(tl, 'BFPVCGJKQSXZDTLMNR',
+                   '111122222222334556'), 'AEIOUY', '......') AS coded
+               FROM t),
+         k AS (SELECT doc_id, tok, letters, f,
+                 regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(coded,
+                   '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'),
+                   '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g') AS col
+               FROM c)
+         SELECT doc_id, tok,
+           CASE WHEN length(letters) = 0 THEN ''
+                ELSE f || rpad(substring(
+                  regexp_replace(substring(col, 2), '[^1-6]', '', 'g'),
+                  1, 3), 3, '0') END AS sdx
+         FROM k ORDER BY doc_id""",
 
     // T53: DuckDB's NATIVE jaro_winkler_similarity vs the from-scratch
     // Scala kernel — two independent implementations of Winkler (1990);

@@ -290,6 +290,35 @@ object Retrieval {
         col("p.dist").as("dist"))
   }
 
+  /** American Soundex blocking key (Russell/Odell; the classic phonetic
+    * blocking key of merge/purge record linkage — the second-pass key a
+    * multi-pass [[sortedNeighborhood]] run uses so spelling variants
+    * land in one block). Built ENTIRELY from Spark built-ins (upper /
+    * regexp_replace / translate / rpad) so it stays one row-local
+    * codegen projection, and the identical chain runs in the DuckDB
+    * oracle. Rules implemented: first letter kept verbatim; H/W
+    * transparent in the tail (same-code consonants collapse across
+    * them); vowels A,E,I,O,U,Y act as separators; adjacent equal codes
+    * collapse (per-digit regex, no backreferences — RE2-safe); the
+    * first letter's own code participates in collapsing (Pfister →
+    * P236); pad/truncate to letter + 3 digits. Verified against the
+    * canonical test vector (Robert/Rupert → R163, Ashcraft → A261,
+    * Tymczak → T522, Pfister → P236, Honeyman → H555).
+    */
+  def soundexCol(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val big = 1 << 24
+    val letters = regexp_replace(upper(s), "[^A-Z]", "")
+    val f = substring(letters, 1, 1)
+    val t = concat(f, regexp_replace(substring(letters, 2, big), "[HW]", ""))
+    val coded = translate(translate(t,
+      "BFPVCGJKQSXZDTLMNR", "111122222222334556"), "AEIOUY", "......")
+    val collapsed = (1 to 6).foldLeft(coded)((c, d) =>
+      regexp_replace(c, s"$d$d+", s"$d"))
+    val digits = regexp_replace(substring(collapsed, 2, big), "[^1-6]", "")
+    when(length(letters) === 0, lit(""))
+      .otherwise(concat(f, rpad(substring(digits, 1, 3), 3, "0")))
+  }
+
   /** One comparison field of the Fellegi-Sunter model: an agreement
     * predicate over the pair-feature columns plus its m = P(agree|match)
     * and u = P(agree|non-match) priors. `name` becomes the emitted

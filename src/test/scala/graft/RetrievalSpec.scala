@@ -190,6 +190,22 @@ class RetrievalSpec extends SparkSpec {
     assert(out(4L) == (-5.6629, "nonlink"))
   }
 
+  test("soundexCol: canonical test vector") {
+    val df = Seq("Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+      "Pfister", "Honeyman", "White", "Jackson", "", "123")
+      .toDF("tok")
+      .select(col("tok"), Retrieval.soundexCol(col("tok")).as("sdx"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("Robert") == "R163" && got("Rupert") == "R163")
+    assert(got("Ashcraft") == "A261" && got("Ashcroft") == "A261")
+    assert(got("Tymczak") == "T522")
+    assert(got("Pfister") == "P236")
+    assert(got("Honeyman") == "H555")
+    assert(got("White") == "W300")
+    assert(got("Jackson") == "J250")
+    assert(got("") == "" && got("123") == "")
+  }
+
   test("bm25TopK plan: no cartesian product; one-row stats broadcast only") {
     val corpus = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
     val qs = Seq((0L, "a b")).toDF("qid", "qtext")

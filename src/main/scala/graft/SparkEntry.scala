@@ -2128,7 +2128,25 @@ object SparkEntry {
         .select(col("doc_id"),
           element_at(split(trim(col("text")), "\\s+"), 1).as("tok"))
         .withColumn("sdx", Retrieval.soundexCol(col("tok")))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // T59: multi-pass merge/purge — the way sorted-neighborhood is
+    // actually deployed (Hernández-Stolfo §4: no single key catches all
+    // duplicate classes, so run several cheap passes and union): pass 1
+    // blocks by text prefix (T56), pass 2 by the Soundex of the lead
+    // token (T58); per (a,b) the pass set and the best window distance.
+    // Still integer/string-exact, FULL table under the oracle.
+    "q_merge_purge_multipass" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tok = element_at(split(trim(col("text")), "\\s+"), 1)
+      val p1 = Retrieval.sortedNeighborhood(docs).withColumn("p", lit(1))
+      val p2 = Retrieval.sortedNeighborhoodBy(
+        docs, tok, Retrieval.soundexCol(tok), w = 3).withColumn("p", lit(2))
+      p1.unionByName(p2).groupBy("a", "b")
+        .agg(sum_distinct(col("p")).as("passes"),
+          min(col("dist")).as("min_dist"))
+        .orderBy("a", "b")
+    })
   )
 
   // ---- SQL twins of the splitmix64 hash kernel (Hashing.scala) --------
@@ -3708,6 +3726,59 @@ object SparkEntry {
                   regexp_replace(substring(col, 2), '[^1-6]', '', 'g'),
                   1, 3), 3, '0') END AS sdx
          FROM k ORDER BY doc_id""",
+
+    // T59: both rank chains recomputed (prefix pass verbatim from T56,
+    // soundex pass over the T58 chain), unioned, re-aggregated.
+    "q_merge_purge_multipass" ->
+      """WITH tok AS (
+           SELECT doc_id, trim(text) AS tt,
+             regexp_split_to_array(trim(text), '\s+')[1] AS tok
+           FROM documents),
+         k1 AS (SELECT doc_id, substring(tt, 1, 24) AS k,
+                  substring(tt, 1, 4) AS block FROM tok),
+         r1 AS (SELECT doc_id, block,
+                  row_number() OVER (PARTITION BY block ORDER BY k, doc_id) AS rk
+                FROM k1),
+         p1 AS (SELECT least(a.doc_id, b.doc_id) AS a,
+                  greatest(a.doc_id, b.doc_id) AS b,
+                  CAST(b.rk - a.rk AS INT) AS dist, 1 AS p
+                FROM r1 a JOIN r1 b
+                ON a.block = b.block AND b.rk - a.rk BETWEEN 1 AND 3),
+         l AS (SELECT doc_id, tok,
+                 regexp_replace(upper(tok), '[^A-Z]', '', 'g') AS letters
+               FROM tok),
+         t AS (SELECT doc_id, tok, letters, substring(letters, 1, 1) AS f,
+                 substring(letters, 1, 1) ||
+                   regexp_replace(substring(letters, 2), '[HW]', '', 'g') AS tl
+               FROM l),
+         c AS (SELECT doc_id, tok, letters, f,
+                 translate(translate(tl, 'BFPVCGJKQSXZDTLMNR',
+                   '111122222222334556'), 'AEIOUY', '......') AS coded
+               FROM t),
+         kk AS (SELECT doc_id, tok, letters, f,
+                  regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace(coded,
+                    '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'),
+                    '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g') AS col
+                FROM c),
+         sx AS (SELECT doc_id, tok,
+                  CASE WHEN length(letters) = 0 THEN ''
+                       ELSE f || rpad(substring(
+                         regexp_replace(substring(col, 2), '[^1-6]', '', 'g'),
+                         1, 3), 3, '0') END AS sdx
+                FROM kk),
+         r2 AS (SELECT doc_id, sdx,
+                  row_number() OVER (PARTITION BY sdx ORDER BY tok, doc_id) AS rk
+                FROM sx),
+         p2 AS (SELECT least(a.doc_id, b.doc_id) AS a,
+                  greatest(a.doc_id, b.doc_id) AS b,
+                  CAST(b.rk - a.rk AS INT) AS dist, 2 AS p
+                FROM r2 a JOIN r2 b
+                ON a.sdx = b.sdx AND b.rk - a.rk BETWEEN 1 AND 3),
+         u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         SELECT a, b, CAST(sum(DISTINCT p) AS BIGINT) AS passes,
+           min(dist) AS min_dist
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // T53: DuckDB's NATIVE jaro_winkler_similarity vs the from-scratch
     // Scala kernel — two independent implementations of Winkler (1990);

@@ -268,9 +268,21 @@ object Retrieval {
       keyLen: Int = 24,
       blockLen: Int = 4,
       w: Int = 3): DataFrame = {
-    val keyed = corpus.select(col("doc_id"),
-      substring(trim(col("text")), 1, keyLen).as("k"))
-      .withColumn("block", substring(col("k"), 1, blockLen))
+    val k = substring(trim(col("text")), 1, keyLen)
+    sortedNeighborhoodBy(corpus, k, substring(k, 1, blockLen), w)
+  }
+
+  /** General form: caller-supplied sort key and block key — the
+    * multi-pass merge/purge runs this once per key family (text prefix,
+    * [[soundexCol]], reversed name, …) and unions the pair sets; each
+    * pass is one block-keyed window.
+    */
+  def sortedNeighborhoodBy(
+      corpus: DataFrame,
+      key: org.apache.spark.sql.Column,
+      block: org.apache.spark.sql.Column,
+      w: Int): DataFrame = {
+    val keyed = corpus.select(col("doc_id"), key.as("k"), block.as("block"))
     val win = Window.partitionBy(col("block"))
       .orderBy(col("k"), col("doc_id"))
     // all w leads share ONE WindowSpec ⇒ one Window operator, one

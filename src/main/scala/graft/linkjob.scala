@@ -38,12 +38,23 @@ object LinkJob {
       k: Int,
       tauJw: Double,
       tauJacc: Double,
-      maxDfFrac: Double): (Long, Long) = {
+      maxDfFrac: Double,
+      excludeSelf: Boolean = true): (Long, Long) = {
     graft.functions.GraftFunctions.register(spark)
     val matches = Retrieval.linkCandidates(
-      queries, corpus, k, tauJw, tauJacc, maxDfFrac)
+      queries, corpus, k, tauJw, tauJacc, maxDfFrac, excludeSelf)
+    // same prior-commits discipline as DedupJob: commit() short-circuits
+    // on an existing snapshot, and the config hash covers the RULE
+    // parameters, not the input data — so a rerun against a different
+    // input under the same --out must be called out, not silently served
+    // the old matches.
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/_manifest/matches.json")))
+      System.err.println(s"[graft] $out already holds a committed matches " +
+        "snapshot; it will be REUSED (the config hash covers thresholds, " +
+        "not inputs — use a fresh --out for new input data)")
     val io = new ParquetTableIO(spark, out, runId,
-      configHash(k, tauJw, tauJacc, maxDfFrac))
+      configHash(k, tauJw, tauJacc, maxDfFrac, excludeSelf))
     val committed = io.commit("matches", matches)
     val row = committed.agg(count(lit(1)).as("n"),
       count(when(col("matched"), 1)).as("m")).collect()(0)
@@ -55,8 +66,8 @@ object LinkJob {
     * run must never silently mix rule settings).
     */
   def configHash(k: Int, tauJw: Double, tauJacc: Double,
-      maxDfFrac: Double): String = {
-    val s = s"link|k=$k|jw=$tauJw|jacc=$tauJacc|df=$maxDfFrac"
+      maxDfFrac: Double, excludeSelf: Boolean = true): String = {
+    val s = s"link|k=$k|jw=$tauJw|jacc=$tauJacc|df=$maxDfFrac|self=$excludeSelf"
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
     d.map(b => f"$b%02x").mkString
@@ -85,6 +96,10 @@ object LinkJob {
     spark.sparkContext.setLogLevel("WARN")
 
     val corpus = spark.read.parquet(corpusPath).select(col("doc_id"), col("text"))
+    // cross-corpus mode (--queries given): unrelated id spaces — a
+    // coincidental qid == doc_id is a legitimate candidate, so self
+    // exclusion is OFF; self-linkage mode keeps it on.
+    val crossMode = argMap.contains("--queries")
     val queries = argMap.get("--queries")
       .map(p => spark.read.parquet(p)
         .select(col("doc_id").as("qid"), col("text").as("qtext")))
@@ -92,7 +107,8 @@ object LinkJob {
         .select(col("doc_id").as("qid"), col("text").as("qtext")))
 
     val (cands, matched) =
-      run(spark, queries, corpus, out, runId, k, tauJw, tauJacc, maxDfFrac)
+      run(spark, queries, corpus, out, runId, k, tauJw, tauJacc, maxDfFrac,
+        excludeSelf = !crossMode)
     println(s"""{"candidates":$cands,"matched":$matched,"run_id":"$runId"}""")
     spark.stop()
   }

@@ -151,11 +151,15 @@ object Retrieval {
       .select("term", "df")
     val qt = queries.select(col("qid"),
       explode(array_distinct(split(trim(col("qtext")), "\\s+"))).as("term"))
-    // postings ⋈ qt first (AQE broadcasts the tiny query side — the
-    // postings are probed map-side), then df/stats onto the survivors.
-    val cand = postings.join(qt, "term")
+    // hot-term drop BEFORE the probe: the query-term side (tiny) joins
+    // the vocab-sized df table first, so a df≈N stopword leaves the
+    // probe side here — at a cost proportional to the QUERY terms — and
+    // never emits its O(N) candidate rows against the postings. The
+    // surviving (term, qid, df) side then broadcasts into the postings
+    // probe (AQE), which is filtered map-side and never reshuffled.
+    val qtKept = qt.join(dfT, "term")
+    val cand = postings.join(qtKept, "term")
       .where(if (excludeSelf) col("doc_id") =!= col("qid") else lit(true))
-      .join(dfT, "term")
       .crossJoin(broadcast(stats))
     val scored = cand
       .withColumn("contrib",
@@ -193,8 +197,14 @@ object Retrieval {
       k: Int,
       tauJw: Double = 0.8,
       tauJacc: Double = 0.95,
-      maxDfFrac: Double = 0.5): DataFrame = {
-    val cands = bm25TopK(queries, corpus, k, maxDfFrac = maxDfFrac)
+      maxDfFrac: Double = 0.5,
+      excludeSelf: Boolean = true): DataFrame = {
+    // excludeSelf is only meaningful when queries are drawn FROM the
+    // corpus (self-linkage / dedup-retrieval); in cross-corpus mode the
+    // two id spaces are unrelated and a coincidental qid == doc_id must
+    // NOT suppress a true match — callers pass excludeSelf = false.
+    val cands = bm25TopK(queries, corpus, k, maxDfFrac = maxDfFrac,
+      excludeSelf = excludeSelf)
     def pfx(c: org.apache.spark.sql.Column) = substring(c, 1, 80)
     def tokset(c: org.apache.spark.sql.Column) =
       array_distinct(split(trim(c), "\\s+"))

@@ -32,6 +32,24 @@ class LinkJobSpec extends SparkSpec {
     assert(!m.contains(2L) && !m.contains(4L))
   }
 
+  test("cross-corpus mode keeps coincidental qid == doc_id candidates") {
+    graft.functions.GraftFunctions.register(spark)
+    // offer id 1 coincides with catalog id 1, whose text is the offer's
+    // near-twin — with self-exclusion on, its true match would vanish
+    val offers = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("qid", "qtext")
+    val catalog = corpus // catalog doc_id 1 is the near-twin of the text
+    val withSelf = Retrieval.linkCandidates(offers, catalog, k = 5,
+      maxDfFrac = 1.0, excludeSelf = false)
+      .where(col("doc_id") === 1L).count()
+    val without = Retrieval.linkCandidates(offers, catalog, k = 5,
+      maxDfFrac = 1.0)
+      .where(col("doc_id") === 1L).count()
+    assert(withSelf == 1L, "cross-mode must keep the id-coincident match")
+    assert(without == 0L, "self-mode must exclude it")
+  }
+
   test("config-hash guard refuses a rerun with different thresholds") {
     val out = Files.createTempDirectory("graft-link").toString
     val qs = corpus.select(col("doc_id").as("qid"), col("text").as("qtext"))

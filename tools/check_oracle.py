@@ -74,6 +74,8 @@ for name, sql in sorted(oracle.items()):
 import os
 for qdir in sorted(glob.glob(f"{outdir}/*/")):
     name = qdir.rstrip("/").split("/")[-1]
+    if only and name not in only:
+        continue
     if name not in oracle and name != "_metrics":
         try:
             n = con.execute(

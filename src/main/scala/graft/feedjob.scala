@@ -8,9 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * snapshot a consumer last processed and the current one). Each run
   * exports ONLY the rows appended to a committed stage since the persisted
   * cursor, then advances the cursor — so an external indexer, replication
-  * target, or downstream Spark job tails a stage (verified pairs, cluster
-  * deltas, the corpus itself) without ever rescanning the accumulated
-  * table. This is the batch pull twin of the stream's own history touches
+  * target, or downstream Spark job tails a stage (verified pairs, the
+  * corpus itself; `cluster_deltas` is tailable BETWEEN compactions —
+  * each fold resets its chain, which the consumer acknowledges with one
+  * `--restart true` pull, the fold's content being the compacted
+  * `clusters` base) without ever rescanning the accumulated table. This is the batch pull twin of the stream's own history touches
   * (those prune via broadcast semi-joins because they need keyed LOOKUP;
   * a feed needs everything-new-once, which is exactly the append-chain
   * delta).
@@ -35,15 +37,41 @@ object FeedJob {
            exportDir: String, restart: Boolean = false): (Long, Option[String]) = {
     val cursorPath = Paths.get(exportDir, "_cursor", s"$stage.entry")
     Files.createDirectories(cursorPath.getParent)
-    val live = io.liveEntry(stage).getOrElse(
-      sys.error(s"stage $stage has no committed snapshot"))
+    val live = io.liveEntry(stage).getOrElse {
+      // a reset stage (e.g. cluster_deltas after a compaction fold) has
+      // an EMPTY manifest: with --restart the consumer acknowledges the
+      // fold (its content lives in the compacted base table) and the
+      // cursor clears so the next append starts a fresh chain; without
+      // it, a held cursor means the reset happened mid-tail — refuse
+      // with the recovery path instead of a generic missing-stage error
+      if (restart || !Files.exists(cursorPath)) {
+        Files.deleteIfExists(cursorPath)
+        return (0L, None)
+      }
+      sys.error(s"stage $stage has no committed snapshot but a cursor " +
+        "exists — the stage was reset (compaction fold) since the last " +
+        "pull; re-run with --restart true to acknowledge")
+    }
     val prior = if (restart || !Files.exists(cursorPath)) None
                 else Some(Files.readString(cursorPath).trim)
 
+    // every delta below is computed against the CAPTURED `live` entry —
+    // never against a re-read of the live manifest — so rows appended
+    // between the capture and the scan are excluded now and exported by
+    // the NEXT pull exactly once (the cursor advances to `live`, not to
+    // whatever the manifest says later).
     val delta: Option[DataFrame] = prior match {
       case Some(cur) if cur == live => None // cursor already at head
-      case Some(cur) => io.incrementalScan(stage, cur)
-      case None => io.load(stage) // first pull (or --restart): full export
+      case Some(cur) =>
+        val seen = cur.split(';').toSet
+        val curDirs = live.split(';').toSeq
+        require(seen.subsetOf(curDirs.toSet),
+          s"incremental cursor for $stage is stale (table was replaced " +
+            "since); restart from a full load")
+        val fresh = curDirs.filterNot(seen)
+        if (fresh.isEmpty) None else Some(spark.read.parquet(fresh: _*))
+      case None => // first pull (or --restart): full export of `live`
+        Some(spark.read.parquet(live.split(';').toSeq: _*))
     }
     delta match {
       case None => (0L, None)
@@ -107,9 +135,12 @@ object FeedJob {
   * Without `--expire-keep` only the orphan vacuum runs; `--stages`
   * defaults to every committed stage in the manifest dir. The vacuum age
   * guard defaults to one hour so the job is safe to run beside a LIVE
-  * writer (an in-flight snapshot write is younger than that); expiry is
-  * manifest-atomic, so a concurrent reader holding the old live entry
-  * keeps a consistent (already-materialized) view, same as Iceberg.
+  * writer (an in-flight snapshot write is younger than that); expiry's
+  * read-truncate-write runs under the per-stage manifest lock
+  * (file-level, cross-process), so it serializes against a live
+  * writer's read-prepend-write instead of losing one side's update, and
+  * a concurrent reader holding the old live entry keeps a consistent
+  * (already-materialized) view, same as Iceberg.
   */
 object MaintenanceJob {
 

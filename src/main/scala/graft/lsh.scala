@@ -62,7 +62,7 @@ object Lsh {
     * after its first action (W2: logged drop counts on EVERY path, not
     * just checkpointed runs).
     */
-  private def emitPairs(
+  private[graft] def emitPairs(
       df: DataFrame,
       keys: Seq[String],
       src: String,

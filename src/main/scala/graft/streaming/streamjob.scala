@@ -56,15 +56,30 @@ object StreamJob {
 
   /** One micro-batch (foreachBatch body). Public so specs can drive it
     * directly; the streaming wiring is [[runOnce]]/[[main]].
+    *
+    * `tagPrefix` scopes the commit tags to ONE stream run (runOnce
+    * passes an id persisted in the checkpoint dir): without it, a fresh
+    * checkpoint against an existing table dir restarts batch ids at 0
+    * and every tagged append would no-op against the PREVIOUS run's
+    * `b0` snapshots — silently dropping all of the new run's data.
+    * Replays within one run keep the same prefix (the id file lives in
+    * the checkpoint), so the exactly-once no-op behavior is unchanged.
     */
-  def processBatch(io: TableIO, cfg: DedupConfig, verbose: Boolean = true)(
+  def processBatch(io: TableIO, cfg: DedupConfig, verbose: Boolean = true,
+      tagPrefix: String = "")(
       batch: DataFrame, batchId: Long): Unit = {
     val corpusHist = io.load("corpus")
     // exact-dup suppression + replay guard: rows whose image_id is
     // already committed (same id = same content upstream contract, as in
-    // ST3) are dropped; a crash-replayed batch therefore no-ops.
+    // ST3) are dropped; a crash-replayed batch therefore no-ops. The
+    // SAME contract makes an in-batch duplicate id legitimate (the same
+    // row fetched twice landing in one micro-batch) — without the
+    // dropDuplicates it would reach the id-collision repair, whose
+    // unique-id require would throw, and AvailableNow would replay the
+    // identical batch into the identical crash forever.
     val newRows = corpusHist
       .fold(batch)(h => batch.join(h.select("image_id"), Seq("image_id"), "left_anti"))
+      .dropDuplicates("image_id")
       .localCheckpoint()
     val nNew = newRows.count()
     if (nNew == 0) return
@@ -92,12 +107,12 @@ object StreamJob {
         newIds,
         sigsHist.map(h => preBatch(h).select(col("id"))),
         io.load("id_repairs").map(preBatch))
-      .map(r => io.replaceTagged("id_repairs", r, s"b$batchId"))
+      .map(r => io.replaceTagged("id_repairs", r, s"${tagPrefix}b$batchId"))
 
     val clean = newRows
       .where(col("caption").isNotNull && length(col("caption")) > 0)
       .where(col("w") > 0 && col("h") > 0)
-    val tag = s"b$batchId"
+    val tag = s"${tagPrefix}b$batchId"
 
     // stage E (cfg.exactTier), the streaming twin of the batch exact
     // pre-tier: the committed "exact_keys" index carries every clean
@@ -115,7 +130,7 @@ object StreamJob {
     // is pre-batch-pruned like the repair path, so a crash-replayed
     // batch cannot self-match; the tagged appends make the replay a
     // no-op anyway.
-    val exactEdges: Option[DataFrame] =
+    val exactTierState: Option[(DataFrame, DataFrame, Option[DataFrame])] =
       if (!cfg.exactTier) None
       else {
         val ekNew = clean.select(col("image_id"),
@@ -123,33 +138,73 @@ object StreamJob {
           md5(col("caption").cast("binary")).as("ck"))
           .localCheckpoint()
         val within = TieredDedup.exactImageEdges(clean, repairs)
-        val cross = io.load("exact_keys").map(preBatch).map { h =>
+        val hist = io.load("exact_keys").map(preBatch)
+        val cross = hist.map { h =>
           h.join(broadcast(ekNew.select(col("ek"), col("ck").as("__ckn"),
               col("image_id").as("b"))), Seq("ek"))
             .select(col("image_id").as("a"), col("b"),
               (col("ck") === col("__ckn")).as("same_caption"))
         }
-        io.append("exact_keys", ekNew, tag)
-        Some(cross.fold(within)(within.unionByName(_)).localCheckpoint())
+        val edges = cross.fold(within)(within.unionByName(_)).localCheckpoint()
+        Some((edges, ekNew, hist))
       }
+    val exactEdges: Option[DataFrame] = exactTierState.map(_._1)
+
+    // rows whose signatures are suppressed by the tier's same-caption
+    // cover (shared by the signature anti-join and the index-rep choice
+    // below — the cover row of a class must be one that KEEPS live
+    // signatures)
+    val suppressedIds: Option[DataFrame] = exactEdges.map(e =>
+      e.where(col("same_caption")).select(col("b").as("image_id"))
+        .dropDuplicates("image_id").localCheckpoint())
 
     val sigsNew = {
       val s0 = Signatures.signatures(clean, cfg, repairs)
-      exactEdges.fold(s0)(e => s0.join(
-        e.where(col("same_caption")).select(col("b").as("image_id"))
-          .dropDuplicates("image_id"),
-        Seq("image_id"), "left_anti"))
+      suppressedIds.fold(s0)(sup =>
+        s0.join(sup, Seq("image_id"), "left_anti"))
     }.localCheckpoint()
+
+    // the committed exact-keys index keeps ONE representative per
+    // (ek, ck) class, appended only for classes not already present —
+    // bounding the index at DISTINCT content classes and the per-probe
+    // fanout at caption-variants per byte content instead of O(class
+    // members): a viral byte-identical image previously joined every
+    // committed member per new copy (O(N) edges per arrival, O(N²)
+    // accumulated — exactly the skew this tier exists to remove).
+    // Connectivity is preserved (every arrival edges to its class rep,
+    // so classes are stars), and the rep is chosen among rows whose
+    // signatures stayed LIVE after this batch's suppression — for the
+    // canon-caption class that is exactly the byte-group keeper — so
+    // the same_caption retrieval cover holds across batches.
+    exactTierState.foreach { case (_, ekNew, hist) =>
+      val live = suppressedIds.fold(ekNew)(sup =>
+        ekNew.join(sup, Seq("image_id"), "left_anti"))
+      val ekReps = live.groupBy("ek", "ck")
+        .agg(min(col("image_id")).as("image_id"))
+        .select(col("image_id"), col("ek"), col("ck"))
+      val ekCommit = hist.fold(ekReps)(h =>
+        ekReps.join(h.select("ek", "ck"), Seq("ek", "ck"), "left_anti"))
+      io.append("exact_keys", ekCommit, tag)
+    }
 
     val bandsNew = Lsh.bands(sigsNew, cfg)
     val simKeysNew = Lsh.simhashKeys(sigsNew, cfg)
-    val fpsNew = SuffixPass.fingerprintsOf(sigsNew.select(col("id"), col("norm")), cfg)
+    // winnow fingerprints derived ONCE per batch (localCheckpoint) and
+    // shared by the committed key table, the cross-history probe, and
+    // the within-batch span pass — previously the winnowing expression
+    // (the span path's most expensive row-local stage) ran twice over
+    // every caption, once for the keys and once inside spanCandidates
+    val fpsWithNorm = SuffixPass.spanFps(
+      sigsNew.select(col("id"), col("norm")), cfg).localCheckpoint()
+    val fpsNew = fpsWithNorm.select(col("id"), col("fp"))
 
-    // within-batch candidates: the three batch operators verbatim
+    // within-batch candidates: the three batch operators, fed the SAME
+    // key relations the history probes and commits use
     val within = Seq(
       Lsh.lshCandidates(bandsNew, cfg, dedup = false) -> 1,
-      Lsh.simhashCandidates(sigsNew, cfg, dedup = false) -> 2,
-      SuffixPass.spanCandidates(sigsNew.select(col("id"), col("norm")), cfg) -> 4)
+      Lsh.emitPairs(simKeysNew, Seq("cid", "key"), "simhash", cfg,
+        dedup = false, census = None) -> 2,
+      SuffixPass.spanCandidatesFromFps(fpsWithNorm, cfg) -> 4)
 
     // cross candidates: batch keys equi-joined against committed history
     val sigsAll = sigsHist.fold(sigsNew)(_.unionByName(sigsNew))
@@ -398,12 +453,25 @@ object StreamJob {
       cfg: DedupConfig = DedupConfig(),
       expireKeep: Int = 0): Unit = {
     val io = new ParquetTableIO(spark, outDir, runId, cfg.configHash)
+    // Stream identity, persisted IN the checkpoint dir: commit tags are
+    // scoped to it, so a fresh checkpoint against an existing table dir
+    // gets fresh tags (batch ids restart at 0 — unscoped `b0` tags
+    // would no-op against the previous run's snapshots and silently
+    // drop every row of the new run), while a restart of the SAME
+    // checkpoint reads the same id and keeps the exactly-once replay
+    // no-ops.
+    val idPath = java.nio.file.Paths.get(checkpointDir, "graft_stream_id")
+    java.nio.file.Files.createDirectories(idPath.getParent)
+    if (!java.nio.file.Files.exists(idPath))
+      java.nio.file.Files.writeString(idPath,
+        java.util.UUID.randomUUID().toString.take(8))
+    val tagPrefix = java.nio.file.Files.readString(idPath).trim + "-"
     val stream = spark.readStream
       .schema(Encoders.product[ImageRow].schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputDir)
     stream.writeStream
-      .foreachBatch(processBatch(io, cfg, verbose) _)
+      .foreachBatch(processBatch(io, cfg, verbose, tagPrefix) _)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -293,11 +293,21 @@ object SuffixPass {
     * equi-join a micro-batch's fingerprints against the committed
     * historical fingerprint table.
     */
-  def fingerprintsOf(normed: DataFrame, cfg: DedupConfig): DataFrame = {
+  def fingerprintsOf(normed: DataFrame, cfg: DedupConfig): DataFrame =
+    spanFps(normed, cfg).select(col("id"), col("fp"))
+
+  /** (id, norm) → (id, norm, fp) winnow-fingerprint rows, the shared
+    * base of [[fingerprintsOf]] (key-table shape) and
+    * [[spanCandidatesFromFps]] (bucket-kernel shape) — the stream
+    * derives this ONCE per batch and feeds both, instead of running the
+    * winnowing expression (the span path's corpus-wide row-local cost)
+    * twice over every caption.
+    */
+  def spanFps(normed: DataFrame, cfg: DedupConfig): DataFrame = {
     graft.functions.GraftFunctions.register(normed.sparkSession)
     normed
       .where(length(col("norm")).between(cfg.saMinSpan, SpanDocChars))
-      .select(col("id"),
+      .select(col("id"), col("norm"),
         explode(graft.functions.GraftFunctions
           .winnowCol(col("norm"), cfg.saGramK, cfg.saMinSpan)).as("fp"))
   }
@@ -349,6 +359,17 @@ object SuffixPass {
         col("norm"),
         explode(graft.functions.GraftFunctions
           .winnowCol(col("norm"), cfg.saGramK, cfg.saMinSpan)).as("fp"))
+    spanCandidatesFromFps(fps, cfg, census)
+  }
+
+  /** Bucket-cap + kernel stage over a PRECOMPUTED (id, norm, fp)
+    * relation ([[spanFps]]) — the stream path's entry, so winnowing runs
+    * once per batch instead of once per consumer.
+    */
+  def spanCandidatesFromFps(
+      fps: DataFrame,
+      cfg: DedupConfig,
+      census: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val buckets0 = fps
       .groupBy(col("fp"))
       .agg(graft.functions.GraftAggregates

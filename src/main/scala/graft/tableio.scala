@@ -208,6 +208,30 @@ final class ParquetTableIO(
     else Files.readString(m).trim.split('\n').toSeq.filter(_.nonEmpty)
   }
 
+  /** Serializes manifest read-modify-write sequences for one stage
+    * across processes (file lock) and threads (JVM lock — FileChannel
+    * locks are per-JVM and non-reentrant, so same-JVM callers must be
+    * mutually excluded before touching the channel). Without this, a
+    * concurrent writer's read-prepend-write and the maintenance job's
+    * read-truncate-write (expireSnapshots) interleave as lost updates:
+    * a committed append could vanish from the manifest (then be
+    * vacuumed) or expired entries could resurrect pointing at deleted
+    * dirs. Lock scope is the manifest mutation only — data writes run
+    * outside it, so expiry blocks a writer for milliseconds, not for
+    * the duration of a parquet write.
+    */
+  private def withStageLock[T](stage: String)(body: => T): T =
+    ParquetTableIO.jvmLock(root, stage).synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        rootPath.resolve(s"_manifest/.$stage.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock()
+        try body finally fl.release()
+      } finally ch.close()
+    }
+
   private def writeManifest(stage: String, lines: Seq[String]): Unit = {
     val tmp = rootPath.resolve(s"_manifest/.$stage.json.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -260,12 +284,13 @@ final class ParquetTableIO(
     else spark.read.parquet(entry.split(';').toSeq: _*)
   }
 
-  override def rollback(stage: String, snapshotDir: String): Unit = {
-    val lines = readManifest(stage)
-    require(lines.contains(snapshotDir),
-      s"snapshot $snapshotDir is not in $stage's history: $lines")
-    writeManifest(stage, snapshotDir +: lines.filterNot(_ == snapshotDir))
-  }
+  override def rollback(stage: String, snapshotDir: String): Unit =
+    withStageLock(stage) {
+      val lines = readManifest(stage)
+      require(lines.contains(snapshotDir),
+        s"snapshot $snapshotDir is not in $stage's history: $lines")
+      writeManifest(stage, snapshotDir +: lines.filterNot(_ == snapshotDir))
+    }
 
   private def writeSnapshot(
       stage: String, df: DataFrame, partitionCols: Seq[String],
@@ -288,9 +313,20 @@ final class ParquetTableIO(
       .withColumn("stage", lit(stage))
       .withColumn("wall_ms", lit(System.currentTimeMillis() - t0))
     metrics.write.mode("append").parquet(s"$root/_metrics/rows")
-    // atomic commit point: prepend the new live entry, keep history
+    // atomic commit point: prepend the new live entry, keep history.
+    // The re-read happens INSIDE the stage lock so a concurrent
+    // expireSnapshots truncation is never overwritten with a stale list.
     val entry = appendTo.fold(snapshot)(prior => s"$prior;$snapshot")
-    writeManifest(stage, entry +: readManifest(stage))
+    withStageLock(stage) {
+      writeManifest(stage, entry +: readManifest(stage))
+    }
+    // a plain (non-bucketed) snapshot is now the live entry: any bucket
+    // spec from an earlier commitBucketed no longer describes it, and a
+    // later single-dir entry (e.g. a compaction fold) must NOT be
+    // registered CLUSTERED BY over unbucketed files — Spark would elide
+    // exchanges and silently drop join matches. Correctness over speed:
+    // history reads fall back to plain parquet.
+    Files.deleteIfExists(bucketSpecPath(stage))
     if (appendTo.isEmpty) committed else load(stage).get
   }
 
@@ -337,7 +373,9 @@ final class ParquetTableIO(
           .withColumn("stage", lit(stage))
           .withColumn("wall_ms", lit(System.currentTimeMillis() - t0))
         metrics.write.mode("append").parquet(s"$root/_metrics/rows")
-        writeManifest(stage, snapshot +: readManifest(stage))
+        withStageLock(stage) {
+          writeManifest(stage, snapshot +: readManifest(stage))
+        }
         committed
     }
 
@@ -390,7 +428,9 @@ final class ParquetTableIO(
           .withColumn("stage", lit(stage))
           .withColumn("wall_ms", lit(System.currentTimeMillis() - t0))
         metrics.write.mode("append").parquet(s"$root/_metrics/rows")
-        writeManifest(stage, snapshot +: readManifest(stage))
+        withStageLock(stage) {
+          writeManifest(stage, snapshot +: readManifest(stage))
+        }
         committed
     }
 
@@ -491,7 +531,10 @@ final class ParquetTableIO(
   }
 
   override def resetStage(stage: String): Unit =
-    writeManifest(stage, Seq.empty)
+    withStageLock(stage) {
+      writeManifest(stage, Seq.empty)
+      Files.deleteIfExists(bucketSpecPath(stage))
+    }
 
   private def deleteRecursively(dir: Path): Unit =
     if (Files.exists(dir)) {
@@ -512,19 +555,27 @@ final class ParquetTableIO(
   override def expireSnapshots(stage: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1,
       s"keepLast must be ≥ 1 (the live snapshot is not expirable), got $keepLast")
-    val lines = readManifest(stage)
-    if (lines.length <= keepLast) Seq.empty
-    else {
-      val (kept, expired) = lines.splitAt(keepLast)
-      val keptDirs = kept.flatMap(_.split(';')).toSet
-      val doomed = expired.flatMap(_.split(';')).distinct.filterNot(keptDirs)
-      writeManifest(stage, kept) // atomic commit point, then delete
-      doomed.foreach { d =>
-        dropCatalogEntry(stage, d)
-        deleteRecursively(Paths.get(d))
+    // read + truncate under the stage lock: interleaving with a
+    // writer's read-prepend-write would otherwise lose one side's
+    // update (a committed append vanishing, or expired entries
+    // resurrecting after their dirs are deleted). Deletes run outside
+    // the lock — they touch only dirs unreachable from the kept prefix.
+    val doomed = withStageLock(stage) {
+      val lines = readManifest(stage)
+      if (lines.length <= keepLast) Seq.empty[String]
+      else {
+        val (kept, expired) = lines.splitAt(keepLast)
+        val keptDirs = kept.flatMap(_.split(';')).toSet
+        val d = expired.flatMap(_.split(';')).distinct.filterNot(keptDirs)
+        writeManifest(stage, kept) // atomic commit point, then delete
+        d
       }
-      doomed
     }
+    doomed.foreach { d =>
+      dropCatalogEntry(stage, d)
+      deleteRecursively(Paths.get(d))
+    }
+    doomed
   }
 
   override def vacuumOrphans(minAgeMs: Long): Seq[String] = {
@@ -572,4 +623,14 @@ final class ParquetTableIO(
     val p = s"$root/_metrics/rows"
     if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
   }
+}
+
+object ParquetTableIO {
+  // FileChannel locks are per-JVM and non-reentrant: same-JVM threads
+  // (e.g. a spec driving a writer and MaintenanceJob concurrently) must
+  // serialize on a JVM monitor BEFORE touching the file lock, or the
+  // second acquire throws OverlappingFileLockException.
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def jvmLock(root: String, stage: String): Object =
+    locks.computeIfAbsent(s"$root|$stage", _ => new Object)
 }

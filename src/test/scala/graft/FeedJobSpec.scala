@@ -100,4 +100,21 @@ class FeedJobSpec extends SparkSpec {
     val (n2, _) = FeedJob.pull(io, spark, "s", exp)
     assert(n2 == 1)
   }
+
+  test("a reset stage (compaction fold) refuses without --restart, recovers with it") {
+    val root = tmpDir(); val exp = tmpDir()
+    val io = new ParquetTableIO(spark, root, "r", "cfgA")
+    io.append("cluster_deltas", Seq(1L).toDF("x"), "t0")
+    val (n1, _) = FeedJob.pull(io, spark, "cluster_deltas", exp)
+    assert(n1 == 1)
+    io.resetStage("cluster_deltas") // the per-compaction fold
+    val e = intercept[Exception](FeedJob.pull(io, spark, "cluster_deltas", exp))
+    assert(e.getMessage.contains("restart"), e.getMessage)
+    val (n2, d2) = FeedJob.pull(io, spark, "cluster_deltas", exp, restart = true)
+    assert(n2 == 0 && d2.isEmpty)
+    // cursor cleared: the next delta chain exports from its start
+    io.append("cluster_deltas", Seq(2L, 3L).toDF("x"), "t1")
+    val (n3, _) = FeedJob.pull(io, spark, "cluster_deltas", exp)
+    assert(n3 == 2)
+  }
 }

@@ -423,4 +423,69 @@ class StreamingSpec extends SparkSpec {
     assert(sigIds.contains(base + "_rw"),
       "caption-rewritten byte copy must keep its signature row")
   }
+
+  test("StreamJob: an in-batch duplicate image_id is tolerated, not a poison pill") {
+    val cfg = DedupConfig()
+    val corpus = Fixtures.corpus(spark, 20, seed = 9L).toDF().localCheckpoint()
+    val out = java.nio.file.Files.createTempDirectory("sj_dup_out").toString
+    val io = new ParquetTableIO(spark, out, "sjdup", cfg.configHash)
+    // the same row fetched twice landing in ONE micro-batch is legitimate
+    // under the same-id-same-content contract; before the in-batch dedup
+    // it reached the id-collision repair's unique-id require and threw —
+    // and AvailableNow replayed the identical batch into the identical
+    // crash forever
+    val dupped = corpus.unionByName(corpus.limit(4))
+    StreamJob.processBatch(io, cfg, verbose = false)(dupped, 0L)
+    assert(io.load("corpus").get.count() == corpus.count())
+  }
+
+  test("StreamJob: a fresh checkpoint against an existing out dir commits its own data") {
+    val corpus = Fixtures.corpus(spark, 40, seed = 11L).toDF().localCheckpoint()
+    val ids = corpus.select("image_id").as[String].collect().sorted
+    val (idsA, idsB) = ids.splitAt(ids.length / 2)
+    val a = corpus.filter($"image_id".isin(idsA: _*)).localCheckpoint()
+    val b = corpus.filter($"image_id".isin(idsB: _*)).localCheckpoint()
+    val in1 = java.nio.file.Files.createTempDirectory("sj_r1_in")
+    val in2 = java.nio.file.Files.createTempDirectory("sj_r2_in")
+    val out = java.nio.file.Files.createTempDirectory("sj_r_out").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("sj_r1_ck").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("sj_r2_ck").toString
+    writeOneBatch(a, in1, 0)
+    StreamJob.runOnce(spark, in1.toString, out, ck1, "r1", verbose = false)
+    // run 2: NEW checkpoint, SAME table dir — its batch ids restart at 0;
+    // without run-scoped tags its b0 appends would no-op against run 1's
+    // snapshots and every row of run 2 would silently vanish
+    writeOneBatch(b, in2, 0)
+    StreamJob.runOnce(spark, in2.toString, out, ck2, "r2", verbose = false)
+    val io = new ParquetTableIO(spark, out, "r2", DedupConfig().configHash)
+    assert(io.load("corpus").get.count() == corpus.count(),
+      "run 2's batch 0 must not no-op against run 1's tags")
+  }
+
+  test("StreamJob exact tier: committed exact-keys index is one row per class") {
+    val cfg = DedupConfig(exactTier = true)
+    val corpus = Fixtures.corpus(spark, 15, seed = 7L).toDF().localCheckpoint()
+    val base = corpus.orderBy("image_id").limit(1)
+      .select("image_id").as[String].head()
+    // 4 byte-and-caption-identical copies of one committed row arrive in a
+    // later batch: the viral-class shape whose index previously gained a
+    // row PER member (O(N) probe fanout per arrival, O(N²) edges)
+    val copies = (1 to 4).map(i => corpus.filter($"image_id" === base)
+      .withColumn("image_id", concat($"image_id", lit(s"_c$i"))))
+      .reduce(_ unionByName _)
+    val in = java.nio.file.Files.createTempDirectory("sjek_in")
+    val out = java.nio.file.Files.createTempDirectory("sjek_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sjek_ck").toString
+    writeOneBatch(corpus, in, 0)
+    writeOneBatch(copies, in, 1)
+    StreamJob.runOnce(spark, in.toString, out, ckpt, "sjek", cfg = cfg)
+    val io = new ParquetTableIO(spark, out, "sjek", cfg.configHash)
+    val ek = io.load("exact_keys").get
+    assert(ek.count() == ek.select("ek", "ck").distinct().count(),
+      "index must hold exactly one representative per (ek, ck) class")
+    // all 5 members of the viral class still share one cluster
+    val cl = io.load("clusters").get.filter($"image_id".startsWith(base))
+      .select("cluster_id").distinct().count()
+    assert(cl == 1L)
+  }
 }

@@ -351,4 +351,46 @@ class TableIOSpec extends SparkSpec {
     assert(done.clusters.count() == corpus.count())
     assert(io2.load("clusters").isDefined)
   }
+
+  test("replace after a bucketed commit invalidates the stale bucket spec") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "runBS", "cfgA")
+    val sigs = (0 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    io.commitBucketed("s", sigs, "id", 4)
+    val probe = (0 until 300).map(i => i.toLong).toDF("id")
+    def joinPlan: String = io.load("s").get
+      .join(probe.hint("SHUFFLE_HASH"), "id")
+      .queryExecution.executedPlan.toString
+    assert(joinPlan.contains("Bucketed: true"), joinPlan)
+    // a plain rewrite (compaction fold / replace) produces UNBUCKETED
+    // files; registering them CLUSTERED BY would let Spark elide
+    // exchanges and silently drop join matches
+    val folded = (0 until 300).map(i => (i.toLong, s"w$i")).toDF("id", "v")
+    io.replace("s", folded)
+    assert(!joinPlan.contains("Bucketed: true"), joinPlan)
+    assert(io.load("s").get.count() == 300)
+    // and an equi-join on the folded table is CORRECT (every key matches)
+    assert(io.load("s").get.join(probe, "id").count() == 300)
+  }
+
+  test("expireSnapshots concurrent with appends never loses a committed append") {
+    val root = tmpDir()
+    val io = new ParquetTableIO(spark, root, "runCC", "cfgA")
+    io.commit("s", Seq(0L).toDF("x"))
+    val dfs = (1 to 12).map(i => Seq(i.toLong).toDF("x"))
+    val fails = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => try {
+      dfs.zipWithIndex.foreach { case (d, i) => io.append("s", d, s"t$i") }
+    } catch { case t: Throwable => fails.set(t) })
+    writer.start()
+    // the maintenance side: read-truncate-write loops racing the writer's
+    // read-prepend-write — without the stage lock one side's manifest
+    // update is lost (a committed append vanishing from the chain)
+    while (writer.isAlive) io.expireSnapshots("s", 1)
+    writer.join()
+    assert(fails.get() == null, String.valueOf(fails.get()))
+    io.expireSnapshots("s", 1)
+    assert(io.load("s").get.count() == 13,
+      "every appended row must survive concurrent expiry")
+  }
 }

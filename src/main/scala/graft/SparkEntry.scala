@@ -2691,7 +2691,7 @@ object SparkEntry {
              round(CAST(len(list_filter(toks,
                  x -> list_contains(['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE) /
                greatest(len(toks), 1), 4) AS stopword_ratio,
-             round(CAST(length(text) - len(toks) + 1 AS DOUBLE) /
+             round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) /
                greatest(len(toks), 1), 4) AS mean_tok_len,
              CASE WHEN len(grams) = 0 THEN 0.0
                ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
@@ -2737,16 +2737,18 @@ object SparkEntry {
              regexp_replace(regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
              array_to_string(list_sort(list_filter(
-               string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+               string_split(regexp_extract(regexp_replace(url, '#.*', ''),
+                 '\?(.*)', 1), '&'),
                x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q
            FROM urls),
          c AS (
            SELECT doc_id, url,
-             scheme || '://' ||
+             CASE WHEN scheme = '' OR noww = '' THEN trim(url)
+             ELSE scheme || '://' ||
              (CASE WHEN scheme = 'http' THEN regexp_replace(noww, ':80$', '')
                    WHEN scheme = 'https' THEN regexp_replace(noww, ':443$', '')
                    ELSE noww END) || path ||
-             (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url
+             (CASE WHEN q = '' THEN '' ELSE '?' || q END) END AS canon_url
            FROM parts),
          k AS (SELECT canon_url, min(doc_id) AS canon_of FROM c GROUP BY 1)
          SELECT c.doc_id, c.url, c.canon_url, k.canon_of,
@@ -3333,7 +3335,8 @@ object SparkEntry {
          round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
              x -> list_contains(['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE) /
            greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS stopword_ratio,
-         round(CAST(length(text) - len(regexp_split_to_array(trim(text), '\s+')) + 1 AS DOUBLE) /
+         round(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+             t -> length(t))) AS DOUBLE) /
            greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS mean_tok_len,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
          FROM documents ORDER BY doc_id""",
@@ -3475,10 +3478,10 @@ object SparkEntry {
          FROM documents),
          b AS (SELECT doc_id, string_split_regex(
              regexp_replace(regexp_replace(regexp_replace(p,
-               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                '(?s)<!--.*?-->', ' ', 'g'),
-             '</(?:p|div|h[1-6]|li|ul|ol|table|tr|blockquote)>') AS blocks
+             '(?i)</(?:p|div|h[1-6]|li|ul|ol|table|tr|blockquote)>') AS blocks
            FROM page),
          sc AS (SELECT doc_id, blocks, list_transform(blocks, x -> struct_pack(
              t := trim(regexp_replace(
@@ -3487,7 +3490,7 @@ object SparkEntry {
                  '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',CHR(39)),
                  '&nbsp;',' '),'&amp;','&'),
                '\s+', ' ', 'g')),
-             l := len(string_split_regex(x, '<a[\s>]')) - 1)) AS s
+             l := len(string_split_regex(x, '(?i)<a[\s>]')) - 1)) AS s
            FROM b),
          k AS (SELECT doc_id, len(blocks) AS n_blocks,
              list_filter(s, y -> y.t <> '' AND len(string_split(y.t, ' ')) >= 3

@@ -60,7 +60,12 @@ object Curation {
     * shuffles, and the whole rule set lives in the Java-regex ∩ RE2
     * subset so the DuckDB oracle runs the same patterns verbatim.
     */
-  val BlockClosePat = "</(?:p|div|h[1-6]|li|ul|ol|table|tr|blockquote)>"
+  // (?i): HTML element names are case-insensitive and legacy upper-case
+  // markup ("<SCRIPT>", "</P>") is common in real crawls — without the
+  // flag, upper-case script/style CONTENT leaked into the extracted
+  // text and upper-case closing block tags never split blocks. RE2 and
+  // Java both support the inline flag.
+  val BlockClosePat = "(?i)</(?:p|div|h[1-6]|li|ul|ol|table|tr|blockquote)>"
   val HtmlTagPat = "<[^>]*>"
 
   /** Remove the elements whose CONTENT must never reach text: script,
@@ -68,8 +73,8 @@ object Curation {
     */
   def stripNonContent(html: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(html,
-      "(?s)<script[^>]*>.*?</script>", " "),
-      "(?s)<style[^>]*>.*?</style>", " "),
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " "),
       "(?s)<!--.*?-->", " ")
 
   /** Decode the core HTML entities, single pass; `&amp;` LAST so entity
@@ -94,7 +99,7 @@ object Curation {
       val raw = regexp_replace(b, HtmlTagPat, " ")
       val txt = trim(regexp_replace(decodeEntities(raw), "\\s+", " "))
       struct(txt.as("t"),
-        (size(split(b, "<a[\\s>]", -1)) - 1).as("l"))
+        (size(split(b, "(?i)<a[\\s>]", -1)) - 1).as("l"))
     })
     val kept = filter(scored, s => {
       val w = size(split(s("t"), " "))
@@ -130,11 +135,23 @@ object Curation {
     val path = regexp_replace(
       regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
       "/+$", "")
-    val params = filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+    // fragment dropped BEFORE the query extract: a '?' is legal INSIDE a
+    // fragment (RFC 3986 §3.5), and matching it as the query would keep
+    // "#sec?a=1" alive as "?a=1" — two fetches differing only in their
+    // fragment anchor would then fail to dedup
+    val noFrag = regexp_replace(u, "#.*", "")
+    val params = filter(split(regexp_extract(noFrag, "\\?(.*)", 1), "&"),
       p => p =!= "" && !p.startsWith("utm_"))
     val q = array_join(array_sort(params), "&")
-    concat(scheme, lit("://"), host, path,
-      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+    // non-authority / schemeless inputs (mailto:, tel:, bare hostnames —
+    // all common in raw crawl URL columns) have no extractable
+    // scheme://host and previously ALL collapsed to the constant "://",
+    // making urlDedup mark every such row a duplicate of one keeper;
+    // they fall back to their own trimmed text — never canonicalized,
+    // never falsely merged
+    when(scheme === "" || noWww === "", trim(u))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 
   /** T39 — canonical-URL dedup: every row gets its canonical form, the
@@ -193,17 +210,23 @@ object Curation {
     val chunks = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), nChunks - 1),
         i => array_join(slice(toks, i * lit(w) + lit(1), lit(w)), " ")))
+    // posexplode_OUTER + left join: an empty/whitespace-only/null doc
+    // yields one (null pos, null chunk) row instead of vanishing — the
+    // "one row per input doc" contract holds, and input-vs-output row
+    // accounting stays exact (null chunks never enter the keeper
+    // aggregation, and count(chunk) skips them)
     val occ = docs
-      .select(col(idCol).cast("long").as("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode_outer(chunks).as(Seq("pos", "chunk")))
       .withColumn("ck", md5(col("chunk").cast("binary")))
-    val keeper = occ.groupBy("ck")
+    val keeper = occ.where(col("chunk").isNotNull).groupBy("ck")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-    occ.join(keeper, "ck")
+    occ.join(keeper, Seq("ck"), "left")
       .withColumn("kept",
         col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_chunks"),
+        count(col("chunk")).as("n_chunks"),
         sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
         array_join(
           transform(array_sort(collect_list(when(col("kept"), struct(col("pos"), col("chunk"))))),
@@ -242,19 +265,23 @@ object Curation {
   def lineDedup(docs: DataFrame, minDf: Int, idCol: String = "doc_id",
                 linesCol: String = "lines"): DataFrame = {
     require(minDf >= 2, s"minDf < 2 would drop every line, got $minDf")
+    // posexplode_OUTER so a doc whose segmentation produced zero lines
+    // still reports (n_lines = 0) instead of vanishing from the output —
+    // the "one row per doc" contract; null line rows are excluded from
+    // the DF aggregation and never counted kept
     val occ = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(col(linesCol)).as(Seq("pos", "line")))
+        posexplode_outer(col(linesCol)).as(Seq("pos", "line")))
       .withColumn("lk", md5(col("line").cast("binary")))
-    val boiler = occ.groupBy("lk")
+    val boiler = occ.where(col("line").isNotNull).groupBy("lk")
       .agg(count_distinct(col("doc_id")).as("df"))
       .where(col("df") >= minDf)
       .select(col("lk"), lit(true).as("is_boiler"))
     occ.join(boiler, Seq("lk"), "left")
-      .withColumn("kept", col("is_boiler").isNull)
+      .withColumn("kept", col("is_boiler").isNull && col("line").isNotNull)
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_lines"),
+        count(col("line")).as("n_lines"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         array_join(
           transform(
@@ -340,10 +367,16 @@ object Curation {
     * enforces by hand on the LSH paths, obtained for free from the
     * rk <= cap filter the optimizer can see.
     */
+  /** Rounded alpha-ratio quality signal, shared by [[sourceBalance]]'s
+    * rank key and [[gopherFilter]]'s ok_alpha rule (one definition — a
+    * tweak to the character class must move both rankings together).
+    */
+  private[graft] def alphaRatio(text: Column): Column = round(
+    length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+      greatest(length(text), lit(1)), 4)
+
   def sourceBalance(docs: DataFrame, cap: Int = 10): DataFrame = {
-    val q = round(
-      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
-        greatest(length(col("text")), lit(1)), 4)
+    val q = alphaRatio(col("text"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("q").desc, col("doc_id"))
     docs
@@ -383,11 +416,11 @@ object Curation {
       .groupBy("doc_id").agg(max(col("c")).as("max_tf"))
     base.join(maxTf, Seq("doc_id"))
       .select(col("doc_id").cast("long").as("doc_id"), col("n_tokens"),
-        round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
-          greatest(length(col("text")), lit(1)), 4).as("alpha_ratio"),
+        alphaRatio(col("text")).as("alpha_ratio"),
         round(nStop.cast("double") / greatest(size(col("toks")), lit(1)), 4)
           .as("stopword_ratio"),
-        round((length(col("text")) - size(col("toks")) + 1).cast("double") /
+        round(aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (a, x) => a + x).cast("double") /
           greatest(size(col("toks")), lit(1)), 4).as("mean_tok_len"),
         when(size(col("g2")) === 0, lit(0.0))
           .otherwise(round(lit(1.0) -
@@ -671,11 +704,19 @@ object Curation {
     val dot = aggregate(
       zip_with(col(vecCol), w, (v, wj) => v.cast("double") * wj),
       lit(0.0), (acc, x) => acc + x)
+    // null/dimension guard: a NULL embedding or one shorter than the
+    // head makes zip_with pad with nulls, so dot/logit/score/keep all
+    // go NULL and the row vanishes from BOTH keep filters — the silent
+    // accounting leak imageMetaFilter's gate() exists to prevent. A
+    // malformed row is explicitly NOT kept (keep = false, logit/score
+    // null), so kept + dropped == input always.
     embs
-      .withColumn("logit", round(dot + lit(weights(0)), 4))
+      .withColumn("logit",
+        when(col(vecCol).isNotNull && size(col(vecCol)) === weights.length - 1,
+          round(dot + lit(weights(0)), 4)))
       .withColumn("score",
         round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 4))
-      .withColumn("keep", col("logit") >= lit(tau))
+      .withColumn("keep", coalesce(col("logit") >= lit(tau), lit(false)))
   }
 
   /** Deterministic probe head for tests/oracles: component i (0 = bias)

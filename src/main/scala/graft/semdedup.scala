@@ -89,9 +89,16 @@ object SemDedup {
       Ann.normCol(col("vec")).as("nrm"))
 
     // shared pair → verdict tail: score, threshold on the rounded value,
-    // min earlier neighbor per pruned id — one hash aggregation
+    // min earlier neighbor per pruned id — one hash aggregation.
+    // Zero-norm guard: a failed-embedder all-zero vector gives
+    // cos = 0/0 = NaN, and Spark orders NaN ABOVE every double, so
+    // `NaN >= tau` is TRUE — without the guard one low-id zero vector
+    // would mark every higher-id cell-mate as its semantic duplicate
+    // (the training path already filters zero vectors,
+    // Ivf.sampleVectors; scoring must too).
     def dupOf(pairs: DataFrame): DataFrame =
       pairs
+        .where(col("ni") > 0 && col("nj") > 0)
         .withColumn("cos",
           round(Ann.dotCastCol(col("vi"), col("vj")) / (col("ni") * col("nj")), 4))
         .where(col("cos") >= tau)

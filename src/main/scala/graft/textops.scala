@@ -164,7 +164,12 @@ object TextOps {
       round(length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") /
         greatest(len, lit(1)), 4).as("punct_ratio"),
       round(nStop.cast("double") / greatest(nToks, lit(1)), 4).as("stopword_ratio"),
-      round((len - nToks + 1).cast("double") / greatest(nToks, lit(1)), 4).as("mean_tok_len"),
+      // sum of token lengths, not (len − n + 1): the latter counts every
+      // whitespace char beyond one separator per gap as token length, so
+      // doubled spaces or leading/trailing whitespace inflated the
+      // signal (and could flip a threshold gate)
+      round(aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+        .cast("double") / greatest(nToks, lit(1)), 4).as("mean_tok_len"),
       nToks.cast("long").as("n_tokens"))
   }
 }

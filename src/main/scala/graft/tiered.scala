@@ -189,8 +189,14 @@ object TieredDedup {
 
     // tier 3: semantic. Only survivors WITH an embedding enter the
     // prune; the left join degrades embedding-less docs to 'kept'.
+    // Checkpointed because SemDedup.prune scans its input several times
+    // (norm projection on both pair sides, the id/keep projection, plus
+    // count/sample/keys in the clustered regime) — its own scaladoc
+    // tells callers with an expensive upstream plan to persist, and
+    // this emb ⋈ survivor join is exactly that.
     val e = emb.join(surv2, emb("id") === surv2("doc_id"))
       .select(emb("id"), emb("vec"))
+      .localCheckpoint()
     val pr = SemDedup.prune(e, tau = tauSem, nList = semNList)
     val verdict = surv2.join(pr, surv2("doc_id") === pr("id"), "left")
       .select(surv2("doc_id"),

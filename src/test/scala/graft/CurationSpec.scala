@@ -57,8 +57,9 @@ class CurationSpec extends SparkSpec {
     val docs = Seq((1L, ""), (2L, "   "), (3L, "only one")).toDF("doc_id", "text")
     val out = Curation.chunkDedup(docs, w = 8).orderBy("doc_id")
       .select("doc_id", "n_chunks").as[(Long, Long)].collect()
-    // empty docs produce zero chunks → no output row (no content to keep or drop)
-    assert(out.toSeq == Seq((3L, 1L)))
+    // empty docs report zero chunks but STAY in the output — the one-row-
+    // per-doc contract (input-vs-output accounting must be exact)
+    assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 1L)))
   }
 
   test("lineDedup removes a >=minDf line from EVERY doc, keeps low-DF lines") {
@@ -521,5 +522,79 @@ class CurationSpec extends SparkSpec {
     val plan = Curation.linearProbe(embs, Curation.probeWeights(2, 7L), tau = 0.0)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("linearProbe: malformed embeddings are NOT kept and never vanish") {
+    val embs = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(1.0f)), // wrong dimension
+      (3L, null.asInstanceOf[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val out = Curation.linearProbe(embs, Array(0.0, 1.0, 1.0), tau = 0.0)
+    assert(out.count() == 3)
+    val kept = out.where(col("keep")).count()
+    val dropped = out.where(!col("keep")).count()
+    assert(kept + dropped == 3, "kept + dropped must equal input")
+    assert(out.where(col("vec_id") =!= 1L && col("keep")).count() == 0,
+      "malformed rows must not be kept")
+  }
+
+  test("canonicalizeUrl: schemeless/non-authority inputs never merge") {
+    val urls = Seq((1L, "example.com/x"), (2L, "mailto:a@b.com"),
+      (3L, "tel:+15551234"), (4L, "http://example.com/x"))
+      .toDF("doc_id", "url")
+    val out = Curation.urlDedup(urls).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out.values.sum == 0,
+      "no row may be marked a duplicate across unrelated non-URL inputs")
+    val canon = Curation.urlDedup(urls).select("doc_id", "canon_url")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(canon(1L) == "example.com/x" && canon(2L) == "mailto:a@b.com")
+  }
+
+  test("canonicalizeUrl: a '?' inside the fragment is not a query") {
+    val df = Seq((1L, "http://x.com/p#sec?a=1"), (2L, "http://x.com/p"))
+      .toDF("doc_id", "url")
+    val c = df.select(Curation.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(c(0) == c(1) && c(0) == "http://x.com/p",
+      s"fragment must drop entirely: ${c.toSeq}")
+  }
+
+  test("chunkDedup and lineDedup keep one row per doc even for empty docs") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val cd = Curation.chunkDedup(docs, w = 2)
+    assert(cd.count() == 3, "empty docs must not vanish")
+    val empty = cd.where(col("doc_id") === 2L).head()
+    assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L) // n_chunks, n_dropped
+    val ld = Curation.lineDedup(
+      docs.withColumn("lines",
+        filter(split(col("text"), " "), x => x =!= "")), minDf = 2)
+    assert(ld.count() == 3)
+    assert(ld.where(col("doc_id") === 2L).head().getLong(1) == 0L) // n_lines
+  }
+
+  test("extractHtmlText: uppercase markup is stripped and split like lowercase") {
+    val html = lit("<HTML><BODY><SCRIPT>var x=1;</SCRIPT>" +
+      "<P>real content words here for the block</P>" +
+      "<DIV><A HREF=\"/a\">x</A> <A HREF=\"/b\">y</A></DIV></BODY></HTML>")
+    val out = spark.range(1)
+      .select(Curation.extractHtmlText(html).as("r"))
+      .select(col("r.text"), col("r.n_kept")).head()
+    assert(!out.getString(0).contains("var x=1"),
+      "uppercase SCRIPT content must not leak into extracted text")
+    assert(out.getString(0).contains("real content words"),
+      "uppercase closing tags must still split and keep the content block")
+  }
+
+  test("gopherFilter mean_tok_len is whitespace-robust") {
+    val docs = Seq((1L, "  hi   there  "), (2L, "hi there"))
+      .toDF("doc_id", "text")
+    val m = Curation.gopherFilter(docs)
+      .select("doc_id", "mean_tok_len").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) == 3.5 && m(2L) == 3.5,
+      s"irregular whitespace must not inflate token length: $m")
   }
 }

@@ -135,4 +135,21 @@ class SemDedupSpec extends SparkSpec {
       dupOf.foreach(_ => assert(exact(i).isDefined))
     }
   }
+
+  test("a zero-norm embedding never prunes anything (NaN guard)") {
+    // cos(zero, x) = 0/0 = NaN, and Spark orders NaN above every double —
+    // without the norm guard a low-id zero vector would semantically
+    // "duplicate" every higher-id cell-mate
+    val rows = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f)), // failed-embedder output, lowest id
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.05f, 0.0f))) // near-dup of 1
+    val df = rows.toDF("id", "vec")
+    val out = SemDedup.prune(df, tau = 0.9, nList = 1)
+      .where(col("keep") === 0)
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(out == Set((3L, 1L)),
+      s"only the genuine near-dup may be pruned, got $out")
+  }
 }

@@ -2671,7 +2671,8 @@ object SparkEntry {
     // the keep conjunction.
     "q_gopher_filter" ->
       """WITH tk AS (
-           SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+           SELECT doc_id, text, list_filter(
+             regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
            FROM documents),
          g2 AS (
            SELECT doc_id,
@@ -3326,20 +3327,23 @@ object SparkEntry {
          FROM g24 x JOIN g24 y ON x.g = y.g AND x.doc_id < y.doc_id
          ORDER BY a, b""",
     "q_doc_quality_full" ->
-      """SELECT doc_id,
+      """WITH tk AS (
+           SELECT doc_id, text, list_filter(
+             regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+           FROM documents)
+         SELECT doc_id,
          CAST(length(text) AS BIGINT) AS len,
          round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
            greatest(length(text), 1), 4) AS alpha_ratio,
          round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) /
            greatest(length(text), 1), 4) AS punct_ratio,
-         round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+         round(CAST(len(list_filter(toks,
              x -> list_contains(['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE) /
-           greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS stopword_ratio,
-         round(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
-             t -> length(t))) AS DOUBLE) /
-           greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS mean_tok_len,
-         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
-         FROM documents ORDER BY doc_id""",
+           greatest(len(toks), 1), 4) AS stopword_ratio,
+         round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) /
+           greatest(len(toks), 1), 4) AS mean_tok_len,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+         FROM tk ORDER BY doc_id""",
     "q_doc_clusters" ->
       """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
          sh AS (

@@ -33,6 +33,12 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightPayload: Seq[String], rightTie: String): DataFrame = {
+    // fail fast on a non-numeric tiebreak: cast("long") on e.g. a UUID
+    // column silently nulls EVERY tie value, collapsing the documented
+    // deterministic tie rule into physical-order selection
+    val tieType = right.schema(rightTie).dataType.typeName
+    require(Set("long", "integer", "short", "byte")(tieType),
+      s"rightTie must be an integral column, got $tieType for $rightTie")
     val pay = struct((ts +: rightPayload).map(col): _*)
     val payType = right.select(pay.as("p")).schema("p").dataType
     val leftCols = left.columns.toSeq
@@ -40,7 +46,12 @@ object AsOf {
       .withColumn("__side", lit(1))
       .withColumn("__tie", lit(0L))
       .withColumn("__pay", lit(null).cast(payType))
-    val r = right.select(
+    // a null-ts right row can never satisfy right.ts <= left.ts, but
+    // Spark's nulls-first ascending sort would place it BEFORE every
+    // row in the partition and its payload would be carried onto left
+    // rows that have no true preceding observation
+    val rightValid = right.where(col(ts).isNotNull)
+    val r = rightValid.select(
       Seq(col(key), col(ts), lit(0).as("__side"),
         col(rightTie).cast("long").as("__tie"), pay.as("__pay")) ++
         leftCols.filterNot(c => c == key || c == ts)

@@ -403,14 +403,16 @@ object Curation {
     */
   def gopherFilter(docs: DataFrame): DataFrame = {
     val base = docs
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      // same empty-token filter as TextOps.qualityColumns (phantom
+      // tokens from leading/trailing non-space whitespace)
+      .withColumn("toks",
+        filter(split(trim(col("text")), "\\s+"), x => x =!= ""))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("g2", when(size(col("toks")) >= 2,
         expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
         .otherwise(expr("cast(array() as array<string>)")))
     val stop = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
-    val nStop = stop.map(w => size(filter(col("toks"), x => x === w)))
-      .reduce(_ + _)
+    val nStop = size(filter(col("toks"), x => x.isin(stop: _*)))
     val maxTf = base.select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("max_tf"))

@@ -58,16 +58,29 @@ object Scoring {
     * (bounds the expensive PSNR stage exactly like the reference's Solr
     * `rows=N` bounded its scorer).
     */
+  /** Keep-rule filter + per-criterion top-k. The cap ranks WITHIN each
+    * keep criterion (signature Jaccard / SimHash Hamming / span length)
+    * and unions the three winners: a single Jaccard-ordered cap
+    * systematically evicted exactly the pairs the other two tiers
+    * exist to catch (a span-caught caption rewrite has near-zero
+    * signature Jaccard BY CONSTRUCTION, so on a candidate-rich image it
+    * always ranked below the Jaccard pairs and died before pixel
+    * verification). Bound: ≤ 3·topKPerImage pairs per image.
+    */
   def filterAndTopK(scored: DataFrame, cfg: DedupConfig): DataFrame = {
-    val kept = scored.where(
-      col("jaccard_sig") >= cfg.minJaccardSig ||
-        col("hamming") <= cfg.simhashMaxHamming ||
-        col("span_len") >= cfg.saMinSpan)
-    val w = Window.partitionBy(col("a")).orderBy(col("jaccard_sig").desc, col("b"))
-    kept
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= cfg.topKPerImage)
-      .drop("rk")
+    def topKBy(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+      val w = Window.partitionBy(col("a")).orderBy(key.desc, col("b"))
+      df.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= cfg.topKPerImage)
+        .drop("rk")
+    }
+    val byJac = topKBy(scored.where(col("jaccard_sig") >= cfg.minJaccardSig),
+      col("jaccard_sig"))
+    val bySim = topKBy(scored.where(col("hamming") <= cfg.simhashMaxHamming),
+      lit(64) - col("hamming"))
+    val bySpan = topKBy(scored.where(col("span_len") >= cfg.saMinSpan),
+      col("span_len"))
+    byJac.unionByName(bySim).unionByName(bySpan).dropDuplicates("a", "b")
   }
 
   private val psnrUdf = udf { (a: Array[Byte], b: Array[Byte]) => Imaging.psnr(a, b) }

@@ -103,10 +103,20 @@ object StreamJob {
     val newIds = newRows.select(col("image_id"))
     val preBatch = (df: DataFrame) =>
       df.join(broadcast(newIds), Seq("image_id"), "left_anti")
+    // the committed id space is derived from the CORPUS (one pruned
+    // image_id column scan + the codegen hash projection under the
+    // committed repairs), NOT from the signatures table: exact-tier
+    // suppression commits same-caption dup rows to the corpus WITHOUT
+    // signature rows, and a new row colliding with such a row's id
+    // would go undetected — two corpus rows sharing one i64 id is
+    // exactly the corruption IdHash exists to prevent
+    val repairsHist = io.load("id_repairs").map(preBatch)
     val repairs = IdHash.buildRepairsIncremental(
         newIds,
-        sigsHist.map(h => preBatch(h).select(col("id"))),
-        io.load("id_repairs").map(preBatch))
+        corpusHist.map(h => IdHash.withId(
+          preBatch(h).select(col("image_id")), "image_id", "id", repairsHist)
+          .select(col("id"))),
+        repairsHist)
       .map(r => io.replaceTagged("id_repairs", r, s"${tagPrefix}b$batchId"))
 
     val clean = newRows

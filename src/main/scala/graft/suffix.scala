@@ -29,12 +29,22 @@ object SuffixPass {
 
   // ---- winnowing ----
 
-  def winnowFingerprints(s: String, k: Int, minSpan: Int): Array[Long] = {
-    if (s == null || s.length < minSpan) return Array.emptyLongArray
+  /** Shared winnowing selection rule over a caller-supplied per-gram
+    * hash (Schleimer et al. 2003) — [[winnowFingerprints]] plugs the
+    * xxhash-style window hash, [[TextOps.winnowPoly]] the SQL-twin
+    * polynomial hash; ONE selection-rule implementation, so the two
+    * can never silently diverge. The guard covers BOTH bounds: a
+    * string shorter than the GRAM length would otherwise allocate a
+    * negative-length hash array (reachable when a caller passes
+    * k > minSpan).
+    */
+  private[graft] def winnowKernel(s: String, k: Int, minSpan: Int,
+      gramHash: (String, Int, Int) => Long): Array[Long] = {
+    if (s == null || s.length < math.max(minSpan, k)) return Array.emptyLongArray
     val n = s.length - k + 1
     val hs = new Array[Long](n)
     var i = 0
-    while (i < n) { hs(i) = Hashing.hashWindow(s, i, k); i += 1 }
+    while (i < n) { hs(i) = gramHash(s, i, k); i += 1 }
     val w = math.max(1, minSpan - k + 1)
     if (n <= w) return Array(hs.min)
     val set = new java.util.TreeSet[java.lang.Long]()
@@ -51,6 +61,9 @@ object SuffixPass {
     while (it.hasNext) { out(j2) = it.next(); j2 += 1 }
     out
   }
+
+  def winnowFingerprints(s: String, k: Int, minSpan: Int): Array[Long] =
+    winnowKernel(s, k, minSpan, Hashing.hashWindow)
 
   // ---- generalized suffix array kernel ----
 

@@ -114,35 +114,18 @@ object TextOps {
     * query verifies the whole winnowing operator end-to-end against an
     * independent SQL recomputation.
     */
-  def winnowPoly(s: String, k: Int, minSpan: Int): Array[Long] = {
-    if (s == null || s.length < minSpan) return Array.emptyLongArray
-    val M = 2147483647L // 2^31 − 1; Horner step stays < 2^45, no overflow
-    val n = s.length - k + 1
-    val hs = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      var h = 0L
-      var j = i
-      while (j < i + k) { h = (h * 131 + s.charAt(j)) % M; j += 1 }
-      hs(i) = h
-      i += 1
-    }
-    val w = math.max(1, minSpan - k + 1)
-    val set = new java.util.TreeSet[java.lang.Long]()
-    if (n <= w) set.add(hs.min)
-    else {
-      var start = 0
-      while (start + w <= n) {
-        var m = hs(start); var j = start + 1
-        while (j < start + w) { if (hs(j) < m) m = hs(j); j += 1 }
-        set.add(m)
-        start += 1
-      }
-    }
-    val out = new Array[Long](set.size)
-    val it = set.iterator(); var j2 = 0
-    while (it.hasNext) { out(j2) = it.next(); j2 += 1 }
-    out
+  def winnowPoly(s: String, k: Int, minSpan: Int): Array[Long] =
+    SuffixPass.winnowKernel(s, k, minSpan, polyGram)
+
+  /** Horner base-131 mod 2^31−1 over s[i, i+k) — the step stays < 2^45,
+    * no overflow; exactly recomputable in DuckDB integer SQL.
+    */
+  private def polyGram(s: String, i: Int, k: Int): Long = {
+    val M = 2147483647L
+    var h = 0L
+    var j = i
+    while (j < i + k) { h = (h * 131 + s.charAt(j)) % M; j += 1 }
+    h
   }
 
   val polyFingerprintsUdf = udf(winnowPoly _)
@@ -153,10 +136,16 @@ object TextOps {
     */
   def qualityColumns(text: Column): Seq[Column] = {
     val len = length(text)
-    val toks = split(trim(text), "\\s+")
+    // empty-token filter: Spark's trim strips only ASCII spaces and
+    // split keeps leading/trailing empty fields, so "\nthe cat" would
+    // otherwise tokenize as ["", "the", "cat"] — phantom tokens skewing
+    // n_tokens and every ratio whose denominator they inflate (and
+    // empty text would count 1 token)
+    val toks = filter(split(trim(text), "\\s+"), x => x =!= "")
     val nToks = size(toks)
     val stop = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
-    val nStop = stop.map(w => size(filter(toks, x => x === w))).reduce(_ + _)
+    // one membership filter, not ten per-word array scans
+    val nStop = size(filter(toks, x => x.isin(stop: _*)))
     Seq(
       len.cast("long").as("len"),
       round(length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /

@@ -125,6 +125,9 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        // plan fully executed: drop this run's ANN codebook broadcasts
+        // (outside the timed window they'd accumulate across 100+ queries)
+        AnnBroadcasts.release()
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())

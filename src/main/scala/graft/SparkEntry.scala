@@ -3838,7 +3838,8 @@ object SparkEntry {
     // raw text.
     "q_tfidf_cosine" ->
       """WITH tk AS (
-           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS term
            FROM documents WHERE doc_id < 100),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
          dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -3881,7 +3882,8 @@ object SparkEntry {
     * doubles the Scala side computes), rank on the rounded score.
     */
   private def bm25Ctes(qmod: Int): String =
-    s"""tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    s"""tk AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
               FROM documents WHERE doc_id < 150),
        st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM tk),
        pl AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk),
@@ -3890,7 +3892,8 @@ object SparkEntry {
        dfa AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        dfk AS (SELECT term, df FROM dfa, st WHERE df <= n_docs * 0.8),
        qt AS (SELECT doc_id AS qid,
-                unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS term
+                unnest(list_distinct(list_filter(
+                  regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS term
               FROM documents WHERE doc_id < 150 AND doc_id % $qmod = 0),
        sc AS (SELECT qt.qid, tf.doc_id,
                 round(sum(
@@ -3920,11 +3923,13 @@ object SparkEntry {
            round(jaro_winkler_similarity(
              substring(q.text, 1, 80), substring(d.text, 1, 80)), 4) AS jw,
            round(CAST(len(list_intersect(
-               list_distinct(regexp_split_to_array(trim(q.text), '\\s+')),
-               list_distinct(regexp_split_to_array(trim(d.text), '\\s+')))) AS DOUBLE) /
-             greatest(len(list_distinct(list_concat(
+               list_distinct(list_filter(
+                 regexp_split_to_array(trim(q.text), '\\s+'), x -> x <> '')),
+               list_distinct(list_filter(
+                 regexp_split_to_array(trim(d.text), '\\s+'), x -> x <> '')))) AS DOUBLE) /
+             greatest(len(list_distinct(list_filter(list_concat(
                regexp_split_to_array(trim(q.text), '\\s+'),
-               regexp_split_to_array(trim(d.text), '\\s+')))), 1), 4) AS jacc
+               regexp_split_to_array(trim(d.text), '\\s+')), x -> x <> ''))), 1), 4) AS jacc
          FROM topk t
          JOIN documents q ON t.qid = q.doc_id
          JOIN documents d ON t.doc_id = d.doc_id)"""

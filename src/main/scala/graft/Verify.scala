@@ -26,7 +26,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // the query's plan is fully materialized (written or failed):
+        // drop its ANN codebook broadcasts so the session never holds
+        // more than one query's worth of broadcast blocks
+        AnnBroadcasts.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

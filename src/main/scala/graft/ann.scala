@@ -15,6 +15,49 @@ import org.apache.spark.sql.functions._
   * O(n²) cross join; multi-probe (flip one bit) recovers recall lost at
   * bucket borders.
   */
+/** Lifetime registry for the ANN family's codebook broadcasts (IVF
+  * centroids, PQ sub-quantizer codebooks, SemDedup cells — up to ~67 MB
+  * EACH at the 2¹⁶-cell ceiling). A broadcast must outlive every
+  * unexecuted plan that references it, so `ivfTopK`-style builders can't
+  * destroy their own: they register here instead, and the CALLER releases
+  * after materializing the returned plans. Verify and Bench release
+  * between queries, so a session running the whole scoreboard holds at
+  * most one query's codebooks live — the round-3 ADVICE leak (repeated
+  * ANN calls accumulating broadcast blocks until plan GC) is closed by
+  * construction for every driver-visible path, and long-lived library
+  * callers get the same one-call contract.
+  */
+object AnnBroadcasts {
+  private val live =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]()
+
+  private[graft] def track[T](
+      b: org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] = {
+    live.add(b); b
+  }
+
+  /** Number of registered, not-yet-released codebook broadcasts. */
+  def liveCount: Int = live.size
+
+  /** Destroy every codebook broadcast registered since the last release.
+    * Call ONLY after materializing (collect/write/count) the plans built
+    * since then — a destroyed broadcast fails any still-unexecuted plan
+    * that references it. Returns the number destroyed.
+    */
+  def release(): Int = {
+    var n = 0
+    var b = live.poll()
+    while (b != null) {
+      // blocking=false: removal proceeds asynchronously; the driver
+      // doesn't stall between queries
+      b.destroy()
+      n += 1
+      b = live.poll()
+    }
+    n
+  }
+}
+
 object Ann {
 
   /** Hyperplane component (p, i) ∈ {-1, +1}, derived from a hash — no

@@ -33,18 +33,29 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightPayload: Seq[String], rightTie: String): DataFrame = {
-    // fail fast on a non-numeric tiebreak: cast("long") on e.g. a UUID
-    // column silently nulls EVERY tie value, collapsing the documented
-    // deterministic tie rule into physical-order selection
-    val tieType = right.schema(rightTie).dataType.typeName
-    require(Set("long", "integer", "short", "byte")(tieType),
-      s"rightTie must be an integral column, got $tieType for $rightTie")
+    // fail fast on a tiebreak whose cast to the sort column is lossy or
+    // nulling: cast("long") on e.g. a UUID string silently nulls EVERY
+    // tie value, collapsing the documented deterministic tie rule into
+    // physical-order selection. Any NUMERIC type is accepted (a double
+    // sequence or decimal rank is a legitimate tiebreak — it sorts on
+    // its own type); only string/binary/complex types are rejected.
+    val tieIsNumeric = right.schema(rightTie).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
+    require(tieIsNumeric,
+      s"rightTie must be a numeric column, got " +
+        s"${right.schema(rightTie).dataType.typeName} for $rightTie")
+    val tieType = right.schema(rightTie).dataType
     val pay = struct((ts +: rightPayload).map(col): _*)
     val payType = right.select(pay.as("p")).schema("p").dataType
     val leftCols = left.columns.toSeq
+    // left rows never compete on __tie (side 1 sorts after every side-0
+    // row at equal ts), so the left side carries a typed null and the
+    // right side keeps its NATIVE numeric type — no lossy cast anywhere
     val l = left
       .withColumn("__side", lit(1))
-      .withColumn("__tie", lit(0L))
+      .withColumn("__tie", lit(null).cast(tieType))
       .withColumn("__pay", lit(null).cast(payType))
     // a null-ts right row can never satisfy right.ts <= left.ts, but
     // Spark's nulls-first ascending sort would place it BEFORE every
@@ -53,7 +64,7 @@ object AsOf {
     val rightValid = right.where(col(ts).isNotNull)
     val r = rightValid.select(
       Seq(col(key), col(ts), lit(0).as("__side"),
-        col(rightTie).cast("long").as("__tie"), pay.as("__pay")) ++
+        col(rightTie).as("__tie"), pay.as("__pay")) ++
         leftCols.filterNot(c => c == key || c == ts)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(key)

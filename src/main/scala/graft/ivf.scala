@@ -321,7 +321,7 @@ object Ivf {
     // ONE broadcast shared by both closures: the codebook is
     // ~nCells·dim·8 B ≈ 67 MB at the 2¹⁶ ceiling — shipped once via
     // torrent broadcast, not serialized into each UDF's task binary twice
-    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+    val bc = AnnBroadcasts.track(corpus.sparkSession.sparkContext.broadcast(cb))
     val cellU = udf((v: Seq[Float]) =>
       bc.value.cellOf(normalize(v.map(_.toDouble).toArray)))
     val probeU = udf((v: Seq[Float]) =>

@@ -43,18 +43,17 @@ object LinkJob {
     graft.functions.GraftFunctions.register(spark)
     val matches = Retrieval.linkCandidates(
       queries, corpus, k, tauJw, tauJacc, maxDfFrac, excludeSelf)
-    // same prior-commits discipline as DedupJob: commit() short-circuits
-    // on an existing snapshot, and the config hash covers the RULE
-    // parameters, not the input data — so a rerun against a different
-    // input under the same --out must be called out, not silently served
-    // the old matches.
-    if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$out/_manifest/matches.json")))
-      System.err.println(s"[graft] $out already holds a committed matches " +
-        "snapshot; it will be REUSED (the config hash covers thresholds, " +
-        "not inputs — use a fresh --out for new input data)")
+    // same prior-commits discipline as DedupJob, extended to the INPUTS:
+    // the config hash folds in an order-independent content fingerprint
+    // of both sides (row count + wrapped sum of xxhash64 over id+text),
+    // so rerunning under the same --out with different --queries/--corpus
+    // FAILS HARD at the TableIO guard instead of silently serving the
+    // previously committed matches (a stderr warning was the only
+    // safeguard before — easy to miss in spark-submit logs). Costs one
+    // extra scan per input; the linkage itself scans them several times.
     val io = new ParquetTableIO(spark, out, runId,
-      configHash(k, tauJw, tauJacc, maxDfFrac, excludeSelf))
+      configHash(k, tauJw, tauJacc, maxDfFrac, excludeSelf) + "-" +
+        inputFingerprint(queries, corpus))
     val committed = io.commit("matches", matches)
     val row = committed.agg(count(lit(1)).as("n"),
       count(when(col("matched"), 1)).as("m")).collect()(0)
@@ -71,6 +70,24 @@ object LinkJob {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
     d.map(b => f"$b%02x").mkString
+  }
+
+  /** Order-independent content fingerprint of the two linkage inputs:
+    * per side, (row count, DECIMAL sum of xxhash64 over all columns —
+    * decimal so the sum can't hit ANSI-mode long overflow). Deterministic
+    * under repartitioning/input order; any changed, added, or dropped
+    * row flips it (modulo the usual hash-sum caveats), which is all the
+    * idempotence guard needs.
+    */
+  def inputFingerprint(queries: DataFrame, corpus: DataFrame): String = {
+    def fp(df: DataFrame): String = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("h"))
+        .collect()(0)
+      s"${r.getLong(0)}x${r.getDecimal(1).toBigInteger.toString(16)}"
+    }
+    fp(queries) + "-" + fp(corpus)
   }
 
   def main(args: Array[String]): Unit = {

@@ -114,6 +114,19 @@ final case class DedupConfig(
     //   pins golden clusters + zero decoy merges under the flag on the
     //   caption fixture.
     seed: Long = 42L,
+    requireCaptionEq: Boolean = false, // BASELINE.json:L15 states the
+    //   per-row invariant as decoded-pixel allclose + CAPTION EQUALITY.
+    //   Default OFF (pixel-only is_dup) is this engine's DELIBERATE
+    //   reading, documented in SURVEY.md §1.2: byte-identical images with
+    //   rewritten captions ARE near-duplicates for every training-data
+    //   purpose this engine serves (the rewritten-caption triangle in
+    //   PipelineSpec is the canonical case — A≡B bytes, B's caption
+    //   rewritten to near C's; strict caption equality would split
+    //   {A,B} while still merging B→C via the span path, an incoherent
+    //   cluster shape). ON = the invariant's letter: a pair is a dup only
+    //   if pixels match AND captions are equal — is_dup gates on
+    //   caption_eq, and exact-tier byte groups feed ONLY their
+    //   same-caption edges to CC. Both semantics are golden-pinned.
     exactTier: Boolean = false // T38 tier-1 for the image pipeline: group
     //   byte-identical images by md5(bytes) BEFORE signatures, drop
     //   SAME-CAPTION dup members from the signature table, and feed
@@ -157,7 +170,8 @@ final case class DedupConfig(
       bucketCap, topKPerImage, sigBuckets, broadcastSigRows,
       streamCompactEvery, seed)
     val s = (base ++ (if (useOphSignatures) List("oph") else Nil)
-      ++ (if (exactTier) List("exact_tier") else Nil))
+      ++ (if (exactTier) List("exact_tier") else Nil)
+      ++ (if (requireCaptionEq) List("cap_eq") else Nil))
       .mkString("|")
     java.lang.Long.toHexString(Hashing.hashString(s))
   }

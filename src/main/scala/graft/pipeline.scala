@@ -89,6 +89,23 @@ object Pipeline {
         persisted += p
         p
     }
+    // Wide pair stages commit BUCKETED on their downstream join key "a"
+    // (Iceberg bucket transform twin, same as the signatures stage):
+    // scoring joins candidates⋈sigs on a, verify joins scored⋈payload on
+    // a — with the commit bucketed, those joins skip the bucketed side's
+    // exchange in-run and on resume in a fresh JVM (TableIOSpec asserts
+    // the plan). `verified` deliberately stays dup_part-PARTITIONED
+    // instead: its only consumer (CC) filters dup rows and aggregates —
+    // no pair-keyed equi-join to feed — so partition pruning (≥90% of the
+    // stage's bytes skipped at realistic dup rates) is worth more than a
+    // bucket layout nothing joins on.
+    def ckptBucketed(stage: String)(df: => DataFrame): DataFrame = io match {
+      case Some(t) => t.commitBucketed(stage, df, "a", cfg.sigBuckets)
+      case None =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += p
+        p
+    }
 
     // i64-id collision REPAIR (IdHash scaladoc has the envelope math):
     // collisions are certain at the 10¹² target (~27k expected), so the
@@ -161,7 +178,7 @@ object Pipeline {
     val shObs = new Observation()
     val spanObs = new Observation()
     val spanDocObs = new Observation()
-    val candidates = ckpt("candidates") {
+    val candidates = ckptBucketed("candidates") {
       val bandsDf = Lsh.bands(sigs, cfg)
       val lshPairs = Lsh.lshCandidates(bandsDf, cfg, dedup = false, census = Some(lshObs))
       val shPairs = Lsh.simhashCandidates(sigs, cfg, dedup = false, census = Some(shObs))
@@ -174,7 +191,7 @@ object Pipeline {
     // stage 4: signature-space scoring + keep-rule + top-k. The signature
     // count (already materialized by the stage-1 checkpoint/persist)
     // drives the adaptive broadcast-vs-shuffle-hash join choice.
-    val survivors = ckpt("scored") {
+    val survivors = ckptBucketed("scored") {
       Scoring.filterAndTopK(Scoring.score(candidates, sigs, cfg, sigs.count()), cfg)
     }
 
@@ -213,8 +230,13 @@ object Pipeline {
       // byte-identical pair has PSNR = ∞, so they ARE verified-dup
       // edges by the keep rule, at zero decode cost).
       val dupEdges = verified.where(col("dup_part") === 1).select(col("a"), col("b"))
-      val edges = exactEdges.fold(dupEdges)(e =>
-        dupEdges.unionByName(e.select(col("a"), col("b"))))
+      // under requireCaptionEq a byte-identical pair with a rewritten
+      // caption is NOT a dup (the L15 letter), so only same-caption
+      // exact edges enter CC — mirroring the caption_eq gate in verify
+      val edges = exactEdges.fold(dupEdges) { e0 =>
+        val e = if (cfg.requireCaptionEq) e0.where(col("same_caption")) else e0
+        dupEdges.unionByName(e.select(col("a"), col("b")))
+      }
       ConnectedComponents.clusterHashed(edges, corpus.select(col("image_id")),
         repairs = repairs)
     }
@@ -316,9 +338,13 @@ object DedupJob {
     // (model.scala exactTier) — also in configHash, so resume against
     // snapshots produced without the tier refuses (the signature and
     // candidate tables cover different row sets).
+    // --require-caption-eq true enforces the L15 invariant's letter
+    // (pixels AND caption equality — model.scala requireCaptionEq); in
+    // configHash, so resume against pixel-only snapshots refuses.
     val cfg = DedupConfig(
       useOphSignatures = argMap.get("--oph-signatures").exists(_.toBoolean),
-      exactTier = argMap.get("--exact-tier").exists(_.toBoolean))
+      exactTier = argMap.get("--exact-tier").exists(_.toBoolean),
+      requireCaptionEq = argMap.get("--require-caption-eq").exists(_.toBoolean))
     val priorCommits = java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$out/_manifest/config.hash"))
     if (priorCommits && !resume)

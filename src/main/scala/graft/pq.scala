@@ -197,7 +197,7 @@ object Pq {
     else math.min(262144, math.max(32768, 32 * kCent))
     val sample = Ivf.sampleVectors(corpus, n, seed, sampleBytes)
     val cb = train(sample, m, kCent, iters)
-    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+    val bc = AnnBroadcasts.track(corpus.sparkSession.sparkContext.broadcast(cb))
     val codeU = udf((v: Seq[Float]) =>
       bc.value.encode(Ivf.normalize(v.map(_.toDouble).toArray)))
     val lutU = udf((v: Seq[Float]) =>
@@ -271,8 +271,8 @@ object Pq {
       if (lists <= twoLevelFrom) Ivf.FlatCodebook(Ivf.lloyd(sample, lists, iters))
       else Ivf.trainTwoLevel(sample, lists, iters)
     val pq = train(sample, m, kCent, iters)
-    val bcC = corpus.sparkSession.sparkContext.broadcast(coarse)
-    val bcP = corpus.sparkSession.sparkContext.broadcast(pq)
+    val bcC = AnnBroadcasts.track(corpus.sparkSession.sparkContext.broadcast(coarse))
+    val bcP = AnnBroadcasts.track(corpus.sparkSession.sparkContext.broadcast(pq))
     val cellU = udf((v: Seq[Float]) =>
       bcC.value.cellOf(Ivf.normalize(v.map(_.toDouble).toArray)))
     val probeU = udf((v: Seq[Float]) =>

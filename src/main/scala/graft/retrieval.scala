@@ -120,6 +120,15 @@ object StringSim {
   */
 object Retrieval {
 
+  /** Shared tokenizer: \s+ split with the empty-token filter (the same
+    * filter TextOps.qualityColumns applies) — an empty or whitespace-only
+    * doc yields ZERO terms, not one phantom '' term through which blank
+    * docs would retrieve/link each other. Mirrored as `list_filter` in
+    * every retrieval oracle twin.
+    */
+  private def toks(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(trim(c), "\\s+"), x => x =!= "")
+
   /** Top-k BM25 candidates per query. `queries` = (qid, qtext),
     * `corpus` = (doc_id, text); emits (qid, rk, doc_id, score).
     * `excludeSelf` drops doc_id == qid rows (queries drawn from the
@@ -136,8 +145,7 @@ object Retrieval {
       b: Double = 0.75,
       maxDfFrac: Double = 0.5,
       excludeSelf: Boolean = true): DataFrame = {
-    val base = corpus.select(col("doc_id"),
-      split(trim(col("text")), "\\s+").as("toks"))
+    val base = corpus.select(col("doc_id"), toks(col("text")).as("toks"))
     val stats = base.agg(
       count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_dl"))
     val postings = base
@@ -150,7 +158,7 @@ object Retrieval {
       .where(col("df") <= col("n_docs") * maxDfFrac)
       .select("term", "df")
     val qt = queries.select(col("qid"),
-      explode(array_distinct(split(trim(col("qtext")), "\\s+"))).as("term"))
+      explode(array_distinct(toks(col("qtext")))).as("term"))
     // hot-term drop BEFORE the probe: the query-term side (tiny) joins
     // the vocab-sized df table first, so a df≈N stopword leaves the
     // probe side here — at a cost proportional to the QUERY terms — and
@@ -206,8 +214,7 @@ object Retrieval {
     val cands = bm25TopK(queries, corpus, k, maxDfFrac = maxDfFrac,
       excludeSelf = excludeSelf)
     def pfx(c: org.apache.spark.sql.Column) = substring(c, 1, 80)
-    def tokset(c: org.apache.spark.sql.Column) =
-      array_distinct(split(trim(c), "\\s+"))
+    def tokset(c: org.apache.spark.sql.Column) = array_distinct(toks(c))
     val q = queries.select(col("qid"), col("qtext"))
     val d = corpus.select(col("doc_id"), col("text"))
     cands.join(q, "qid").join(d, "doc_id")
@@ -239,7 +246,7 @@ object Retrieval {
     */
   def tfidfCosinePairs(corpus: DataFrame): DataFrame = {
     val tf = corpus
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nd = corpus.agg(count(lit(1)).as("n_docs"))

@@ -147,7 +147,13 @@ object Scoring {
         when(col("bytes_a") === col("bytes_b"), lit(Imaging.PsnrExact))
           .otherwise(psnrUdf(col("bytes_a"), col("bytes_b"))))
       .withColumn("caption_eq", col("cap_a") === col("cap_b"))
-      .withColumn("is_dup", col("psnr") >= cfg.psnrThresholdDb)
+      // default: pixel-only (the engine's documented reading of the L15
+      // invariant — SURVEY.md §1.2); requireCaptionEq: the invariant's
+      // letter, pixels AND caption equality (model.scala rationale)
+      .withColumn("is_dup",
+        if (cfg.requireCaptionEq)
+          col("psnr") >= cfg.psnrThresholdDb && col("caption_eq")
+        else col("psnr") >= cfg.psnrThresholdDb)
       .select(col("a_img").as("a"), col("b_img").as("b"), col("src"),
         col("span_len"), col("jaccard_sig"), col("hamming"), col("psnr"),
         col("caption_eq"), col("is_dup"))

@@ -118,7 +118,7 @@ object SemDedup {
         val cb: Ivf.Codebook =
           if (lists <= 4096) Ivf.FlatCodebook(Ivf.lloyd(sample, lists, iters))
           else Ivf.trainTwoLevel(sample, lists, iters)
-        val bc = emb.sparkSession.sparkContext.broadcast(cb)
+        val bc = AnnBroadcasts.track(emb.sparkSession.sparkContext.broadcast(cb))
         val cellU = udf((v: Seq[Float]) =>
           bc.value.cellOf(Ivf.normalize(v.map(_.toDouble).toArray)))
         // keys/vecs split as in Ann.capKeyed: only (cell, id) rides the

@@ -326,7 +326,12 @@ object StreamJob {
     val dupEdges = io.loadTagged("verified", tag).get
       .where(col("is_dup")).select(col("a"), col("b"))
     val newEdges = io.loadTagged("exact_edges", tag)
-      .map(e => dupEdges.unionByName(e.select(col("a"), col("b"))))
+      .map { e0 =>
+        // requireCaptionEq: same-caption exact edges only (the batch
+        // pipeline's gate, mirrored — stream ≡ batch under the flag)
+        val e = if (cfg.requireCaptionEq) e0.where(col("same_caption")) else e0
+        dupEdges.unionByName(e.select(col("a"), col("b")))
+      }
       .getOrElse(dupEdges)
     val clusters = liveClusters(io) match {
       case None => // first batch: plain CC, committed as the base snapshot
@@ -472,10 +477,20 @@ object StreamJob {
     // no-ops.
     val idPath = java.nio.file.Paths.get(checkpointDir, "graft_stream_id")
     java.nio.file.Files.createDirectories(idPath.getParent)
-    if (!java.nio.file.Files.exists(idPath))
+    if (!java.nio.file.Files.exists(idPath)) {
+      // pre-upgrade checkpoint (offsets already exist but no id file):
+      // keep the LEGACY EMPTY prefix, persisted, so an in-flight batch
+      // replayed from that checkpoint no-ops against the prior attempt's
+      // untagged 'bN' snapshots instead of re-committing under fresh
+      // '<id>-bN' tags — the exactly-once tag guarantee holds across the
+      // upgrade, not just for checkpoints born after it.
+      val offsets = new java.io.File(checkpointDir, "offsets").list()
+      val legacy = offsets != null && offsets.nonEmpty
       java.nio.file.Files.writeString(idPath,
-        java.util.UUID.randomUUID().toString.take(8))
-    val tagPrefix = java.nio.file.Files.readString(idPath).trim + "-"
+        if (legacy) "" else java.util.UUID.randomUUID().toString.take(8))
+    }
+    val streamId = java.nio.file.Files.readString(idPath).trim
+    val tagPrefix = if (streamId.isEmpty) "" else streamId + "-"
     val stream = spark.readStream
       .schema(Encoders.product[ImageRow].schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -528,7 +543,8 @@ object StreamJob {
     val expireKeep = argMap.getOrElse("--expire-keep", "0").toInt
     val cfg = DedupConfig(
       useOphSignatures = argMap.get("--oph-signatures").exists(_.toBoolean),
-      exactTier = argMap.get("--exact-tier").exists(_.toBoolean))
+      exactTier = argMap.get("--exact-tier").exists(_.toBoolean),
+      requireCaptionEq = argMap.get("--require-caption-eq").exists(_.toBoolean))
 
     val builder = SparkSession.builder()
       .appName("graft-stream")

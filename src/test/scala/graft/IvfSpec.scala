@@ -142,6 +142,44 @@ class IvfSpec extends SparkSpec {
     assert(clipped.zip(full.take(10)).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("ivf: codebook broadcasts are released — 20 calls don't accumulate blocks") {
+    // round-3 ADVICE leak: every ivfTopK call broadcast a codebook that
+    // was never destroyed, so a long-lived session accumulated up to
+    // ~67 MB of broadcast blocks per call until plan GC. Contract now:
+    // builders register in AnnBroadcasts, the caller releases after
+    // materializing (Verify/Bench do this between queries).
+    val rng = new java.util.SplittableRandom(17)
+    val all = (0 until 200).map { i =>
+      (i.toLong, Array.fill(8)(rng.nextDouble().toFloat - 0.5f))
+    }.toDF("id", "vec")
+    val q = all.limit(3).select(col("id").as("qid"), col("vec").as("qvec"))
+    AnnBroadcasts.release() // clean slate (other suites may have tracked)
+    def broadcastBlocks(): Int = org.apache.spark.SparkEnv.get.blockManager
+      .getMatchingBlockIds(_.isBroadcast).size
+    val first = Ivf.ivfTopK(all, q, k = 3).orderBy("qid", "rk").collect()
+    assert(AnnBroadcasts.liveCount == 1, "one codebook broadcast per call")
+    AnnBroadcasts.release()
+    val before = broadcastBlocks()
+    val results = (1 to 20).map { _ =>
+      val r = Ivf.ivfTopK(all, q, k = 3).orderBy("qid", "rk").collect()
+      assert(AnnBroadcasts.release() == 1)
+      r
+    }
+    assert(results.forall(_.sameElements(first)),
+      "releasing between materialized calls must not change rows")
+    assert(AnnBroadcasts.liveCount == 0)
+    // destroy is async and join-broadcast blocks are ContextCleaner-GC'd;
+    // poll (with GC nudges) until the block count returns to ~baseline —
+    // 20 leaked codebooks would hold it 20 blocks high forever
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var now = broadcastBlocks()
+    while (now > before + 4 && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(200); now = broadcastBlocks()
+    }
+    assert(now <= before + 4,
+      s"broadcast blocks grew $before -> $now across 20 released ANN calls")
+  }
+
   test("ivf: hot-cell cap drops are observable, never silent") {
     // constant vectors: every corpus row lands in ONE cell
     val all = (0 until 50).map(i => (i.toLong, Array.fill(8)(1.0f))).toDF("id", "vec")

@@ -25,7 +25,8 @@ class LinkJobSpec extends SparkSpec {
       k = 5, tauJw = 0.8, tauJacc = 0.95, maxDfFrac = 1.0)
     assert(cands > 0 && matched > 0 && matched < cands)
     val committed = new ParquetTableIO(spark, out, "t1",
-      LinkJob.configHash(5, 0.8, 0.95, 1.0)).load("matches").get
+      LinkJob.configHash(5, 0.8, 0.95, 1.0) + "-" +
+        LinkJob.inputFingerprint(qs, corpus)).load("matches").get
     val m = committed.where(col("qid") === 0L && col("matched"))
       .select("doc_id").as[Long].collect().toSet
     assert(m.contains(1L), "the one-token-off twin must be matched")
@@ -56,6 +57,21 @@ class LinkJobSpec extends SparkSpec {
     LinkJob.run(spark, qs, corpus, out, "t1", 5, 0.8, 0.95, 1.0)
     val e = intercept[Exception] {
       LinkJob.run(spark, qs, corpus, out, "t1", 5, 0.9, 0.95, 1.0)
+    }
+    assert(e.getMessage.toLowerCase.contains("config"),
+      s"expected the idempotence guard, got: ${e.getMessage}")
+  }
+
+  test("input-fingerprint guard refuses a rerun with different inputs") {
+    val out = Files.createTempDirectory("graft-link").toString
+    val qs = corpus.select(col("doc_id").as("qid"), col("text").as("qtext"))
+    LinkJob.run(spark, qs, corpus, out, "t1", 5, 0.8, 0.95, 1.0)
+    // same rule parameters, one corpus row changed — must FAIL HARD at
+    // the TableIO guard instead of silently serving the old matches
+    val corpus2 = corpus.withColumn("text",
+      when(col("doc_id") === 4L, lit("mutated row content")).otherwise(col("text")))
+    val e = intercept[Exception] {
+      LinkJob.run(spark, qs, corpus2, out, "t1", 5, 0.8, 0.95, 1.0)
     }
     assert(e.getMessage.toLowerCase.contains("config"),
       s"expected the idempotence guard, got: ${e.getMessage}")

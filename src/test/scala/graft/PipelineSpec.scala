@@ -144,6 +144,48 @@ class PipelineSpec extends SparkSpec {
       "the rewritten caption must keep retrieving the pixel near-dup")
   }
 
+  test("requireCaptionEq pins the L15 letter; default pins the pixel-only reading") {
+    // The same corpus + byte-copies-with-rewritten-captions scenario as
+    // the exact-tier test above, under BOTH semantics:
+    //   - default (pixel-only is_dup, the engine's documented reading —
+    //     SURVEY.md §1.2): byte-identical copies merge regardless of
+    //     caption (pinned by the test above);
+    //   - requireCaptionEq (the L15 invariant's letter): the SAME pairs
+    //     must stay separate, because caption equality is part of the
+    //     dup predicate — while caption-EQUAL dup kinds (exact/reencode/
+    //     noise keep the base caption) still merge at full recall.
+    val copies = corpus.toDF().orderBy("image_id").limit(5)
+      .withColumn("image_id", concat(col("image_id"), lit("_bytecopy")))
+      .withColumn("caption",
+        concat(lit("zz "), reverse(col("caption")), lit(" qq")))
+    val strictCfg = cfg.copy(exactTier = true, requireCaptionEq = true)
+    val r = Pipeline.run(corpus.toDF().unionByName(copies), strictCfg)
+    val clusters = r.clusters.cache()
+    val pairs = clusters.as("c").join(clusters.as("o"),
+        col("c.image_id") === concat(col("o.image_id"), lit("_bytecopy")))
+      .select(col("c.cluster_id").as("cc"), col("o.cluster_id").as("co"))
+      .cache()
+    assert(pairs.count() == 5)
+    assert(pairs.filter($"cc" === $"co").count() == 0,
+      "strict semantics must NOT merge a byte copy whose caption was rewritten")
+    // caption-equal dup kinds still recalled in full under strict mode
+    val sameCap = Fixtures.pairLabels(spark, nClusters).toDF()
+      .filter($"label" && $"kind".isin("exact", "reencode", "noise"))
+    val joined = sameCap
+      .join(clusters.select($"image_id".as("a"), $"cluster_id".as("ca")), "a")
+      .join(clusters.select($"image_id".as("b"), $"cluster_id".as("cb")), "b")
+      .cache()
+    val pos = joined.count()
+    val recovered = joined.filter($"ca" === $"cb").count()
+    assert(pos > 0 && recovered == pos,
+      s"strict mode lost caption-equal dups: $recovered/$pos")
+    // and every verified dup row satisfies BOTH halves of the invariant
+    val bad = r.verified.filter($"is_dup" &&
+      ($"psnr" < cfg.psnrThresholdDb || !$"caption_eq")).count()
+    assert(bad == 0)
+    pairs.unpersist(); joined.unpersist(); clusters.unpersist()
+  }
+
   test("OPH signature path reproduces the golden clusters (drop-in sketch swap)") {
     val r = Pipeline.run(corpus.toDF(), cfg.copy(useOphSignatures = true))
     val clusters = r.clusters.cache()

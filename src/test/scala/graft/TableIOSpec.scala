@@ -72,6 +72,51 @@ class TableIOSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(dup_part"), plan)
   }
 
+  test("pipeline commits candidates/scored bucketed: resumed joins skip their exchange") {
+    // round-2 item 6 completed (round 4): the wide pair stages commit
+    // bucketed on the downstream join key "a", so the scoring join
+    // (candidates ⋈ signatures) and the verify join (scored ⋈ payload)
+    // read pre-partitioned sides on resume in a fresh catalog.
+    val root = tmpDir()
+    val corpus = Fixtures.corpus(spark, 25).toDF()
+    val io = new ParquetTableIO(spark, root, "runBk", DedupConfig().configHash)
+    val r = Pipeline.runCheckpointed(corpus, DedupConfig(), io)
+    r.clusters.count()
+    r.unpersist()
+    // fresh-catalog resume: bucket metadata must come from the persisted
+    // bucket spec, not this session's catalog state
+    spark.catalog.listTables().collect()
+      .filter(t => t.name.startsWith("graft_candidates_") ||
+        t.name.startsWith("graft_scored_") || t.name.startsWith("graft_signatures_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    // broadcast off: a tiny test relation would otherwise broadcast and
+    // make the zero-exchange assertion vacuous
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // scoring-shaped join: BOTH sides bucketed on the key (candidates
+      // on a, signatures on id aliased to a) ⇒ ZERO exchanges
+      val cand = io.load("candidates").get
+      val sigs = io.load("signatures").get
+      val scoringPlan = cand
+        .join(sigs.select(col("id").as("a"), col("minhash")), Seq("a"))
+        .queryExecution.executedPlan.toString
+      assert(scoringPlan.contains("Bucketed: true"), scoringPlan)
+      assert("Exchange hashpartitioning".r.findAllIn(scoringPlan).isEmpty,
+        scoringPlan)
+      // verify-shaped join: scored bucketed, the (unbucketed) payload
+      // side hinted SHUFFLE_HASH ⇒ exactly ONE exchange, payload only
+      val scored = io.load("scored").get
+      val payload = corpus.select(xxhash64(col("image_id")).as("a"), col("bytes"))
+      val verifyPlan = scored
+        .join(payload.hint("SHUFFLE_HASH"), Seq("a"))
+        .queryExecution.executedPlan.toString
+      assert(verifyPlan.contains("Bucketed: true"), verifyPlan)
+      assert("Exchange hashpartitioning".r.findAllIn(verifyPlan).size == 1,
+        verifyPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("bucketed commit: the committed side joins with NO exchange of its own") {
     val root = tmpDir()
     val io = new ParquetTableIO(spark, root, "runB", "cfgA")

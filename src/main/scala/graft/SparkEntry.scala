@@ -326,19 +326,30 @@ object SparkEntry {
         .orderBy("text_hash")
     }),
 
-    // ---- training-data op: token counting ----
+    // ---- training-data op: token counting (script-gated tokenizer:
+    // CJK/Thai segment per codepoint, else \s+ — the planted non-Latin
+    // fixture rows flow through BOTH engines, so a green row certifies
+    // the segmentation itself, not just the ASCII path) ----
     "q_token_counts" -> ((s, d) => {
-      t(s, d, "documents")
+      import s.implicits._
+      val fixtures = langFixtures.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+      t(s, d, "documents").select(col("doc_id"), col("text"), col("n_chars"))
+        .unionByName(fixtures)
         .select(col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          size(TextOps.tokensCol(col("text"))).cast("long").as("n_tokens"),
           col("n_chars"))
         .orderBy("doc_id")
     }),
 
-    // ---- training-data op: quality scoring ----
+    // ---- training-data op: quality scoring (planted CJK rows ride
+    // through len/non_alpha/n_the on both engines) ----
     "q_doc_quality" -> ((s, d) => {
+      import s.implicits._
       val txt = col("text")
-      t(s, d, "documents")
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(langFixtures.toDF("doc_id", "text"))
         .select(col("doc_id"),
           length(txt).cast("long").as("len"),
           (length(txt) - length(regexp_replace(txt, "[^a-z]", ""))).cast("long").as("non_alpha"),
@@ -518,15 +529,20 @@ object SparkEntry {
          count(*) AS n_copies
          FROM documents GROUP BY 1 HAVING count(*) >= 1 ORDER BY text_hash""",
     "q_token_counts" ->
-      """SELECT doc_id,
-         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      s"""WITH src AS (SELECT doc_id, text, n_chars FROM documents
+           UNION ALL SELECT doc_id, text, CAST(length(text) AS BIGINT)
+           FROM (VALUES $langFixtureValues) AS v(doc_id, text))
+         SELECT doc_id,
+         CAST(len(${cjkToksSql("text")}) AS BIGINT) AS n_tokens,
          n_chars
-         FROM documents ORDER BY doc_id""",
+         FROM src ORDER BY doc_id""",
     "q_doc_quality" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT * FROM (VALUES $langFixtureValues) AS v(doc_id, text))
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
          CAST(length(text) - length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS non_alpha,
-         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x = 'the')) AS BIGINT) AS n_the
-         FROM documents ORDER BY doc_id""",
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x = 'the')) AS BIGINT) AS n_the
+         FROM src ORDER BY doc_id""",
     "q_ngram_jaccard" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
          sh AS (
@@ -1233,9 +1249,14 @@ object SparkEntry {
     }),
 
     // text analysis: full quality-scoring heuristic set (DuckDB-oracled:
-    // every heuristic recomputed independently in SQL)
+    // every heuristic recomputed independently in SQL; the planted
+    // non-Latin rows exercise the script-gated tokenizer — a Han/Thai
+    // doc tokenizes per codepoint, so n_tokens/mean_tok_len are real
+    // instead of one giant pseudo-token)
     "q_doc_quality_full" -> ((s, d) => {
-      t(s, d, "documents")
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(langFixtures.toDF("doc_id", "text"))
         .select((col("doc_id") +: TextOps.qualityColumns(col("text"))): _*)
         .orderBy("doc_id")
     }),
@@ -1640,9 +1661,18 @@ object SparkEntry {
       Curation.sourceBalance(t(s, d, "documents")).orderBy("source", "rk")),
 
     // T37: Gopher composite quality filter — signals + per-rule booleans
-    // + the conjunction, all recomputed independently by the oracle.
-    "q_gopher_filter" -> ((s, d) =>
-      Curation.gopherFilter(t(s, d, "documents")).orderBy("doc_id")),
+    // + the conjunction, all recomputed independently by the oracle; the
+    // planted non-Latin rows flow through the script-gated tokenizer
+    // (each fails `keep` on stopword/alpha rules — by design: the rule
+    // THRESHOLDS are Latin-calibrated, but the token SIGNALS they read
+    // are now real for CJK instead of degenerate one-token values).
+    "q_gopher_filter" -> ((s, d) => {
+      import s.implicits._
+      Curation.gopherFilter(
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .unionByName(langFixtures.toDF("doc_id", "text")))
+        .orderBy("doc_id")
+    }),
 
     // T39: URL canonicalization + canonical-URL dedup. The driver tables
     // carry no URL column, so both sides synthesize the same
@@ -2373,6 +2403,22 @@ object SparkEntry {
     (1000008L, "यह मशीन लर्निंग के बारे में एक हिंदी परीक्षण दस्तावेज़ है"),
     (1000009L, "นี่คือเอกสารทดสอบภาษาไทยเกี่ยวกับการเรียนรู้ของเครื่อง"))
 
+  /** VALUES rows of the non-Latin fixtures, shared by every oracle that
+    * unions them in (lang-id, token counts, quality, Gopher).
+    */
+  private[graft] def langFixtureValues: String = langFixtures
+    .map { case (id, txt) => s"($id, '$txt')" }.mkString(", ")
+
+  /** DuckDB twin of [[TextOps.tokensCol]]: the script-gated tokenizer —
+    * isolate each Han/Hiragana/Katakana/Thai codepoint with spaces
+    * (RE2 spells the script classes without Java's `Is` prefix; same
+    * ranges on these mainstream scripts), split on \s+, drop empties.
+    */
+  private def cjkToksSql(c: String): String =
+    "list_filter(regexp_split_to_array(trim(regexp_replace(" + c +
+      ", '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}])', ' \\1 ', 'g')), " +
+      "'\\s+'), x -> x <> '')"
+
   /** RE2 script classes for the oracle — same label map as
     * [[TextOps.scriptLangs]]. Plain (non-interpolated) literal so the
     * backslashes survive.
@@ -2395,8 +2441,7 @@ object SparkEntry {
     val profileRows = TextOps.profiles.toSeq.sortBy(_._1).flatMap { case (l, bgs) =>
       bgs.toSeq.sorted.map(bg => s"('$l', '$bg')")
     }.mkString(", ")
-    val fixtureRows = langFixtures
-      .map { case (id, txt) => s"($id, '$txt')" }.mkString(", ")
+    val fixtureRows = langFixtureValues
     s"""WITH profiles(lang, bg) AS (VALUES $profileRows),
        scripts(slang, pat) AS (VALUES $scriptPatternRows),
        src AS (SELECT doc_id, text FROM documents
@@ -2670,10 +2715,11 @@ object SparkEntry {
     // T37: full recomputation of every signal, every rule boolean, and
     // the keep conjunction.
     "q_gopher_filter" ->
-      """WITH tk AS (
-           SELECT doc_id, text, list_filter(
-             regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
-           FROM documents),
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT * FROM (VALUES $langFixtureValues) AS v(doc_id, text)),
+         tk AS (
+           SELECT doc_id, text, ${cjkToksSql("text")} AS toks
+           FROM src),
          g2 AS (
            SELECT doc_id,
              list_transform(generate_series(1, len(toks)-1),
@@ -3327,15 +3373,16 @@ object SparkEntry {
          FROM g24 x JOIN g24 y ON x.g = y.g AND x.doc_id < y.doc_id
          ORDER BY a, b""",
     "q_doc_quality_full" ->
-      """WITH tk AS (
-           SELECT doc_id, text, list_filter(
-             regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
-           FROM documents)
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT * FROM (VALUES $langFixtureValues) AS v(doc_id, text)),
+         tk AS (
+           SELECT doc_id, text, ${cjkToksSql("text")} AS toks
+           FROM src)
          SELECT doc_id,
          CAST(length(text) AS BIGINT) AS len,
          round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
            greatest(length(text), 1), 4) AS alpha_ratio,
-         round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) /
+         round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) /
            greatest(length(text), 1), 4) AS punct_ratio,
          round(CAST(len(list_filter(toks,
              x -> list_contains(['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE) /

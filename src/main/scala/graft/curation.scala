@@ -403,10 +403,11 @@ object Curation {
     */
   def gopherFilter(docs: DataFrame): DataFrame = {
     val base = docs
-      // same empty-token filter as TextOps.qualityColumns (phantom
-      // tokens from leading/trailing non-space whitespace)
-      .withColumn("toks",
-        filter(split(trim(col("text")), "\\s+"), x => x =!= ""))
+      // THE shared tokenizer (TextOps.tokensCol): script-gated CJK/Thai
+      // segmentation + \s+ split + empty-token filter — n_tokens,
+      // stopword_ratio, mean_tok_len and the repetition signals all
+      // measure the same token stream the quality ops use
+      .withColumn("toks", TextOps.tokensCol(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("g2", when(size(col("toks")) >= 2,
         expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))

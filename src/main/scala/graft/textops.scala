@@ -130,18 +130,48 @@ object TextOps {
 
   val polyFingerprintsUdf = udf(winnowPoly _)
 
+  /** Script-gated segmentation prep (round-4 VERDICT item: every token
+    * signal assumed whitespace-delimited text, so a Han/Thai document
+    * measured as ~one giant token and every ratio built on n_tokens was
+    * wrong for it — the biggest real corpora hit this immediately).
+    * Each codepoint of an UNSEGMENTED script (Han, Hiragana, Katakana,
+    * Thai — scripts written without inter-word spaces) is isolated into
+    * its own token by padding it with spaces before the \s+ split; all
+    * other scripts (Latin, Hangul, Cyrillic, Arabic, Devanagari, …,
+    * which ARE space-delimited) keep whitespace tokenization. Char-level
+    * CJK tokens are the standard cheap segmentation (what C4/mC4 and
+    * BERT-CJK tokenizers do absent a dictionary segmenter); the regex is
+    * in the Java∩RE2 script subset, so the DuckDB twins apply the
+    * IDENTICAL prep (`\p{Han}` etc. — RE2 spells the classes without the
+    * Java-only `Is` prefix; same ranges on these mainstream scripts).
+    */
+  private[graft] val SegmentPattern =
+    "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsThai}])"
+
+  /** Text with unsegmented-script codepoints space-isolated. */
+  def segmented(text: Column): Column =
+    regexp_replace(text, SegmentPattern, " $1 ")
+
+  /** THE shared tokenizer of every token-level quality signal
+    * (qualityColumns, Curation.gopherFilter, q_token_counts): script-
+    * gated segmentation, \s+ split, empty-token filter. The filter also
+    * absorbs the padding spaces `segmented` introduces.
+    */
+  def tokensCol(text: Column): Column =
+    filter(split(trim(segmented(text)), "\\s+"), x => x =!= "")
+
   /** Quality-score columns: length, alpha ratio, punctuation ratio,
     * stopword ratio, mean token length — standard corpus-filtering
     * heuristics (cf. C4/Gopher filtering rules), all built-ins.
     */
   def qualityColumns(text: Column): Seq[Column] = {
     val len = length(text)
-    // empty-token filter: Spark's trim strips only ASCII spaces and
-    // split keeps leading/trailing empty fields, so "\nthe cat" would
-    // otherwise tokenize as ["", "the", "cat"] — phantom tokens skewing
-    // n_tokens and every ratio whose denominator they inflate (and
-    // empty text would count 1 token)
-    val toks = filter(split(trim(text), "\\s+"), x => x =!= "")
+    // empty-token filter (inside tokensCol): Spark's trim strips only
+    // ASCII spaces and split keeps leading/trailing empty fields, so
+    // "\nthe cat" would otherwise tokenize as ["", "the", "cat"] —
+    // phantom tokens skewing n_tokens and every ratio whose denominator
+    // they inflate (and empty text would count 1 token)
+    val toks = tokensCol(text)
     val nToks = size(toks)
     val stop = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
     // one membership filter, not ten per-word array scans

@@ -145,6 +145,32 @@ class OpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_tokens") == 3L)
   }
 
+  test("textops: script-gated tokenizer segments Han/Thai per codepoint") {
+    // round-4 VERDICT item: whitespace tokenization measured a Han/Thai
+    // doc as ~one giant token. The shared tokenizer isolates each
+    // codepoint of the unsegmented scripts (Han/Hiragana/Katakana/Thai)
+    // while space-delimited scripts (Latin, Hangul, …) keep \s+ tokens.
+    val rows = Seq(
+      (1L, "机器学习"),
+      (2L, "AI 学习 systems"), // mixed: Latin words survive whole
+      (3L, "นี่คือ"), // Thai incl. combining marks: 6 codepoints
+      (4L, "이것은 기계") // Hangul IS space-delimited: not segmented
+    ).toDF("doc_id", "text")
+    val out = rows
+      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("t"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect()
+    assert(out(0)._2 == Seq("机", "器", "学", "习"))
+    assert(out(1)._2 == Seq("AI", "学", "习", "systems"))
+    assert(out(2)._2.length == 6, out(2)._2.mkString("|"))
+    assert(out(3)._2 == Seq("이것은", "기계"))
+    // and the quality signals read the segmented stream: a Han doc has
+    // real n_tokens and mean_tok_len 1.0, not one 4-char pseudo-token
+    val q = rows.where(col("doc_id") === 1L)
+      .select(TextOps.qualityColumns(col("text")): _*).collect()(0)
+    assert(q.getAs[Long]("n_tokens") == 4L)
+    assert(q.getAs[Double]("mean_tok_len") == 1.0)
+  }
+
   test("multimodal: decode meta + resize + phash round-trip on fixture images") {
     val corpus = Fixtures.corpus(spark, 4).toDF()
     val feats = Multimodal.imageFeatures(corpus, side = 8)

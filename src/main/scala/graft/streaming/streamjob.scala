@@ -438,7 +438,7 @@ object StreamJob {
     * the incremental repair/CC steps exist to avoid. One equi-join then
     * emits canonical (a < b) pairs.
     */
-  private def crossPairs(
+  private[streaming] def crossPairs(
       newKeys: DataFrame, histKeys: DataFrame, keys: Seq[String],
       cfg: DedupConfig): DataFrame = {
     val wanted = newKeys.select(keys.map(col): _*).dropDuplicates(keys)

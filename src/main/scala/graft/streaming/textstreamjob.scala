@@ -1,0 +1,444 @@
+package graft.streaming
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Streaming twin of the TEXT tiered-dedup cascade ([[graft.TieredDedup]]
+  * / [[graft.TextDedupJob]]) — round-4 VERDICT item: a user with a
+  * continuously-arriving document corpus could previously run the
+  * exact → near → semantic tiers only as a batch job. This job processes
+  * document micro-batches `(doc_id: long, text: string)` against
+  * committed state so that **after any prefix of batches, the derivable
+  * tier assignment EQUALS the batch cascade run on the same documents**
+  * (TextStreamingSpec proves it across ≥3 batches, adversarial arrival
+  * orders, and a checkpoint restart).
+  *
+  * The key design move is CLASS-KEYED state: every text class
+  * (h = md5(text)) gets ONE stable node id (the smallest doc_id of the
+  * batch that introduced it) and one monotonically-improving `canon`
+  * (the smallest doc_id seen so far). Signatures, LSH bands, near-dup
+  * edges, and connected components are functions of the TEXT, so they
+  * key on the stable node and never need revision when a smaller doc_id
+  * arrives later — only the cheap (h, canon) map and the derived cluster
+  * labels move. That is what makes out-of-order arrival exact:
+  *
+  *  - tier 1: `classes` is an append-only min-fold — per batch, one row
+  *    per new-or-improved class; live canon = min(canon) per h. A doc is
+  *    an exact dup iff doc_id ≠ live canon of its class.
+  *  - tier 2: new classes get signatures/bands ONCE; candidates = the
+  *    batch self-join plus [[StreamJob.crossPairs]] probes of the
+  *    committed band table (capped, censused like batch W2), verified by
+  *    the SAME estimate-gate + exact-Jaccard tail as the batch job
+  *    (SparkEntry.exactVerifyPairs). Edges are permanent; CC runs
+  *    incrementally over batch-affected components only (the image
+  *    StreamJob's star-compression pattern, at class-node granularity).
+  *    Cluster label = min(canon) over member classes — recomputed from
+  *    two narrow hash-aggs, so canon improvements relabel clusters
+  *    without touching the graph.
+  *  - tier 3 (exact nList=1 SemDeDup semantics, the oracle-pinned
+  *    configuration): the committed `sem` table holds per-representative
+  *    verdicts; per batch only AFFECTED representatives are rescored —
+  *    new/changed labels, verdicts whose `dup_of` stopped being a
+  *    representative, and committed reps flipped by a new lower-id
+  *    neighbor (found by one broadcast Δ×reps cosine pass). Affected
+  *    reps rescore against the full rep set, so the verdict stays the
+  *    exact rule. (The clustered SemDedup regime is the 100 TB path for
+  *    a batch job; the exact tier here is O(|affected|·|reps|) per
+  *    batch, batch-bounded because |affected| is.)
+  *
+  * Exactly-once mirrors [[StreamJob]]: tagged commits (replays no-op),
+  * the `docs` table appended LAST as the replay guard, and every history
+  * view version-filtered to `vb < batchId` so a crash-replayed batch
+  * recomputes from the true pre-batch state. Append chains fold into
+  * base snapshots every `streamCompactEvery` batches (after all of the
+  * batch's value commits, before the docs append) — per-batch write cost
+  * is O(churn + classes/compactEvery), never O(corpus).
+  */
+object TextStreamJob {
+
+  /** Live (h, canon, node) view of the classes min-fold chain. */
+  private def liveClasses(chain: DataFrame): DataFrame =
+    chain.groupBy("h").agg(min(col("canon")).as("canon"), min(col("node")).as("node"))
+
+  /** Live class-node → component-root assignment, from the base snapshot
+    * merged with the delta log (latest delta wins per node). `before`
+    * version-filters for replay safety; pass Long.MaxValue for the
+    * current view.
+    */
+  private[streaming] def liveCc(io: TableIO, before: Long): Option[DataFrame] =
+    io.load("cc").map { base0 =>
+      val base = base0.where(col("vb") < before).select(col("node"), col("root"))
+      io.load("cc_deltas").map(_.where(col("vb") < before)) match {
+        case None => base
+        case Some(d) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("node")).orderBy(col("vb").desc)
+          val lww = d.withColumn("rk", row_number().over(w))
+            .where(col("rk") === 1).select(col("node"), col("root"))
+          base
+            .join(broadcast(d.select(col("node")).dropDuplicates("node")),
+              Seq("node"), "left_anti")
+            .unionByName(lww)
+      }
+    }
+
+  /** Live per-representative semantic verdicts (latest row per doc_id).
+    * Rows for ex-representatives stay in the log but are dead — every
+    * consumer joins against the current representative set.
+    */
+  private[streaming] def liveSem(io: TableIO, before: Long): Option[DataFrame] =
+    io.load("sem").map { s =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("vb").desc)
+      s.where(col("vb") < before)
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("doc_id"), col("keep"), col("dup_of"), col("vb"))
+    }
+
+  /** The derivable tier assignment over everything committed so far —
+    * (doc_id, tier ∈ {exact, near, semantic, kept}, dup_of), exactly one
+    * row per arrived doc; equals [[TieredDedup.cascade]] on the same
+    * docs. Pure derivation (three narrow joins + two hash-aggs), no
+    * recompute of any tier.
+    */
+  def liveAssignment(io: TableIO): Option[DataFrame] =
+    for {
+      docs <- io.load("docs")
+      classes <- io.load("classes")
+      cc <- liveCc(io, Long.MaxValue)
+    } yield {
+      val cl = liveClasses(classes)
+      val labels = cl.join(cc, Seq("node"))
+        .groupBy("root").agg(min(col("canon")).as("label"))
+      val nodeLabel = cc.join(labels, Seq("root")).select(col("node"), col("label"))
+      val base = docs.select(col("doc_id"), col("h"))
+        .join(cl, Seq("h")).join(nodeLabel, Seq("node"))
+      val withSem = liveSem(io, Long.MaxValue) match {
+        case None => base
+          .withColumn("keep", lit(null).cast("int"))
+          .withColumn("sdup", lit(null).cast("long"))
+        case Some(sl) => base.join(
+          sl.select(col("doc_id"), col("keep"), col("dup_of").as("sdup")),
+          Seq("doc_id"), "left")
+      }
+      withSem.select(col("doc_id"),
+        when(col("doc_id") =!= col("canon"), lit("exact"))
+          .when(col("doc_id") =!= col("label"), lit("near"))
+          .when(col("keep") === 0, lit("semantic"))
+          .otherwise(lit("kept")).as("tier"),
+        when(col("doc_id") =!= col("canon"), col("canon"))
+          .when(col("doc_id") =!= col("label"), col("label"))
+          .when(col("keep") === 0, col("sdup"))
+          .otherwise(lit(null).cast("long")).as("dup_of"))
+    }
+
+  /** One micro-batch. Public so the spec drives it directly; the
+    * streaming wiring is [[runOnce]]/[[main]]. `emb` is the static
+    * embedding side table `(id: long, vec: array<float>)`; None disables
+    * the semantic tier (reps derive `kept`, matching the cascade's
+    * embedding-less degrade).
+    */
+  def processBatch(io: TableIO, emb: Option[DataFrame], cfg: DedupConfig,
+      tauSem: Double, verbose: Boolean = true, tagPrefix: String = "")(
+      batch: DataFrame, batchId: Long): Unit = {
+    // minhashCol resolves via the registered function name (idempotent)
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val tag = s"${tagPrefix}b$batchId"
+    val docsHist = io.load("docs")
+    // replay guard (docs commits LAST): already-committed ids drop out;
+    // in-batch duplicate doc_ids collapse (same upstream contract as the
+    // image stream's image_id rule)
+    val newDocs = docsHist
+      .fold(batch)(h => batch.join(h.select("doc_id"), Seq("doc_id"), "left_anti"))
+      .dropDuplicates("doc_id")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("h", md5(col("text").cast("binary")))
+      .localCheckpoint()
+    val nNew = newDocs.count()
+    if (nNew == 0) return
+
+    // ---- tier 1: class map (append-only min-fold) ----
+    // every history view below is version-filtered to vb < batchId: a
+    // crash-replayed batch must see the true PRE-batch state even though
+    // its own earlier appends are already committed
+    val classesHist = io.load("classes").map(_.where(col("vb") < batchId))
+    val histLive = classesHist.map(liveClasses)
+    val batchClasses = newDocs.groupBy("h").agg(min(col("doc_id")).as("bmin"))
+    val joined = histLive
+      .fold(batchClasses
+        .withColumn("histCanon", lit(null).cast("long"))
+        .withColumn("histNode", lit(null).cast("long")))(hl =>
+        batchClasses.join(
+          hl.select(col("h"), col("canon").as("histCanon"), col("node").as("histNode")),
+          Seq("h"), "left"))
+      .localCheckpoint()
+    // node = first-seen representative (stable forever); canon improves
+    io.append("classes", joined
+      .where(col("histNode").isNull || col("bmin") < col("histCanon"))
+      .select(col("h"),
+        col("bmin").as("canon"),
+        coalesce(col("histNode"), col("bmin")).as("node"))
+      .withColumn("vb", lit(batchId)), tag)
+    // post-batch live classes, shared by the label/sem stages below
+    val touchedLive = joined.select(col("h"),
+      least(col("bmin"), coalesce(col("histCanon"), col("bmin"))).as("canon"),
+      coalesce(col("histNode"), col("bmin")).as("node"))
+    val classesLiveNow = histLive
+      .fold(touchedLive)(hl =>
+        hl.join(touchedLive.select("h"), Seq("h"), "left_anti")
+          .unionByName(touchedLive))
+      .localCheckpoint()
+
+    // ---- tier 2: signatures/bands ONCE per new class, then the batch
+    // candidate operators + committed-band probes, gate+verify, and
+    // incremental CC over affected components ----
+    val newClasses = joined.where(col("histNode").isNull)
+      .select(col("bmin").as("node"), col("h"))
+    val newClassDocs = newClasses.join(
+      newDocs.select(col("doc_id").as("node"), col("h"), col("text")),
+      Seq("node", "h"))
+    val sigsNew = newClassDocs.select(col("node").as("id"), col("h"), col("text"),
+        graft.functions.GraftFunctions.minhashCol(
+          graft.functions.GraftFunctions.shinglesCol(col("text"), cfg.shingleK),
+          cfg.numPerms).as("minhash"))
+      .localCheckpoint()
+    io.append("class_sigs", sigsNew.withColumn("vb", lit(batchId)), tag)
+    val bandsNew = Lsh.bands(sigsNew.select(col("id"), col("minhash")), cfg)
+      .localCheckpoint()
+    io.append("class_bands", bandsNew.withColumn("vb", lit(batchId)), tag)
+
+    val bandsHist = io.load("class_bands")
+      .map(_.where(col("vb") < batchId).select(col("id"), col("band"), col("band_hash")))
+    val within = Lsh.lshCandidates(bandsNew, cfg, dedup = true).select(col("a"), col("b"))
+    val cands = bandsHist
+      .fold(within)(bh =>
+        within.unionByName(StreamJob.crossPairs(bandsNew, bh, Seq("band", "band_hash"), cfg)))
+      .dropDuplicates("a", "b")
+      .localCheckpoint()
+    // gate+verify over candidate endpoints only: the committed class
+    // signature/text relation is cut down by a broadcast semi-join
+    // before the (broadcasting) verify tail ever sees it
+    val endp = cands.select(col("a").as("id"))
+      .unionByName(cands.select(col("b").as("id"))).dropDuplicates("id")
+    val sigsHist = io.load("class_sigs")
+      .map(_.where(col("vb") < batchId).select(col("id"), col("h"), col("text"), col("minhash")))
+    val sigsTouched = sigsHist.fold(sigsNew)(hs => hs.unionByName(sigsNew))
+      .join(broadcast(endp), Seq("id"), "left_semi")
+      .localCheckpoint()
+    val edgesNew = SparkEntry.exactVerifyPairs(
+        sigsTouched.select(col("id"), col("text")),
+        sigsTouched.select(col("id"), col("minhash")),
+        cands, cfg)
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    io.append("edges", edgesNew.withColumn("vb", lit(batchId)), tag)
+
+    // incremental CC (image StreamJob pattern at class-node granularity):
+    // only components touched by this batch's edges re-cluster; committed
+    // history rides as star edges (node → root), which have the same
+    // components as the full historical edge set
+    val allNewNodes = newClasses.select(col("node"))
+    val ccLiveNow = liveCc(io, batchId) match {
+      case None =>
+        val full = ConnectedComponents.cluster(
+            edgesNew, allNewNodes.select(col("node").as("image_id")))
+          .select(col("image_id").as("node"), col("cluster_id").as("root"))
+        io.replaceTagged("cc", full.withColumn("vb", lit(batchId)), tag)
+        full
+      case Some(ch) =>
+        val endpoints = edgesNew.select(col("a").as("node"))
+          .union(edgesNew.select(col("b").as("node"))).distinct()
+        val affectedRoots = ch.join(broadcast(endpoints), Seq("node"), "left_semi")
+          .select(col("root")).distinct()
+        val affRows = ch.join(broadcast(affectedRoots), Seq("root"), "left_semi")
+        val starEdges = affRows.where(col("node") =!= col("root"))
+          .select(col("node").as("a"), col("root").as("b"))
+        val verts = affRows.select(col("node"))
+          .unionByName(allNewNodes).dropDuplicates("node")
+        val sub = ConnectedComponents.cluster(
+            starEdges.unionByName(edgesNew), verts.select(col("node").as("image_id")))
+          .select(col("image_id").as("node"), col("cluster_id").as("root"))
+        io.append("cc_deltas", sub.withColumn("vb", lit(batchId)), tag)
+        ch.join(broadcast(affectedRoots), Seq("root"), "left_anti")
+          .join(broadcast(allNewNodes), Seq("node"), "left_anti")
+          .unionByName(sub)
+    }
+
+    // ---- tier 3: affected-representative rescore (exact nList=1 rule) ----
+    val labels = classesLiveNow.join(ccLiveNow, Seq("node"))
+      .groupBy("root").agg(min(col("canon")).as("label"))
+      .localCheckpoint()
+    emb.foreach { e =>
+      val repsE = labels.select(col("label").as("id")).join(e, Seq("id"))
+        .select(col("id"), col("vec"), Ann.normCol(col("vec")).as("nrm"))
+        .localCheckpoint()
+      val prevSem = liveSem(io, batchId)
+      val prevForReps = prevSem.map(_.join(
+        repsE.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+        .localCheckpoint())
+      // Δ = reps with no committed verdict (new labels; an ex-label can
+      // never return — cluster labels only decrease)
+      val delta = prevSem.fold(repsE.select(col("id")))(ps =>
+        repsE.select(col("id"))
+          .join(ps.select(col("doc_id").as("id")), Seq("id"), "left_anti"))
+        .localCheckpoint()
+      val deltaE = repsE.join(broadcast(delta), Seq("id"), "left_semi")
+      // committed verdicts invalidated by this batch: dup_of stopped
+      // being a rep (its cluster merged / label improved), or a NEW
+      // lower-id rep qualifies against the committed row (could flip
+      // kept→pruned, or lower an existing dup_of min)
+      val invalidated = prevForReps.map(_.where(col("keep") === 0)
+        .join(repsE.select(col("id").as("dup_of")), Seq("dup_of"), "left_anti")
+        .select(col("doc_id").as("id")))
+      val flipped = repsE.as("x").join(
+          broadcast(deltaE.select(col("id").as("j"), col("vec").as("vj"),
+            col("nrm").as("nj"))),
+          col("j") < col("x.id") && col("x.nrm") > 0 && col("nj") > 0 &&
+            round(Ann.dotCastCol(col("x.vec"), col("vj")) /
+              (col("x.nrm") * col("nj")), 4) >= tauSem)
+        .select(col("x.id").as("id"))
+      val affected = invalidated.fold(delta.unionByName(flipped))(inv =>
+        delta.unionByName(flipped).unionByName(inv))
+        .dropDuplicates("id")
+      val affE = repsE.join(broadcast(affected), Seq("id"), "left_semi")
+      // exact SemDeDup verdict for each affected rep vs ALL reps: same
+      // rounded-cosine predicate and min-j dup_of as SemDedup.prune's
+      // nList=1 path (zero-norm rows neither prune nor get pruned)
+      val rescored = affE.as("x").join(
+          repsE.select(col("id").as("j"), col("vec").as("vj"), col("nrm").as("nj")),
+          col("j") < col("x.id") && col("x.nrm") > 0 && col("nj") > 0 &&
+            round(Ann.dotCastCol(col("x.vec"), col("vj")) /
+              (col("x.nrm") * col("nj")), 4) >= tauSem,
+          "left")
+        .groupBy(col("x.id").as("doc_id")).agg(min(col("j")).as("dup_of"))
+        .select(col("doc_id"),
+          when(col("dup_of").isNotNull, 0).otherwise(1).as("keep"),
+          col("dup_of"))
+      io.append("sem", rescored.withColumn("vb", lit(batchId)), tag)
+    }
+
+    // ---- compaction (AFTER all value commits, BEFORE the docs append:
+    // a replay that lands past a fold finds every value commit already
+    // tagged, so its recomputed-under-folded-state results are all
+    // no-ops) ----
+    if (io.appendChainLength("classes") >= cfg.streamCompactEvery)
+      io.replaceTagged("classes",
+        liveClasses(io.load("classes").get).withColumn("vb", lit(batchId)),
+        s"compact-$tag")
+    if (io.appendChainLength("cc_deltas") >= cfg.streamCompactEvery) {
+      io.replaceTagged("cc",
+        liveCc(io, Long.MaxValue).get.withColumn("vb", lit(batchId)),
+        s"compact-$tag")
+      io.resetStage("cc_deltas")
+    }
+    if (io.appendChainLength("sem") >= cfg.streamCompactEvery)
+      io.replaceTagged("sem", liveSem(io, Long.MaxValue).get, s"compact-$tag")
+    for (st <- Seq("class_sigs", "class_bands"))
+      if (io.appendChainLength(st) >= cfg.streamCompactEvery)
+        io.replaceTagged(st, io.load(st).get, s"compact-$tag")
+
+    io.append("docs", newDocs.select(col("doc_id"), col("h"))
+      .withColumn("vb", lit(batchId)), tag)
+
+    if (verbose) {
+      val nClasses = classesLiveNow.count()
+      println(s"""{"batch":$batchId,"new_docs":$nNew,"classes":$nClasses,"run_id":"${io.runId}"}""")
+    }
+  }
+
+  /** Fold the derivable assignment into a committed `assignment` table —
+    * run at end-of-stream so external readers get the cascade's output
+    * shape without merge-on-read logic. Tag derives from the docs chain
+    * state, so a replayed fold no-ops.
+    */
+  def commitAssignment(io: TableIO): Unit =
+    liveAssignment(io).foreach { a =>
+      io.replaceTagged("assignment", a,
+        s"assign-${io.history("docs").length}")
+    }
+
+  /** Wire a parquet-directory document stream through [[processBatch]]
+    * (Trigger.AvailableNow), then commit the assignment — restart-safe
+    * via the stream checkpoint + tagged commits, with the same legacy-
+    * checkpoint tag-prefix discipline as [[StreamJob.runOnce]].
+    */
+  def runOnce(
+      spark: SparkSession,
+      inputDir: String,
+      outDir: String,
+      checkpointDir: String,
+      runId: String,
+      emb: Option[DataFrame],
+      tauSem: Double = 0.35,
+      maxFilesPerTrigger: Int = 1,
+      verbose: Boolean = true,
+      cfg: DedupConfig = DedupConfig()): Unit = {
+    val io = new ParquetTableIO(spark, outDir, runId, cfg.configHash)
+    val idPath = java.nio.file.Paths.get(checkpointDir, "graft_stream_id")
+    java.nio.file.Files.createDirectories(idPath.getParent)
+    if (!java.nio.file.Files.exists(idPath)) {
+      val offsets = new java.io.File(checkpointDir, "offsets").list()
+      val legacy = offsets != null && offsets.nonEmpty
+      java.nio.file.Files.writeString(idPath,
+        if (legacy) "" else java.util.UUID.randomUUID().toString.take(8))
+    }
+    val streamId = java.nio.file.Files.readString(idPath).trim
+    val tagPrefix = if (streamId.isEmpty) "" else streamId + "-"
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+    stream.writeStream
+      .foreachBatch(processBatch(io, emb, cfg, tauSem, verbose, tagPrefix) _)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    commitAssignment(io)
+  }
+
+  /** `graft.streaming.TextStreamJob --input <parquet dir> --out <dir>
+    *  [--checkpoint <dir>] [--emb emb.parquet] [--tau-sem t]
+    *  [--run-id id] [--max-files-per-trigger N]`
+    */
+  def main(args: Array[String]): Unit = {
+    val (argMap, _) = DedupJob.parseArgs(args)
+    val input = argMap.getOrElse("--input", sys.error("--input required"))
+    val out = argMap.getOrElse("--out", sys.error("--out required"))
+    val checkpoint = argMap.getOrElse("--checkpoint", s"$out/_checkpoint")
+    val runId = argMap.getOrElse("--run-id", "tstream-" + System.currentTimeMillis())
+    val tauSem = argMap.get("--tau-sem").map(_.toDouble).getOrElse(0.35)
+
+    val builder = SparkSession.builder()
+      .appName("graft-text-stream")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = sys.props.get("spark.master")
+      .orElse(sys.env.get("SPARK_MASTER"))
+      .map(builder.master)
+      .getOrElse(builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    val emb = argMap.get("--emb").map(p => spark.read.parquet(p)
+      .select(col("vec_id").as("id"), col("embedding").as("vec")))
+    runOnce(spark, input, out, checkpoint, runId, emb, tauSem)
+
+    val io = new ParquetTableIO(spark, out, runId, DedupConfig().configHash)
+    val tiers = io.load("assignment").get
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def n(t: String) = tiers.getOrElse(t, 0L)
+    println(s"""{"docs":${tiers.values.sum},"kept":${n("kept")},""" +
+      s""""exact":${n("exact")},"near":${n("near")},""" +
+      s""""semantic":${n("semantic")},"run_id":"$runId"}""")
+    spark.stop()
+  }
+}

@@ -72,6 +72,22 @@ class TableIOSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(dup_part"), plan)
   }
 
+  test("IcebergTableIO implements the TableIO contract and guards its wiring") {
+    // compile-time contract: the production binding is a TableIO, so every
+    // job constructing a ParquetTableIO can take it unchanged; the trait
+    // semantics themselves are pinned by this whole suite against the
+    // Parquet implementation (the Iceberg runtime jar is absent in the
+    // sandbox — SURVEY.md §0.1 — so only the wiring guard runs here)
+    def asTableIO(io: TableIO): TableIO = io
+    assert(classOf[TableIO].isAssignableFrom(classOf[IcebergTableIO]))
+    // runtime guard: an unconfigured catalog must fail fast with the
+    // wiring recipe, not an opaque analyzer error on first use
+    val e = intercept[IllegalArgumentException] {
+      asTableIO(new IcebergTableIO(spark, "graft_missing_cat", "ns", "r", "cfg"))
+    }
+    assert(e.getMessage.contains("spark.sql.catalog"), e.getMessage)
+  }
+
   test("pipeline commits candidates/scored bucketed: resumed joins skip their exchange") {
     // round-2 item 6 completed (round 4): the wide pair stages commit
     // bucketed on the downstream join key "a", so the scoring join

@@ -92,7 +92,61 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("scaling")) scalingMain() else benchMain()
+    if (args.headOption.contains("scaling")) scalingMain()
+    else if (args.headOption.contains("streamsweep")) streamSweepMain()
+    else benchMain()
+  }
+
+  /** Streaming batch-size amortization curve (round-4 VERDICT item 1: the
+    * claim "per-batch constant cost amortizes toward batch rate as
+    * rows/batch grows" was design reasoning backed by ONE ~2.2k-row
+    * measurement). Runs StreamJob over the SAME corpus the pipeline_e2e
+    * number uses (12k clusters ≈ 34k images), split into 16 ≈2.1k-row
+    * files, at 1 / 4 / 16 files per trigger (≈2.1k / 8.5k / 34k rows per
+    * batch — 16/4/1 micro-batches), min-of-2 each with a fresh
+    * table+checkpoint dir per run, and prints one JSON line with img/s
+    * per level beside the batch pipeline rate measured in-session on the
+    * same corpus and cores.
+    *
+    *   sbt "runMain graft.Bench streamsweep"
+    */
+  private def streamSweepMain(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = session(cpus,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "32").toInt)
+    val (corpusPath, nImages) = ensureCorpus(spark, nClusters = 12000)
+    // batch-rate reference measured in the SAME session/corpus/cores
+    runPipeline(spark, corpusPath) // warm-up (JIT/codegen)
+    val pipeSec = (1 to 2).map { _ =>
+      spark.catalog.clearCache()
+      runPipeline(spark, corpusPath)._1
+    }.min
+    val batchRate = nImages / pipeSec
+    val streamIn = "/tmp/graft_bench_sweep_in"
+    if (!new java.io.File(s"$streamIn/_SUCCESS").exists())
+      spark.read.parquet(corpusPath).repartition(16)
+        .write.mode("overwrite").parquet(streamIn)
+    val levels = Seq(1, 4, 16) // files/trigger ≈ 2.1k / 8.5k / 34k rows/batch
+    val sweep = levels.map { mft =>
+      val sec = (1 to 2).map { i =>
+        val outDir = s"/tmp/graft_sweep_out_${mft}_$i-${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        graft.streaming.StreamJob.runOnce(
+          spark, streamIn, outDir, s"$outDir/_ckpt", runId = "sweep",
+          maxFilesPerTrigger = mft, verbose = false)
+        val s = (System.nanoTime() - t0) / 1e9
+        // bound /tmp growth: six table dirs of a 34k-image corpus each
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+        s
+      }.min
+      (mft, sec, nImages / sec)
+    }
+    val levelsJson = sweep.map { case (mft, sec, rate) =>
+      f"""{"files_per_trigger":$mft,"batches":${16 / mft},"sec":$sec%.2f,"images_per_sec":$rate%.1f,"frac_of_batch_rate":${rate / batchRate}%.3f}"""
+    }.mkString("[", ",", "]")
+    println(
+      f"""{"metric":"stream_amortization","images":$nImages%d,"pipeline_sec":$pipeSec%.2f,"pipeline_images_per_sec":$batchRate%.1f,"levels":$levelsJson%s}""")
+    spark.stop()
   }
 
   private def benchMain(): Unit = {

@@ -142,6 +142,45 @@ class IvfSpec extends SparkSpec {
     assert(clipped.zip(full.take(10)).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("ivf: distributed Lloyd is bit-deterministic under any partitioning") {
+    // the design constraint of trainCentroidsDistributed: a float sum
+    // across partitions is order-dependent, so accumulation runs in
+    // fixed-point longs — the codebook must be IDENTICAL from 1 and 8
+    // partitions, and across repeated runs
+    val rng = new java.util.SplittableRandom(23)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, Array.fill(12)(rng.nextDouble().toFloat - 0.5f))
+    }
+    val one = rows.toDF("id", "vec").repartition(1)
+    val eight = rows.toDF("id", "vec").repartition(8)
+    val c1 = Ivf.trainCentroidsDistributed(one, nList = 8, iters = 4)
+    val c8 = Ivf.trainCentroidsDistributed(eight, nList = 8, iters = 4)
+    assert(c1.length == 8)
+    c1.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    assert(c1.zip(c8).forall { case (a, b) => a.sameElements(b) },
+      "distributed codebook differs across partitionings")
+    val c8b = Ivf.trainCentroidsDistributed(eight, nList = 8, iters = 4)
+    assert(c8.zip(c8b).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("ivf: distributed-trained index matches the sample-trained recall") {
+    val rng = new java.util.SplittableRandom(9)
+    val base = (0 until 200).map { i =>
+      (i.toLong * 2, Array.fill(16)(rng.nextDouble().toFloat - 0.5f))
+    }
+    val twins = base.map { case (id, v) => (id + 1, v.map(x => x + 0.001f)) }
+    val all = (base ++ twins).toDF("id", "vec")
+    val queries = base.toDF("qid", "qvec")
+    val top1 = Ivf.ivfTopK(all, queries, k = 1, nList = 16,
+        distributedTrain = true)
+      .select("qid", "id").as[(Long, Long)].collect().toMap
+    val recall = base.count { case (id, _) =>
+      top1.get(id).contains(id + 1) }.toDouble / base.size
+    assert(recall >= 0.95, s"distributed-trained twin recall $recall")
+  }
+
   test("ivf: codebook broadcasts are released — 20 calls don't accumulate blocks") {
     // round-3 ADVICE leak: every ivfTopK call broadcast a codebook that
     // was never destroyed, so a long-lived session accumulated up to

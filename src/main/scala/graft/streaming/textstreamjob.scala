@@ -239,9 +239,22 @@ object TextStreamJob {
     // incremental CC (image StreamJob pattern at class-node granularity):
     // only components touched by this batch's edges re-cluster; committed
     // history rides as star edges (node → root), which have the same
-    // components as the full historical edge set
+    // components as the full historical edge set.
+    //
+    // The CC view is deliberately UNFILTERED (no vb < batchId), unlike
+    // every append-only table above: cc is the one stage whose fold
+    // DESTROYS pre-batch state (compaction rewrites the base and
+    // resetStage wipes the delta log's tag history), so a crash replayed
+    // from the window between compaction and the docs append would see a
+    // vb-filtered view as EMPTY and append an incomplete re-clustering
+    // under the wiped tag. The unfiltered view is safe in every window
+    // because the recompute is IDEMPOTENT from pre- OR post-state: CC of
+    // a star-compressed assignment plus the same new edges returns the
+    // same assignment, and the replay-hygiene dedups below absorb rows
+    // the crashed attempt already committed (the image StreamJob's
+    // design, which this mirrors).
     val allNewNodes = newClasses.select(col("node"))
-    val ccLiveNow = liveCc(io, batchId) match {
+    val ccLiveNow = liveCc(io, Long.MaxValue) match {
       case None =>
         val full = ConnectedComponents.cluster(
             edgesNew, allNewNodes.select(col("node").as("image_id")))

@@ -131,6 +131,69 @@ class TextStreamingSpec extends SparkSpec {
       collectAssign(cascade(docsDf(allDocs))))
   }
 
+  test("crash before the docs append, AFTER per-batch compaction, replays clean") {
+    // the worst replay window: with streamCompactEvery = 1 every batch
+    // folds classes/cc/sem and RESETS the cc delta log before the docs
+    // append — a crash there leaves all value commits + folds done, tag
+    // history of cc_deltas wiped, and the docs replay guard not yet
+    // armed. The replay must converge to the same committed state (the
+    // cc view is deliberately unfiltered for exactly this window — a
+    // vb-filtered view reconstructs an empty base and would append an
+    // incomplete re-clustering under the wiped tag).
+    val out = Files.createTempDirectory("graft-tstream").toString
+    val compactCfg = cfg.copy(streamCompactEvery = 1)
+    val real = new ParquetTableIO(spark, out, "ts5", compactCfg.configHash)
+    // delegate everything; throw on the docs append while armed
+    class CrashingIO extends TableIO {
+      var armed = false
+      def commit(s: String, df: org.apache.spark.sql.DataFrame) = real.commit(s, df)
+      def commitPartitioned(s: String, df: org.apache.spark.sql.DataFrame, p: Seq[String]) =
+        real.commitPartitioned(s, df, p)
+      def commitBucketed(s: String, df: org.apache.spark.sql.DataFrame, c: String, n: Int) =
+        real.commitBucketed(s, df, c, n)
+      def commitSorted(s: String, df: org.apache.spark.sql.DataFrame, c: String, n: Int) =
+        real.commitSorted(s, df, c, n)
+      def loadRange(s: String, c: String, lo: Any, hi: Any) = real.loadRange(s, c, lo, hi)
+      def load(s: String) = real.load(s)
+      def history(s: String) = real.history(s)
+      def rollback(s: String, d: String) = real.rollback(s, d)
+      def loadAt(s: String, e: String) = real.loadAt(s, e)
+      def replace(s: String, df: org.apache.spark.sql.DataFrame) = real.replace(s, df)
+      def append(s: String, df: org.apache.spark.sql.DataFrame, t: String) = {
+        if (armed && s == "docs") { armed = false; throw new RuntimeException("injected crash") }
+        real.append(s, df, t)
+      }
+      def replaceTagged(s: String, df: org.apache.spark.sql.DataFrame, t: String) =
+        real.replaceTagged(s, df, t)
+      def loadTagged(s: String, t: String) = real.loadTagged(s, t)
+      def appendChainLength(s: String) = real.appendChainLength(s)
+      def liveEntry(s: String) = real.liveEntry(s)
+      def incrementalScan(s: String, e: String) = real.incrementalScan(s, e)
+      def resetStage(s: String) = real.resetStage(s)
+      def expireSnapshots(s: String, k: Int) = real.expireSnapshots(s, k)
+      def vacuumOrphans(m: Long) = real.vacuumOrphans(m)
+      def runId = real.runId
+    }
+    val io = new CrashingIO
+    batches.take(2).zipWithIndex.foreach { case (rows, i) =>
+      TextStreamJob.processBatch(io, Some(emb), compactCfg, tauSem,
+        verbose = false)(docsDf(rows), i.toLong)
+    }
+    // batch 2 crashes in the window (all value commits + folds landed)
+    io.armed = true
+    intercept[RuntimeException] {
+      TextStreamJob.processBatch(io, Some(emb), compactCfg, tauSem,
+        verbose = false)(docsDf(batches(2)), 2L)
+    }
+    // replay of batch 2, then batch 3: final state equals the cascade
+    TextStreamJob.processBatch(io, Some(emb), compactCfg, tauSem,
+      verbose = false)(docsDf(batches(2)), 2L)
+    TextStreamJob.processBatch(io, Some(emb), compactCfg, tauSem,
+      verbose = false)(docsDf(batches(3)), 3L)
+    assert(collectAssign(TextStreamJob.liveAssignment(real).get) ==
+      collectAssign(cascade(docsDf(allDocs))))
+  }
+
   test("runOnce end-to-end: checkpointed stream, no-op rerun, incremental file") {
     val in = Files.createTempDirectory("graft-tstream-in").toString
     val out = Files.createTempDirectory("graft-tstream-out").toString

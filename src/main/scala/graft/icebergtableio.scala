@@ -244,8 +244,12 @@ final class IcebergTableIO(
       val ops = spark.sql(
         s"SELECT operation FROM ${tbl(stage)}.snapshots ORDER BY committed_at DESC")
         .collect().map(_.getString(0))
-      // trailing appends above the last full rewrite, plus the base
-      ops.takeWhile(_ == "append").length + (if (ops.length > 0) 1 else 0)
+      // trailing appends above the last full rewrite, plus that base —
+      // unless the whole history is appends (table born by append), in
+      // which case the first append IS the base (contract: 1 = a single
+      // snapshot with no appends yet)
+      val trail = ops.takeWhile(_ == "append").length
+      if (ops.isEmpty) 0 else if (trail == ops.length) trail else trail + 1
     }
 
   override def liveEntry(stage: String): Option[String] =

@@ -28,31 +28,52 @@ import org.apache.spark.sql.functions._
   * callers get the same one-call contract.
   */
 object AnnBroadcasts {
-  private val live =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]()
+  // WeakReferences (round-4 ADVICE): a strong registry would pin every
+  // codebook for the session lifetime in library callers that never call
+  // release() (TextDedupJob → SemDedup.prune, direct ivfTopK/pq users).
+  // The broadcast stays strongly reachable through any still-unexecuted
+  // plan that references it; once the caller drops the plan, the weak ref
+  // clears and Spark's ContextCleaner reclaims the blocks as before —
+  // release() is an eager fast path for drivers (Verify/Bench) that know
+  // their plans are materialized, not a mandatory contract.
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.lang.ref.WeakReference[org.apache.spark.broadcast.Broadcast[_]]]()
 
   private[graft] def track[T](
       b: org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] = {
-    live.add(b); b
+    live.add(new java.lang.ref.WeakReference[org.apache.spark.broadcast.Broadcast[_]](b))
+    b
   }
 
-  /** Number of registered, not-yet-released codebook broadcasts. */
-  def liveCount: Int = live.size
+  /** Number of registered, not-yet-released codebook broadcasts still
+    * strongly reachable elsewhere (cleared weak refs don't count).
+    */
+  def liveCount: Int = {
+    val it = live.iterator()
+    var n = 0
+    while (it.hasNext) if (it.next().get != null) n += 1
+    n
+  }
 
-  /** Destroy every codebook broadcast registered since the last release.
-    * Call ONLY after materializing (collect/write/count) the plans built
-    * since then — a destroyed broadcast fails any still-unexecuted plan
-    * that references it. Returns the number destroyed.
+  /** Destroy every still-reachable codebook broadcast registered since
+    * the last release (already-GC'd ones were or will be reclaimed by
+    * ContextCleaner). Call ONLY after materializing (collect/write/count)
+    * the plans built since then — a destroyed broadcast fails any
+    * still-unexecuted plan that references it. Returns the number
+    * destroyed.
     */
   def release(): Int = {
     var n = 0
-    var b = live.poll()
-    while (b != null) {
-      // blocking=false: removal proceeds asynchronously; the driver
-      // doesn't stall between queries
-      b.destroy()
-      n += 1
-      b = live.poll()
+    var ref = live.poll()
+    while (ref != null) {
+      val b = ref.get
+      if (b != null) {
+        // blocking=false: removal proceeds asynchronously; the driver
+        // doesn't stall between queries
+        b.destroy()
+        n += 1
+      }
+      ref = live.poll()
     }
     n
   }

@@ -88,6 +88,61 @@ class TableIOSpec extends SparkSpec {
     assert(e.getMessage.contains("spark.sql.catalog"), e.getMessage)
   }
 
+  test("IcebergSql statement builders are golden-pinned (round-4 VERDICT #3)") {
+    // The sandbox has no Iceberg runtime, so these statements never
+    // execute in-repo — pinning their exact text is the falsifiability
+    // gate: a typo'd metadata-table name, procedure argument, or clause
+    // now fails here instead of only in production. Each golden was
+    // checked against the published Iceberg Spark docs (snapshots/refs
+    // metadata tables, VERSION AS OF, rollback_to_snapshot,
+    // expire_snapshots, remove_orphan_files).
+    assert(IcebergSql.table("graft", "dedup.run1", "docs") ==
+      "graft.dedup.run1.docs")
+    assert(IcebergSql.createNamespace("graft", "dedup.run1") ==
+      "CREATE NAMESPACE IF NOT EXISTS graft.dedup.run1")
+    assert(IcebergSql.refsHead("graft.ns.docs") ==
+      "SELECT snapshot_id FROM graft.ns.docs.refs " +
+        "WHERE name = 'main' AND type = 'BRANCH'")
+    assert(IcebergSql.snapshotGraph("graft.ns.docs") ==
+      "SELECT snapshot_id, parent_id, operation, summary['graft.tag'] " +
+        "FROM graft.ns.docs.snapshots")
+    assert(IcebergSql.versionAsOf("graft.ns.docs", "8512930764662570091") ==
+      "SELECT * FROM graft.ns.docs VERSION AS OF 8512930764662570091")
+    assert(IcebergSql.rollbackTo("graft", "ns", "docs", "42") ==
+      "CALL graft.system.rollback_to_snapshot('ns.docs', 42)")
+    assert(IcebergSql.expireSnapshots("graft", "ns", "docs", 3) ==
+      "CALL graft.system.expire_snapshots(table => 'ns.docs', " +
+        "retain_last => 3, older_than => TIMESTAMP '9999-01-01 00:00:00')")
+    assert(IcebergSql.removeOrphanFiles("graft", "ns", "docs",
+        java.sql.Timestamp.valueOf("2026-01-02 03:04:05.6")) ==
+      "CALL graft.system.remove_orphan_files(table => 'ns.docs', " +
+        "older_than => TIMESTAMP '2026-01-02 03:04:05.6')")
+    assert(IcebergSql.showTables("graft", "ns") == "SHOW TABLES IN graft.ns")
+    assert(IcebergSql.dropTable("graft.ns.docs") == "DROP TABLE graft.ns.docs")
+  }
+
+  test("Iceberg ancestor-chain ordering logic is deterministic (no committed_at)") {
+    // The chain-walk itself is pure given the snapshot graph; exercise it
+    // through a local mirror of the walk to pin the ordering contract:
+    // head from the main ref, parents walked, orphaned (rolled-back)
+    // branches excluded, insensitive to row order / equal timestamps.
+    val graph = Seq(
+      IcebergSnapshot("30", Some("20"), "append", Some("b2")),
+      IcebergSnapshot("10", None, "append", Some("b0")),
+      IcebergSnapshot("99", Some("10"), "append", Some("orphaned")),
+      IcebergSnapshot("20", Some("10"), "overwrite", None))
+    val byId = graph.map(s => s.id -> s).toMap
+    val chain = Iterator.iterate(byId.get("30")) {
+      cur => cur.flatMap(_.parentId).flatMap(byId.get)
+    }.takeWhile(_.isDefined).map(_.get).toSeq.reverse
+    assert(chain.map(_.id) == Seq("10", "20", "30"))
+    assert(!chain.exists(_.id == "99")) // rolled-back snapshot excluded
+    // appendChainLength contract over the chain's operations
+    val ops = chain.map(_.operation)
+    val trail = ops.reverse.takeWhile(_ == "append").length
+    assert((if (ops.isEmpty) 0 else if (trail == ops.length) trail else trail + 1) == 2)
+  }
+
   test("pipeline commits candidates/scored bucketed: resumed joins skip their exchange") {
     // round-2 item 6 completed (round 4): the wide pair stages commit
     // bucketed on the downstream join key "a", so the scoring join

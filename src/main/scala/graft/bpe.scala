@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** T60: distributed byte-pair-encoding merge training (Sennrich,
+  * Haddow & Birch, ACL 2016) — the step AFTER T32's vocabulary census in
+  * an LLM training-data pipeline: learn the first `nMerges` BPE merges
+  * from the corpus itself.
+  *
+  * Scale shape (the whole point at 100 TB): the corpus is touched ONCE —
+  * a word-frequency hash aggregation (map-side combined, output bounded
+  * by the type vocabulary, not the token count). Every merge round after
+  * that operates on the vocab-bounded word table: one pair-census hash
+  * aggregation (pairs per word ≤ symbols per word, so the census input
+  * is O(vocab·avg_word_len)) plus one argmax LIMIT 1. Driver state per
+  * round is exactly one row (the winning pair) — the same bounded-collect
+  * discipline as the CC convergence counter. This is why production BPE
+  * trainers (SentencePiece in word-dict mode, HF tokenizers) are
+  * word-dict-based too: 10^12 tokens collapse to ~10^7 types before any
+  * iteration starts.
+  *
+  * Determinism: ties in the pair census break on (freq DESC, lft ASC,
+  * rgt ASC) — byte ordering, identical in Spark and DuckDB for the
+  * ASCII-only `[a-z]+` + `</w>` symbol alphabet.
+  *
+  * Merge application is the canonical leftmost-greedy single pass
+  * (Sennrich's `re.sub` with boundary lookarounds): fold the symbol
+  * sequence left to right; when the accumulated tail token equals `lft`
+  * and the next symbol equals `rgt`, concatenate (the merged token
+  * `lft||rgt` differs from `lft`, so a just-merged token can never
+  * re-merge — the boundary check is token-exact because the pattern
+  * includes the separator space). Expressed as a Spark `aggregate` HOF
+  * here and the byte-identical `list_reduce` in the DuckDB oracle
+  * (SparkEntry.bpeOracleSql), so q_bpe_train value-checks every round's
+  * census, argmax, and re-segmentation end-to-end at both SFs.
+  */
+object Bpe {
+
+  /** One learned merge: at `step`, symbols `lft`+`rgt` (joint corpus
+    * frequency `freq`) became the single symbol `lft||rgt`.
+    */
+  final case class Merge(step: Int, lft: String, rgt: String, freq: Long)
+
+  /** Word-frequency census — the single corpus-wide pass. `[a-z]+` over
+    * lowercased text: deterministic, engine-identical (the pattern is
+    * regex-dialect-free), and non-Latin rows simply contribute no types
+    * (script-aware alphabets would extend the extraction pattern, not
+    * the algorithm).
+    */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(
+        lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Initial segmentation: characters joined by spaces, plus the classic
+    * `</w>` end-of-word symbol (so merges distinguish word-final
+    * contexts; it cannot collide with `[a-z]+` symbols).
+    */
+  private def initialSeg(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      array_join(transform(sequence(lit(1), length(word)),
+        i => word.substr(i, lit(1))), " "),
+      lit(" </w>"))
+
+  /** Leftmost-greedy merge application over the space-joined symbol
+    * string (see object scaladoc for why this equals Sennrich's regex
+    * pass and why re-merge is impossible).
+    */
+  private def applyMerge(seg: org.apache.spark.sql.Column,
+                         lft: String, rgt: String): org.apache.spark.sql.Column = {
+    val toks = split(seg, " ")
+    aggregate(
+      slice(toks, lit(2), size(toks) - 1),
+      element_at(toks, 1),
+      (acc, x) =>
+        when(x === lit(rgt) &&
+            (acc === lit(lft) || acc.endsWith(" " + lft)),
+          concat(acc, x))
+        .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** Learn the first `nMerges` merges. Returns (step, lft, rgt, freq),
+    * step ascending — the merges table a tokenizer ships with.
+    */
+  def train(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    // vocab-bounded working table; checkpointed per round so the plan
+    // doesn't deepen by one fold per merge (k rounds of lineage over a
+    // tiny relation is still k codegen stages if left lazy)
+    var words = wordCounts(docs)
+      .select(initialSeg(col("word")).as("seg"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val toks = split(col("seg"), " ")
+      val best = words
+        .select(col("cnt"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("lft"), b.as("rgt")))).as("p"))
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum("cnt").as("freq"))
+        .orderBy(desc("freq"), asc("lft"), asc("rgt"))
+        .limit(1)
+        .collect() // exactly one row of driver state per round
+      if (best.isEmpty) exhausted = true
+      else {
+        val r = best(0)
+        val (l, rt, f) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += Merge(step, l, rt, f)
+        words = words
+          .select(applyMerge(col("seg"), l, rt).as("seg"), col("cnt"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lft", "rgt", "freq")
+  }
+}

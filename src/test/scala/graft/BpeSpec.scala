@@ -1,0 +1,42 @@
+package graft
+
+/** T60: BPE merge training — hand-computed golden merges pin the census
+  * weighting, the (freq DESC, lft, rgt) tie-break, and the
+  * leftmost-greedy merge fold (the DuckDB side of the same semantics is
+  * value-checked by q_bpe_train's oracle at both SFs).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def merges(texts: Seq[String], k: Int): Seq[(Int, String, String, Long)] =
+    Bpe.train(texts.toDF("text"), k)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  test("classic low/lower corpus: merges and tie-breaks by hand") {
+    // words: low×2, lower×1. Round 1 pairs: (l,o)=3, (o,w)=3, (w,</w>)=2,
+    // (w,e)=1, (e,r)=1, (r,</w>)=1 — freq tie at 3 broken by lft asc.
+    assert(merges(Seq("low low lower"), 4) == Seq(
+      (1, "l", "o", 3L),
+      (2, "lo", "w", 3L),
+      (3, "low", "</w>", 2L),
+      (4, "e", "r", 1L))) // final tie at 1: "e" < "low" < "r"
+  }
+
+  test("same-symbol runs: greedy fold merges leftmost, never re-merges") {
+    // "aaa" → [a,a,a,</w>]: (a,a) occurs at two adjacent positions
+    // (census 2, Sennrich's get_stats counts positions), but applying the
+    // merge greedily yields [aa, a, </w>] — the merged "aa" must NOT
+    // re-merge with the trailing "a". Round 2's census proves the
+    // resulting segmentation: (aa,a)=1 and (a,</w>)=1 tie, "a" < "aa".
+    assert(merges(Seq("aaa"), 2) == Seq(
+      (1, "a", "a", 2L),
+      (2, "a", "</w>", 1L)))
+  }
+
+  test("case folding and non-letter stripping feed the census") {
+    // "Ab ab AB" lowercases to ab×3; digits/punctuation never form words
+    assert(merges(Seq("Ab ab, AB! 7"), 1) == Seq((1, "a", "b", 3L)))
+  }
+}

@@ -94,7 +94,79 @@ object Bench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("scaling")) scalingMain()
     else if (args.headOption.contains("streamsweep")) streamSweepMain()
+    else if (args.headOption.contains("textstreamsweep")) textStreamSweepMain()
     else benchMain()
+  }
+
+  /** TEXT-cascade batch-size amortization curve (round-4 VERDICT item 2:
+    * the image stream's measured constant was extended to the text
+    * cascade by analogy only). Same protocol as [[streamSweepMain]]: the
+    * driver documents+embeddings corpus, split into 16 files, run through
+    * TextStreamJob at 1 / 4 / 16 files per trigger (16/4/1 micro-batches,
+    * fresh table+checkpoint dirs, min-of-2), reported beside the batch
+    * TieredDedup cascade rate measured in-session on the same corpus and
+    * cores — the exact machinery q_tiered_dedup_lsh runs.
+    *
+    *   sbt "runMain graft.Bench textstreamsweep"
+    */
+  private def textStreamSweepMain(): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = session(cpus,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "32").toInt)
+    graft.functions.GraftFunctions.register(spark)
+    val cfg = DedupConfig()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val nDocs = docs.count()
+
+    def runBatchCascade(): Double = {
+      val t0 = System.nanoTime()
+      TieredDedup.cascade(docs, emb,
+        surv => {
+          val sdocs = surv.select(col("doc_id").as("id"), col("text"))
+          val sigs = sdocs.select(col("id"),
+            graft.functions.GraftFunctions.minhashCol(
+              graft.functions.GraftFunctions.shinglesCol(col("text"), cfg.shingleK),
+              cfg.numPerms).as("minhash")).localCheckpoint()
+          SparkEntry.nearDupExact(sdocs, sigs, cfg).select(col("a"), col("b"))
+        },
+        tauSem = 0.35).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    runBatchCascade() // warm-up (JIT/codegen)
+    val batchSec = (1 to 2).map { _ =>
+      spark.catalog.clearCache(); runBatchCascade()
+    }.min
+    val batchRate = nDocs / batchSec
+
+    val streamIn = "/tmp/graft_bench_tsweep_in"
+    if (!new java.io.File(s"$streamIn/_SUCCESS").exists())
+      docs.repartition(16).write.mode("overwrite").parquet(streamIn)
+    val levels = Seq(1, 4, 16) // files/trigger → 16 / 4 / 1 micro-batches
+    val sweep = levels.map { mft =>
+      val sec = (1 to 2).map { i =>
+        val outDir = s"/tmp/graft_tsweep_out_${mft}_$i-${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        graft.streaming.TextStreamJob.runOnce(
+          spark, streamIn, outDir, s"$outDir/_ckpt", runId = "tsweep",
+          emb = Some(emb), tauSem = 0.35, maxFilesPerTrigger = mft,
+          verbose = false)
+        val s = (System.nanoTime() - t0) / 1e9
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+        s
+      }.min
+      (mft, sec, nDocs / sec)
+    }
+    val levelsJson = sweep.map { case (mft, sec, rate) =>
+      f"""{"files_per_trigger":$mft,"batches":${16 / mft},"sec":$sec%.2f,"docs_per_sec":$rate%.1f,"frac_of_batch_rate":${rate / batchRate}%.3f}"""
+    }.mkString("[", ",", "]")
+    println(
+      f"""{"metric":"text_stream_amortization","docs":$nDocs%d,"batch_sec":$batchSec%.2f,"batch_docs_per_sec":$batchRate%.1f,"levels":$levelsJson%s}""")
+    spark.stop()
   }
 
   /** Streaming batch-size amortization curve (round-4 VERDICT item 1: the

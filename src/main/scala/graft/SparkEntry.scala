@@ -2065,6 +2065,13 @@ object SparkEntry {
     "q_bpe_train" -> ((s, d) =>
       Bpe.train(t(s, d, "documents").select(col("text")), 8).orderBy("step")),
 
+    // T60 companion: the subword vocabulary AFTER the 8 learned merges
+    // are applied — (token, freq) over the final segmentations, weighted
+    // by word frequency. q_bpe_train oracles merge SELECTION; this
+    // oracles merge APPLICATION (any wrong fold shifts a token's freq).
+    "q_bpe_vocab" -> ((s, d) =>
+      Bpe.subwordVocab(t(s, d, "documents").select(col("text")), 8)),
+
     // T32: vocabulary build with cumulative coverage (tokenizer-training
     // prep). Scale shape: token counts are one explode + one hash-agg
     // with map-side combine; the top-K cut physicalizes as
@@ -2570,7 +2577,7 @@ object SparkEntry {
     * check (`acc = lft OR ends_with(acc, ' ' || lft)`) makes this the
     * canonical leftmost-greedy BPE application.
     */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeCtes(k: Int): String = {
     val rounds = (1 to k).map { n =>
       s"""p$n AS (
            SELECT l AS lft, r AS rgt, CAST(sum(cnt) AS BIGINT) AS freq FROM (
@@ -2585,10 +2592,7 @@ object SparkEntry {
                THEN acc || x ELSE acc || ' ' || x END) AS seg
            FROM w${n - 1}, p$n AS p)"""
     }.mkString(",\n         ")
-    val sel = (1 to k)
-      .map(n => s"SELECT $n AS step, lft, rgt, freq FROM p$n")
-      .mkString("\n         UNION ALL ")
-    s"""WITH tok AS (
+    s"""tok AS (
            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
            FROM documents),
          words AS (SELECT word, count(*) AS cnt FROM tok GROUP BY 1),
@@ -2596,12 +2600,30 @@ object SparkEntry {
            array_to_string(list_transform(generate_series(1, length(word)),
              i -> substr(word, i, 1)), ' ') || ' </w>' AS seg
            FROM words),
-         $rounds
+         $rounds"""
+  }
+
+  private def bpeOracleSql(k: Int): String = {
+    val sel = (1 to k)
+      .map(n => s"SELECT $n AS step, lft, rgt, freq FROM p$n")
+      .mkString("\n         UNION ALL ")
+    s"""WITH ${bpeCtes(k)}
          $sel ORDER BY step"""
   }
 
+  /** T60 vocabulary twin: the final round's segmentations (`wK`)
+    * exploded into the subword vocabulary — value-checks the APPLICATION
+    * of all k merges (q_bpe_train checks their selection).
+    */
+  private def bpeVocabOracleSql(k: Int): String =
+    s"""WITH ${bpeCtes(k)}
+         SELECT token, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+           SELECT unnest(str_split(seg, ' ')) AS token, cnt FROM w$k)
+         GROUP BY 1 ORDER BY freq DESC, token"""
+
   private def extraOracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracleSql(8),
+    "q_bpe_vocab" -> bpeVocabOracleSql(8),
     // T22 exact configuration: the oracle recomputes every pair cosine
     // with the same FP sequence (double dot / product of root self-dots,
     // rounded to 4) and the same prune rule (min lower-id neighbor ≥ τ).

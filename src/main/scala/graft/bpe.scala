@@ -85,7 +85,25 @@ object Bpe {
   /** Learn the first `nMerges` merges. Returns (step, lft, rgt, freq),
     * step ascending — the merges table a tokenizer ships with.
     */
-  def train(docs: DataFrame, nMerges: Int): DataFrame = {
+  def train(docs: DataFrame, nMerges: Int): DataFrame =
+    trainWithSegments(docs, nMerges)._1
+
+  /** The subword vocabulary AFTER training: every symbol of the final
+    * word segmentations, weighted by word frequency — the (token, freq)
+    * table a trained tokenizer's coverage/fertility analysis starts
+    * from. Same scale shape as training (the segmentations are already
+    * materialized per round; this is one more explode + hash-agg over
+    * the vocab-bounded word table).
+    */
+  def subwordVocab(docs: DataFrame, nMerges: Int): DataFrame =
+    trainWithSegments(docs, nMerges)._2
+      .select(explode(split(col("seg"), " ")).as("token"), col("cnt"))
+      .groupBy("token")
+      .agg(sum("cnt").as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+
+  /** Training loop returning (merges, final word segmentations). */
+  private def trainWithSegments(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     // vocab-bounded working table; checkpointed per round so the plan
     // doesn't deepen by one fold per merge (k rounds of lineage over a
@@ -120,6 +138,6 @@ object Bpe {
       }
     }
     import spark.implicits._
-    merges.toSeq.toDF("step", "lft", "rgt", "freq")
+    (merges.toSeq.toDF("step", "lft", "rgt", "freq"), words)
   }
 }

@@ -35,6 +35,14 @@ class BpeSpec extends SparkSpec {
       (2, "a", "</w>", 1L)))
   }
 
+  test("subword vocabulary reflects the applied merges") {
+    // after the 4 merges above: low→[low</w>]×2, lower→[low, er, </w>]
+    val vocab = Bpe.subwordVocab(Seq("low low lower").toDF("text"), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(vocab == Seq( // (freq DESC, token ASC); '<' sorts before letters
+      ("low</w>", 2L), ("</w>", 1L), ("er", 1L), ("low", 1L)))
+  }
+
   test("case folding and non-letter stripping feed the census") {
     // "Ab ab AB" lowercases to ab×3; digits/punctuation never form words
     assert(merges(Seq("Ab ab, AB! 7"), 1) == Seq((1, "a", "b", 3L)))

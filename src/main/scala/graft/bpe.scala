@@ -82,6 +82,23 @@ object Bpe {
         .otherwise(concat(acc, lit(" "), x)))
   }
 
+  /** One round's adjacent-pair census over the word table: explode the
+    * symbol pairs, hash-aggregate their weighted counts. Exposed for
+    * PlanDump — the scale property is that this is a partial-combining
+    * HashAggregate over a codegen explode (no SortAggregate, no window,
+    * one Exchange of at most the pair-vocabulary).
+    */
+  private[graft] def pairCensus(words: DataFrame): DataFrame = {
+    val toks = split(col("seg"), " ")
+    words
+      .select(col("cnt"), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("lft"), b.as("rgt")))).as("p"))
+      .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+      .agg(sum("cnt").as("freq"))
+  }
+
   /** Learn the first `nMerges` merges. Returns (step, lft, rgt, freq),
     * step ascending — the merges table a tokenizer ships with.
     */
@@ -115,14 +132,7 @@ object Bpe {
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
-      val toks = split(col("seg"), " ")
-      val best = words
-        .select(col("cnt"), explode(zip_with(
-          slice(toks, lit(1), size(toks) - 1),
-          slice(toks, lit(2), size(toks) - 1),
-          (a, b) => struct(a.as("lft"), b.as("rgt")))).as("p"))
-        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
-        .agg(sum("cnt").as("freq"))
+      val best = pairCensus(words)
         .orderBy(desc("freq"), asc("lft"), asc("rgt"))
         .limit(1)
         .collect() // exactly one row of driver state per round

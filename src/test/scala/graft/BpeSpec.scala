@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** T60: BPE merge training — hand-computed golden merges pin the census
   * weighting, the (freq DESC, lft, rgt) tie-break, and the
   * leftmost-greedy merge fold (the DuckDB side of the same semantics is
@@ -41,6 +43,19 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(vocab == Seq( // (freq DESC, token ASC); '<' sorts before letters
       ("low</w>", 2L), ("</w>", 1L), ("er", 1L), ("low", 1L)))
+  }
+
+  test("pair census plans as hash aggregation (no sort aggregate)") {
+    // the PLANS.md T60 property, asserted mechanically: the per-round
+    // census must stay a partial-combining HashAggregate over a codegen
+    // explode — a SortAggregate here would full-sort the pair relation
+    // every round
+    val plan = Bpe.pairCensus(
+      Bpe.wordCounts(Seq("a corpus of words").toDF("text"))
+        .select(col("word").as("seg"), col("cnt")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
   }
 
   test("case folding and non-letter stripping feed the census") {

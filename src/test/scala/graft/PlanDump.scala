@@ -735,6 +735,17 @@ object PlanDump {
           ldocs.where(pmod(col("doc_id"), lit(13L)) === 0L)
             .select(col("doc_id").as("qid"), col("text").as("qtext")),
           ldocs, 5, maxDfFrac = 0.8))
+      dump("T60 — BPE pair census, one training round (Bpe.pairCensus)",
+        "The per-round heart of distributed BPE training: symbol pairs " +
+          "explode in codegen straight off the vocab-bounded word " +
+          "table, then ONE partial-combining HashAggregate (map-side " +
+          "combine collapses repeated pairs before the Exchange, whose " +
+          "volume is at most the pair vocabulary). No SortAggregate, " +
+          "no window, no join — the argmax above it is a LIMIT 1 " +
+          "TakeOrdered in the driver loop, one row per round.",
+        Bpe.pairCensus(
+          Bpe.wordCounts(ldocs)
+            .select(concat(lit("x y z"), lit(" </w>")).as("seg"), col("cnt"))))
       dump("T56 — blocked sorted-neighborhood (Retrieval.sortedNeighborhood)",
         "ONE Window operator carries all w lead offsets (one Exchange " +
           "on the block key + one in-partition sort); pair expansion is " +

@@ -113,14 +113,20 @@ object Bpe {
     * the vocab-bounded word table).
     */
   def subwordVocab(docs: DataFrame, nMerges: Int): DataFrame =
-    trainWithSegments(docs, nMerges)._2
+    vocabFromSegments(trainWithSegments(docs, nMerges)._2)
+
+  /** Post-merge vocabulary from a (seg, cnt) word table — split out so
+    * TokenizerJob derives both artifacts from ONE training pass.
+    */
+  private[graft] def vocabFromSegments(words: DataFrame): DataFrame =
+    words
       .select(explode(split(col("seg"), " ")).as("token"), col("cnt"))
       .groupBy("token")
       .agg(sum("cnt").as("freq"))
       .orderBy(desc("freq"), asc("token"))
 
   /** Training loop returning (merges, final word segmentations). */
-  private def trainWithSegments(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
+  private[graft] def trainWithSegments(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     // vocab-bounded working table; checkpointed per round so the plan
     // doesn't deepen by one fold per merge (k rounds of lineage over a

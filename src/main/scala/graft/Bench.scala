@@ -143,7 +143,11 @@ object Bench {
     }.min
     val batchRate = nDocs / batchSec
 
-    val streamIn = "/tmp/graft_bench_tsweep_in"
+    // cache key includes the corpus dir: unlike streamSweepMain's fixed
+    // ensureCorpus corpus, this input follows SPARK_GRAFT_SF_DIR — a
+    // shared dir would silently time a STALE corpus after an env change
+    val streamIn =
+      s"/tmp/graft_bench_tsweep_in_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
     if (!new java.io.File(s"$streamIn/_SUCCESS").exists())
       docs.repartition(16).write.mode("overwrite").parquet(streamIn)
     val levels = Seq(1, 4, 16) // files/trigger → 16 / 4 / 1 micro-batches

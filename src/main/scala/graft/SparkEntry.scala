@@ -2590,11 +2590,12 @@ object SparkEntry {
                   unnest(generate_series(1, len(toks) - 1)) AS t(i))
            GROUP BY 1, 2 ORDER BY freq DESC, lft, rgt LIMIT 1),
          w$n AS (
-           SELECT cnt, list_reduce(str_split(seg, ' '),
-             (acc, x) -> CASE WHEN x = p.rgt AND
-                 (acc = p.lft OR ends_with(acc, ' ' || p.lft))
-               THEN acc || x ELSE acc || ' ' || x END) AS seg
-           FROM w${n - 1}, p$n AS p)"""
+           SELECT cnt, CASE WHEN p.lft IS NULL THEN seg ELSE
+             list_reduce(str_split(seg, ' '),
+               (acc, x) -> CASE WHEN x = p.rgt AND
+                   (acc = p.lft OR ends_with(acc, ' ' || p.lft))
+                 THEN acc || x ELSE acc || ' ' || x END) END AS seg
+           FROM w${n - 1} LEFT JOIN p$n AS p ON TRUE)"""
     }.mkString(",\n         ")
     s"""tok AS (
            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word

@@ -41,6 +41,10 @@ object AnnBroadcasts {
 
   private[graft] def track[T](
       b: org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] = {
+    // purge cleared nodes first: library callers that never release()
+    // would otherwise grow the queue by one dead node per call forever
+    val it = live.iterator()
+    while (it.hasNext) if (it.next().get == null) it.remove()
     live.add(new java.lang.ref.WeakReference[org.apache.spark.broadcast.Broadcast[_]](b))
     b
   }

@@ -78,6 +78,35 @@ private[graft] final case class IcebergSnapshot(
     id: String, parentId: Option[String], operation: String,
     tag: Option[String])
 
+/** Pure chain logic, split from the SQL-reading shell so TableIOSpec
+  * exercises the REAL walk and fold (not a local mirror) without an
+  * Iceberg runtime.
+  */
+private[graft] object IcebergSnapshots {
+
+  /** Main-branch snapshots oldest → newest: start at the `main` ref
+    * head, walk `parent_id`. Orphaned (rolled-back) snapshots are
+    * unreachable from the head and drop out; no timestamp is consulted,
+    * so same-millisecond commits cannot tie.
+    */
+  def chain(head: Option[String],
+            byId: Map[String, IcebergSnapshot]): Seq[IcebergSnapshot] =
+    Iterator.iterate(head.flatMap(byId.get)) {
+      cur => cur.flatMap(_.parentId).flatMap(byId.get)
+    }.takeWhile(_.isDefined).map(_.get).toSeq.reverse
+
+  /** appendChainLength contract over the chain's operations (oldest →
+    * newest): trailing appends above the last full rewrite, plus that
+    * base — unless the whole history is appends (table born by append),
+    * in which case the first append IS the base (1 = a single snapshot
+    * with no appends yet).
+    */
+  def appendChainLength(ops: Seq[String]): Int = {
+    val trail = ops.reverse.takeWhile(_ == "append").length
+    if (ops.isEmpty) 0 else if (trail == ops.length) trail else trail + 1
+  }
+}
+
 /** Production [[TableIO]] over real Apache Iceberg tables (round-4
   * VERDICT item 7: BASELINE.json's north rule says "Iceberg tables", and
   * until round 4 the binding lived only in ParquetTableIO's scaladoc).
@@ -171,10 +200,8 @@ final class IcebergTableIO(
     }
   }
 
-  /** Main-branch snapshots oldest → newest: head from the `main` ref,
-    * chain by walking `parent_id`. Bounded metadata (one row per
-    * snapshot); deterministic under same-millisecond commits because no
-    * timestamp is ever consulted.
+  /** Main-branch snapshots oldest → newest — the SQL-reading shell over
+    * [[IcebergSnapshots.chain]]. Bounded metadata (one row per snapshot).
     */
   private def ancestry(stage: String): Seq[IcebergSnapshot] =
     if (!exists(stage)) Seq.empty
@@ -191,9 +218,7 @@ final class IcebergTableIO(
               Option(r.getString(3)))
             s.id -> s
         }.toMap
-      Iterator.iterate(head.flatMap(byId.get)) {
-        cur => cur.flatMap(_.parentId).flatMap(byId.get)
-      }.takeWhile(_.isDefined).map(_.get).toSeq.reverse
+      IcebergSnapshots.chain(head, byId)
     }
 
   /** Per-partition lineage rows (run_id, stage, partition_id, file, rows,
@@ -341,15 +366,8 @@ final class IcebergTableIO(
       }
     }
 
-  override def appendChainLength(stage: String): Int = {
-    val ops = ancestry(stage).reverse.map(_.operation)
-    // trailing appends above the last full rewrite, plus that base —
-    // unless the whole history is appends (table born by append), in
-    // which case the first append IS the base (contract: 1 = a single
-    // snapshot with no appends yet)
-    val trail = ops.takeWhile(_ == "append").length
-    if (ops.isEmpty) 0 else if (trail == ops.length) trail else trail + 1
-  }
+  override def appendChainLength(stage: String): Int =
+    IcebergSnapshots.appendChainLength(ancestry(stage).map(_.operation))
 
   override def liveEntry(stage: String): Option[String] =
     ancestry(stage).lastOption.map(_.id)

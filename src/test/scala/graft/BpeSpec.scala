@@ -45,6 +45,18 @@ class BpeSpec extends SparkSpec {
       ("low</w>", 2L), ("</w>", 1L), ("er", 1L), ("low", 1L)))
   }
 
+  test("exhaustion: training stops when no pairs remain; vocab keeps the last segmentation") {
+    // 'ab' fully merges in 2 rounds; rounds 3..8 must produce no rows
+    // and subwordVocab must return the round-2 state (the DuckDB oracle
+    // mirrors this via the LEFT JOIN fallback in wN — verified against
+    // this exact corpus by hand in round 5)
+    assert(merges(Seq("ab"), 8) == Seq(
+      (1, "a", "b", 1L), (2, "ab", "</w>", 1L)))
+    val vocab = Bpe.subwordVocab(Seq("ab").toDF("text"), 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(vocab == Seq(("ab</w>", 1L)))
+  }
+
   test("pair census plans as hash aggregation (no sort aggregate)") {
     // the PLANS.md T60 property, asserted mechanically: the per-round
     // census must stay a partial-combining HashAggregate over a codegen

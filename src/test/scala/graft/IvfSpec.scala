@@ -195,13 +195,22 @@ class IvfSpec extends SparkSpec {
     AnnBroadcasts.release() // clean slate (other suites may have tracked)
     def broadcastBlocks(): Int = org.apache.spark.SparkEnv.get.blockManager
       .getMatchingBlockIds(_.isBroadcast).size
-    val first = Ivf.ivfTopK(all, q, k = 3).orderBy("qid", "rk").collect()
+    // the registry holds WeakReferences (round-4 ADVICE), so the counts
+    // below are deterministic only while the plan — whose UDF closures
+    // hold the broadcast strongly — is itself kept reachable across the
+    // assertion; the reachabilityFence pins it (a GC between collect()
+    // and the assert could otherwise clear the weak ref and flake this)
+    val firstDf = Ivf.ivfTopK(all, q, k = 3).orderBy("qid", "rk")
+    val first = firstDf.collect()
     assert(AnnBroadcasts.liveCount == 1, "one codebook broadcast per call")
     AnnBroadcasts.release()
+    java.lang.ref.Reference.reachabilityFence(firstDf)
     val before = broadcastBlocks()
     val results = (1 to 20).map { _ =>
-      val r = Ivf.ivfTopK(all, q, k = 3).orderBy("qid", "rk").collect()
+      val df = Ivf.ivfTopK(all, q, k = 3).orderBy("qid", "rk")
+      val r = df.collect()
       assert(AnnBroadcasts.release() == 1)
+      java.lang.ref.Reference.reachabilityFence(df)
       r
     }
     assert(results.forall(_.sameElements(first)),

@@ -122,25 +122,26 @@ class TableIOSpec extends SparkSpec {
   }
 
   test("Iceberg ancestor-chain ordering logic is deterministic (no committed_at)") {
-    // The chain-walk itself is pure given the snapshot graph; exercise it
-    // through a local mirror of the walk to pin the ordering contract:
-    // head from the main ref, parents walked, orphaned (rolled-back)
-    // branches excluded, insensitive to row order / equal timestamps.
+    // IcebergSnapshots.chain/appendChainLength are the REAL code
+    // IcebergTableIO runs (only the SQL reads are stubbed by the
+    // fixture graph): head from the main ref, parents walked, orphaned
+    // (rolled-back) branches excluded, insensitive to row order / equal
+    // timestamps.
     val graph = Seq(
       IcebergSnapshot("30", Some("20"), "append", Some("b2")),
       IcebergSnapshot("10", None, "append", Some("b0")),
       IcebergSnapshot("99", Some("10"), "append", Some("orphaned")),
       IcebergSnapshot("20", Some("10"), "overwrite", None))
     val byId = graph.map(s => s.id -> s).toMap
-    val chain = Iterator.iterate(byId.get("30")) {
-      cur => cur.flatMap(_.parentId).flatMap(byId.get)
-    }.takeWhile(_.isDefined).map(_.get).toSeq.reverse
+    val chain = IcebergSnapshots.chain(Some("30"), byId)
     assert(chain.map(_.id) == Seq("10", "20", "30"))
     assert(!chain.exists(_.id == "99")) // rolled-back snapshot excluded
-    // appendChainLength contract over the chain's operations
-    val ops = chain.map(_.operation)
-    val trail = ops.reverse.takeWhile(_ == "append").length
-    assert((if (ops.isEmpty) 0 else if (trail == ops.length) trail else trail + 1) == 2)
+    assert(IcebergSnapshots.chain(None, byId).isEmpty) // no main ref yet
+    // append-chain contract over the chain's operations
+    assert(IcebergSnapshots.appendChainLength(chain.map(_.operation)) == 2)
+    assert(IcebergSnapshots.appendChainLength(Seq("append", "append")) == 2)
+    assert(IcebergSnapshots.appendChainLength(Seq.empty) == 0)
+    assert(IcebergSnapshots.appendChainLength(Seq("overwrite")) == 1)
   }
 
   test("pipeline commits candidates/scored bucketed: resumed joins skip their exchange") {

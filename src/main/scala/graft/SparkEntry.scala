@@ -2076,6 +2076,13 @@ object SparkEntry {
     "q_bpe_vocab" -> ((s, d) =>
       Bpe.subwordVocab(t(s, d, "documents").select(col("text")), 8)),
 
+    // T60 encode: apply the trained tokenizer back to the corpus —
+    // per-doc word/BPE-token counts + fertility via a BROADCAST
+    // vocab-bounded dict join (the number data-mixing reads; scale
+    // shape on Bpe.encodeStats).
+    "q_bpe_encode" -> ((s, d) =>
+      Bpe.encodeStats(t(s, d, "documents").select(col("doc_id"), col("text")), 8)),
+
     // T32: vocabulary build with cumulative coverage (tokenizer-training
     // prep). Scale shape: token counts are one explode + one hash-agg
     // with map-side combine; the top-K cut physicalizes as
@@ -2590,7 +2597,7 @@ object SparkEntry {
                   unnest(generate_series(1, len(toks) - 1)) AS t(i))
            GROUP BY 1, 2 ORDER BY freq DESC, lft, rgt LIMIT 1),
          w$n AS (
-           SELECT cnt, CASE WHEN p.lft IS NULL THEN seg ELSE
+           SELECT word, cnt, CASE WHEN p.lft IS NULL THEN seg ELSE
              list_reduce(str_split(seg, ' '),
                (acc, x) -> CASE WHEN x = p.rgt AND
                    (acc = p.lft OR ends_with(acc, ' ' || p.lft))
@@ -2601,7 +2608,7 @@ object SparkEntry {
            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
            FROM documents),
          words AS (SELECT word, count(*) AS cnt FROM tok GROUP BY 1),
-         w0 AS (SELECT cnt,
+         w0 AS (SELECT word, cnt,
            array_to_string(list_transform(generate_series(1, length(word)),
              i -> substr(word, i, 1)), ' ') || ' </w>' AS seg
            FROM words),
@@ -2626,9 +2633,26 @@ object SparkEntry {
            SELECT unnest(str_split(seg, ' ')) AS token, cnt FROM w$k)
          GROUP BY 1 ORDER BY freq DESC, token"""
 
+  /** T60 encode twin: re-tokenize the corpus with the trained
+    * segmentations and recompute the per-doc token/fertility stats —
+    * value-checks the dict join + counts end-to-end.
+    */
+  private def bpeEncodeOracleSql(k: Int): String =
+    s"""WITH ${bpeCtes(k)},
+         docw AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents),
+         dict AS (SELECT word, len(str_split(seg, ' ')) AS n_sub FROM w$k)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(n_sub) AS DOUBLE) / count(*), 4) AS fertility
+         FROM docw JOIN dict USING (word)
+         GROUP BY 1 ORDER BY doc_id"""
+
   private def extraOracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracleSql(8),
     "q_bpe_vocab" -> bpeVocabOracleSql(8),
+    "q_bpe_encode" -> bpeEncodeOracleSql(8),
     // T22 exact configuration: the oracle recomputes every pair cosine
     // with the same FP sequence (double dot / product of root self-dots,
     // rounded to 4) and the same prune rule (min lower-id neighbor ≥ τ).

@@ -125,6 +125,31 @@ object Bpe {
       .agg(sum("cnt").as("freq"))
       .orderBy(desc("freq"), asc("token"))
 
+  /** Apply the trained tokenizer to the corpus: per-doc word and BPE
+    * token counts plus fertility (BPE tokens per word) — the measurement
+    * data-mixing and packing decisions read. Scale shape: the corpus
+    * explodes to words ONCE and joins the BROADCAST word→segment-count
+    * dict (vocab-bounded, the same reason the trainer is word-dict
+    * based), then one hash-agg by doc_id — no shuffle ever carries more
+    * than (doc_id, word). Docs with no `[a-z]+` words have no tokens
+    * under this alphabet and drop out (the oracle's inner join mirrors
+    * that).
+    */
+  def encodeStats(docs: DataFrame, nMerges: Int): DataFrame = {
+    val words = trainWithSegments(docs, nMerges)._2
+    val dict = words.select(col("word"),
+      size(split(col("seg"), " ")).cast("long").as("n_sub"))
+    docs
+      .select(col("doc_id"), explode(regexp_extract_all(
+        lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .join(broadcast(dict), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens") / col("n_words").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Training loop returning (merges, final word segmentations). */
   private[graft] def trainWithSegments(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
@@ -132,7 +157,7 @@ object Bpe {
     // doesn't deepen by one fold per merge (k rounds of lineage over a
     // tiny relation is still k codegen stages if left lazy)
     var words = wordCounts(docs)
-      .select(initialSeg(col("word")).as("seg"), col("cnt"))
+      .select(col("word"), initialSeg(col("word")).as("seg"), col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var step = 1
@@ -148,7 +173,7 @@ object Bpe {
         val (l, rt, f) = (r.getString(0), r.getString(1), r.getLong(2))
         merges += Merge(step, l, rt, f)
         words = words
-          .select(applyMerge(col("seg"), l, rt).as("seg"), col("cnt"))
+          .select(col("word"), applyMerge(col("seg"), l, rt).as("seg"), col("cnt"))
           .localCheckpoint()
         step += 1
       }

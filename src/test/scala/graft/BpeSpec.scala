@@ -57,6 +57,15 @@ class BpeSpec extends SparkSpec {
     assert(vocab == Seq(("ab</w>", 1L)))
   }
 
+  test("encode stats re-tokenize with the trained segmentations") {
+    // after the 4 merges of the classic corpus: low→[low</w>] (1 token),
+    // lower→[low, er, </w>] (3) ⇒ the one doc has 3 words, 5 BPE tokens
+    val stats = Bpe.encodeStats(
+      Seq((7L, "low low lower")).toDF("doc_id", "text"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(stats.toSeq == Seq((7L, 3L, 5L, 1.6667)))
+  }
+
   test("pair census plans as hash aggregation (no sort aggregate)") {
     // the PLANS.md T60 property, asserted mechanically: the per-round
     // census must stay a partial-combining HashAggregate over a codegen
